@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop sink (full pipeline, no driver
+collect), mirroring how a cluster job would write to a table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dystonse_gtfs_data_spark import queries as Q
+from dystonse_gtfs_data_spark.session import build_session
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "pair_count_matrix",
+    "latest_wins_dedup",
+    "forward_fill",
+    "interval_counts",
+    "time_slots",
+    "asof_join",
+    "route_sections",
+    "rollup_revenue",
+    "delay_quantiles",
+    "ecdf_per_type",
+    "fallback_lookup",
+    "sessionize",
+    "token_counts",
+    "quality_scores",
+    "fingerprint_dedup",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "cosine_topk",
+    "embedding_near_dups",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = build_session("bench")
+    registry = Q.REGISTRY
+
+    # warm up the JVM + parquet footers so per-query numbers measure the
+    # queries, not session startup
+    Q.q_pricing_summary(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

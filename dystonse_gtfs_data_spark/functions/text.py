@@ -1,0 +1,160 @@
+"""Text-analysis column expressions for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All JVM-side built-ins (regexp/split/length) — no Python in the hot path.
+Each function has a DuckDB-SQL twin generated from the same constants so
+the correctness oracle cannot drift from the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# language-ID stopword packs (tiny n-gram/stopword heuristic)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "for", "on", "a"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "den", "mit", "von"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "de", "que", "los", "un", "una", "es", "por", "con"],
+}
+
+PUNCT_PATTERN = r"[.,;:!?]"
+BPE_ISH_TOKEN_PATTERN = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def ws_token_count_sql(text: str) -> str:
+    return f"len(string_split_regex(trim({text}), '\\s+'))"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token count: lowercase runs / capitalized runs / digit runs /
+    single punctuation, approximating subword tokenizer output size."""
+    return F.regexp_count(text, F.lit(BPE_ISH_TOKEN_PATTERN))
+
+
+def bpe_ish_token_count_sql(text: str) -> str:
+    return f"len(regexp_extract_all({text}, '{BPE_ISH_TOKEN_PATTERN}'))"
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PUNCT_PATTERN)) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+
+
+def punct_ratio_sql(text: str) -> str:
+    return (
+        f"len(regexp_extract_all({text}, '{PUNCT_PATTERN}')) * 1.0"
+        f" / greatest(length({text}), 1)"
+    )
+
+
+def mean_word_len(text: Column) -> Column:
+    toks = ws_token_count(text)
+    return F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / F.greatest(
+        toks, F.lit(1)
+    )
+
+
+def mean_word_len_sql(text: str) -> str:
+    return (
+        f"length(regexp_replace(trim({text}), '\\s+', '', 'g')) * 1.0"
+        f" / greatest({ws_token_count_sql(text)}, 1)"
+    )
+
+
+def _stopword_pattern(lang: str) -> str:
+    return r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    return F.regexp_count(F.lower(text), F.lit(_stopword_pattern(lang)))
+
+
+def stopword_hits_sql(text: str, lang: str) -> str:
+    return f"len(regexp_extract_all(lower({text}), '{_stopword_pattern(lang)}'))"
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return stopword_hits(text, lang) / F.greatest(ws_token_count(text), F.lit(1))
+
+
+def stopword_ratio_sql(text: str, lang: str = "en") -> str:
+    return (
+        f"{stopword_hits_sql(text, lang)} * 1.0"
+        f" / greatest({ws_token_count_sql(text)}, 1)"
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Pick the language whose stopword pack hits most (ties → lexicographic
+    first via the greatest-of-structs trick, deterministic on both engines)."""
+    expr: Column | None = None
+    best_score: Column | None = None
+    # evaluate langs in sorted order; strictly-greater keeps the earliest max
+    for lang in sorted(LANG_STOPWORDS):
+        score = stopword_hits(text, lang)
+        if expr is None:
+            expr, best_score = F.lit(lang), score
+        else:
+            expr = F.when(score > best_score, F.lit(lang)).otherwise(expr)
+            best_score = F.greatest(score, best_score)
+    return expr
+
+
+def lang_id_sql(text: str) -> str:
+    langs = sorted(LANG_STOPWORDS)
+    expr = f"'{langs[0]}'"
+    best = stopword_hits_sql(text, langs[0])
+    for lang in langs[1:]:
+        score = stopword_hits_sql(text, lang)
+        expr = f"(CASE WHEN {score} > {best} THEN '{lang}' ELSE {expr} END)"
+        best = f"greatest({score}, {best})"
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: lowercase, strip non-alphanumerics, collapse
+    whitespace — near-dup key for normalization-level duplicates."""
+    t = F.lower(F.trim(text))
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    return F.regexp_replace(t, r"\s+", " ")
+
+
+def fingerprint_sql(text: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace(lower(trim({text})), "
+        f"'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')"
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: rewards moderate word length,
+    presence of stopwords, low punctuation density (heuristics in the
+    spirit of C4/Gopher quality rules)."""
+    mwl = mean_word_len(text)
+    sw = stopword_ratio(text, "en")
+    pr = punct_ratio(text)
+    score = (
+        F.when((mwl >= 3) & (mwl <= 10), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.least(sw * 2.0, F.lit(0.4))
+        + F.when(pr < 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return score
+
+
+def quality_score_sql(text: str) -> str:
+    mwl = mean_word_len_sql(text)
+    sw = stopword_ratio_sql(text, "en")
+    pr = punct_ratio_sql(text)
+    return (
+        f"((CASE WHEN {mwl} >= 3 AND {mwl} <= 10 THEN 0.4 ELSE 0.0 END)"
+        f" + least({sw} * 2.0, 0.4)"
+        f" + (CASE WHEN {pr} < 0.1 THEN 0.2 ELSE 0.0 END))"
+    )

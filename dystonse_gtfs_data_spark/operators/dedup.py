@@ -1,0 +1,244 @@
+"""Deduplication operators for training-data pipelines: exact,
+fingerprint, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All stages are pure DataFrame ops (shuffle on hash keys, no driver
+loops); signatures are built with a fixed number of aggregate
+expressions, not row explosion per hash function, so the shuffle volume
+is O(docs × shingles), never O(docs × shingles × hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# fixed, public hash family for minhash: h_i(x) = (a_i * x + b_i) mod p.
+# p = 2^31 − 1 keeps a·x + b within int64 (a, x < 2^31 → a·x < 2^62).
+MERSENNE_P = (1 << 31) - 1
+
+
+def _hash_family(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs from a tiny LCG (seeded, engine-pinned)."""
+    params = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (MERSENNE_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def tokens(text_col: str = "text"):
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def shingles(text_col: str = "text", k: int = 3):
+    """k-word shingles as strings (JVM-side higher-order functions)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per duplicated text with the
+    canonical (minimum) id, member count.  Map-side partial aggregation
+    makes this a single cheap shuffle at any scale."""
+    return (
+        docs.groupBy(text_col)
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+        .select("canonical_id", "dup_count")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """id → array<bigint> minhash signature.
+
+    Explodes shingles once, hashes them with xxhash64, then computes all
+    ``num_hashes`` permutation minima as independent agg expressions over
+    a single groupBy — signature width never multiplies the shuffle.
+    """
+    fam = _hash_family(num_hashes)
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    ).withColumn("h", F.abs(F.xxhash64("shingle")))
+    aggs = [
+        F.min((F.col("h") % MERSENNE_P * a + b) % MERSENNE_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(fam)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and self-join on (band_id, band_hash) to get
+    candidate near-dup pairs (id_a < id_b).  The join key is the band
+    hash — collisions co-locate, everything else never meets (the LSH
+    property), so the shuffle is O(docs × bands)."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard similarity.
+    Joins the (small) candidate list to the shingle sets twice; the
+    candidate list is usually broadcastable."""
+    sets = docs.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("sh")
+    )
+    out = (
+        candidates.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: near-dup pairs with exact Jaccard."""
+    rows = num_hashes // num_bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    cands = minhash_lsh_candidates(sigs, id_col, num_bands, rows)
+    return ngram_jaccard_pairs(docs, cands, text_col, id_col, shingle_k, threshold)
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sum +1/−1 of token
+    hashes' bit values; sign → bit.  One explode + one groupBy with
+    ``bits`` agg expressions (map-side combinable)."""
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = tok.withColumn("th", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_bit = h.groupBy(id_col).agg(*aggs)
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    sig = per_bit.select(
+        id_col,
+        sum(
+            [
+                # shiftleft stays JVM-side and wraps at bit 63 like Rust's i64
+                F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(zero)
+                for i in range(bits)
+            ],
+            zero,
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using the
+    4×16-bit chunk pigeonhole: pairs within distance 3 share at least one
+    of four 16-bit chunks → equi-join per chunk, then exact popcount."""
+    sig = simhash(docs, text_col, id_col)
+    chunks = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_id", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs

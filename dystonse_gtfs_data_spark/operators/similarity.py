@@ -1,0 +1,257 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products run JVM-side via zip_with/aggregate (no Python).
+- ``lsh_topk``: random-hyperplane LSH bucketing — the scale path; only
+  vectors sharing a bucket (in any of several hash tables) are compared,
+  so the cross product never materializes.
+- ``embedding_near_duplicates``: pairs with cosine >= threshold via the
+  same LSH bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    return df.withColumn(
+        out, _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query vector.
+
+    The query side is broadcast (queries are few); the corpus streams
+    through executors — no shuffle of the corpus itself, one final
+    shuffle of size O(queries × corpus) rows for the per-query top-k
+    window (at scale, replace with a partial top-k aggregation per
+    partition; AQE keeps this reasonable at bench sizes).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))))
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_digits))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (engine-pinned LCG, no numpy
+    on the executors)."""
+    state = seed * 0x9E3779B97F4A7C15 % (1 << 63)
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec, planes: list[list[float]]):
+    """Sign-bucket id from random hyperplanes, as one JVM-side expression."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(v)) for v in p])
+        bits.append(F.when(_dot(vec, arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0])
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: compare only within matching sign-buckets across
+    ``n_tables`` independent hyperplane tables.  Shuffle is O(rows ×
+    tables); each bucket join is an equi-join Catalyst can hash."""
+    tagged_c = None
+    tagged_q = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=7 + t)
+        cq = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.lit(t).alias("table_id"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        cc = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.lit(t).alias("table_id"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        tagged_q = cq if tagged_q is None else tagged_q.unionByName(cq)
+        tagged_c = cc if tagged_c is None else tagged_c.unionByName(cc)
+    scored = (
+        tagged_c.join(tagged_q, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def allpairs_cosine(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 1024,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via block-matrix products.
+
+    Vectors are grouped into blocks of ``block_size``; the (b_a <= b_b)
+    block pairs are enumerated with a self-join on block id, and each
+    block pair computes a dense numpy matmul inside mapInPandas — one
+    Arrow batch of two small matrices in, only the qualifying pairs out.
+    This is the scalable exact design: work is O(n²·d) regardless, but it
+    parallelizes as B² independent tasks of bounded memory, and nothing
+    per-pair ever crosses the Python boundary.
+    """
+    import numpy as np
+    import pandas as pd
+
+    blocks = (
+        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .withColumn("block_id", F.floor(F.col("vid") / block_size))
+        .groupBy("block_id")
+        .agg(
+            F.collect_list("vid").alias("ids"),
+            F.collect_list("vec").alias("vecs"),
+        )
+    )
+    a = blocks.select(
+        F.col("block_id").alias("ba"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
+    )
+    b = blocks.select(
+        F.col("block_id").alias("bb"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b")
+    )
+    pairs = a.join(b, F.col("ba") <= F.col("bb"))
+
+    def compute(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_a])
+                mb = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_b])
+                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                sims = ma @ mb.T
+                ii, jj = np.where(sims >= threshold)
+                ia, ib, cs = ids_a[ii], ids_b[jj], sims[ii, jj]
+                keep = ia < ib  # dedupe diagonal blocks + self pairs
+                out_a.append(ia[keep])
+                out_b.append(ib[keep])
+                out_c.append(cs[keep])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    out = pairs.mapInPandas(compute, schema="id_a long, id_b long, cosine double")
+    if round_digits is not None:
+        out = out.withColumn("cosine", F.round("cosine", round_digits))
+    return out
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+    n_tables: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold)
+    via multi-table hyperplane LSH candidate generation + exact rescore."""
+    tagged = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=101 + t)
+        cc = vectors.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            F.lit(t).alias("table_id"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        tagged = cc if tagged is None else tagged.unionByName(cc)
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "cosine",
+            _dot(F.col("vec_a"), F.col("vec_b"))
+            / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

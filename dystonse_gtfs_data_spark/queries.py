@@ -1,0 +1,885 @@
+"""Query catalog: every implemented operator from SURVEY.md §2 expressed
+once in PySpark and once as DuckDB oracle SQL over the driver's testdata
+(TESTDATA.md tables).
+
+Naming convention: q_<operator-analog>.  Each entry cites the SURVEY §2
+operator ids it covers.  Aggregates over doubles are computed through
+DECIMAL casts (exact on both engines) and cast back to double, so the
+value-hash compare can't be broken by floating-point summation order.
+
+GTFS-domain semantics (curve UDAFs, fallback ladder, GTFS time) are
+mapped onto the generic tables here; the domain pipeline itself is
+exercised on GTFS-shaped fixtures in tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import delays as Fd
+from .functions import geo as Fg
+from .functions import route as Fr
+from .functions import text as Ft
+from .functions import time as Fti
+from .operators.asof import asof_join
+from .operators.dedup import (
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from .operators.gapfill import forward_fill
+from .operators.similarity import allpairs_cosine, cosine_topk, lsh_topk
+from .sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None → driver does rows-only check
+    covers: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, covers: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, covers=covers)
+        return fn
+
+    return deco
+
+
+def _dec(col, scale: int = 2):
+    return col.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Relational core: scans, filters, aggregations (S4, F1, A1/A2, A9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    covers="S4 scan, F1/F4 filter pushdown, A1/A2 agg (TPC-H Q1 shape)",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_revenue_orders",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    covers="J1/J7 multi-join, A1 agg, O-top-k (TPC-H Q3 shape)",
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "nation_revenue",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name IN ('EUROPE', 'ASIA')
+    GROUP BY n_name
+    """,
+    covers="J1 broadcast dim joins, F4 pushdown, A1 (TPC-H Q5 shape)",
+)
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("EUROPE", "ASIA"))
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).join(
+            c, c.c_nationkey == n.n_nationkey
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Self-joins (J4/J5), windows (W1-W6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pair_count_matrix",
+    """
+    SELECT a.l_linenumber AS start_line, b.l_linenumber AS end_line, count(*) AS n_pairs
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    GROUP BY 1, 2
+    """,
+    covers="J4/J5 stop-pair self-join + A10 pair-count matrix (src/monitor/mod.rs:1510-1528)",
+)
+def q_pair_count_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+        )
+        .groupBy(
+            F.col("a.l_linenumber").alias("start_line"),
+            F.col("b.l_linenumber").alias("end_line"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "latest_wins_dedup",
+    """
+    SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    covers="W1/S6 latest-wins upsert dedup (src/importer/per_schedule_importer.rs:406-421)",
+)
+def q_latest_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "forward_fill",
+    """
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           last_value(masked IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE value END AS masked
+          FROM events)
+    """,
+    covers="W3/J6 forward-fill gap projection (src/analyser/specific_curves.rs:204-249)",
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "masked", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    filled = forward_fill(ev, ["user_id"], ["ts", "event_id"], ["masked"])
+    return filled.select(
+        "event_id", "user_id", "ts", F.col("masked_filled").alias("value_filled")
+    )
+
+
+@register(
+    "running_totals",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           row_number() OVER w AS rn,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_price
+    FROM lineitem
+    WHERE l_suppkey <= 20
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    covers="W5/W6 ordered frames, O2 sort (running aggregates)",
+)
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 20)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).alias("rn"),
+        F.sum(_dec(F.col("l_extendedprice"))).over(w).cast("double").alias("running_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time semantics: interval buckets (A1), time slots (C3), as-of (J3)
+# ---------------------------------------------------------------------------
+
+_INTERVAL = 4 * 3600
+
+
+@register(
+    "interval_counts",
+    f"""
+    SELECT {Fti.interval_bucket_sql('ts', _INTERVAL)} AS bucket,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+    FROM events
+    WHERE value BETWEEN -36000 AND 36000
+    GROUP BY 1
+    """,
+    covers="A1/A2 interval count report (src/analyser/count.rs:15-80), F1 validity bounds",
+)
+def q_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(Fd.count_valid(F.col("value")))
+    return (
+        ev.groupBy(Fti.interval_bucket(F.col("ts"), _INTERVAL).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(_dec(F.col("value"))).cast("double") / F.count("*")).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "time_slots",
+    f"""
+    SELECT {Fti.time_slot_id_sql('ts')} AS time_slot_id,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    covers="C3 TimeSlot bucketing incl. wraparound (src/types/time_slots.rs:27-201)",
+)
+def q_time_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            Fti.time_slot_id(F.col("ts")).alias("time_slot_id"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "asof_join",
+    """
+    WITH od AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, od.o_orderdate AS last_order_date,
+           od.day_total AS last_order_total
+    FROM events e
+    ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+    """,
+    covers="J3 as-of join (src/importer/mod.rs:377-451) via union+window; DuckDB native ASOF as oracle",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("day_total"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    joined = asof_join(
+        ev, od, on=["user_id"], left_time="ts", right_time="o_orderdate",
+        payload_cols=["o_orderdate", "day_total"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderdate").alias("last_order_date"),
+        F.col("day_total").alias("last_order_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain scalars on generic data: rounding (F3), sections, haversine (C9/J8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "delay_rounding",
+    f"""
+    SELECT {Fd.round_toward_zero_sql('CAST(floor(value * 60) AS BIGINT) - 1500')} AS rounded_delay,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    covers="F3 truncate-toward-zero 12-s rounding (src/analyser/specific_curves.rs:319-320)",
+)
+def q_delay_rounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    delay = (F.floor(F.col("value") * 60).cast("long") - 1500).alias("delay")
+    return (
+        ev.select(Fd.round_toward_zero(delay).alias("rounded_delay"))
+        .groupBy("rounded_delay")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "route_sections",
+    f"""
+    WITH pos AS (
+      SELECT l_orderkey,
+             row_number() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey, l_shipdate,
+                          l_extendedprice, l_quantity) - 1 AS stop_index,
+             count(*) OVER (PARTITION BY l_orderkey) AS stop_count,
+             l_extendedprice
+      FROM lineitem
+    )
+    SELECT {Fr.route_section_sql('stop_index', 'stop_count')} AS route_section,
+           count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM pos GROUP BY 1
+    """,
+    covers="RouteSection derivation (src/types/route_sections.rs:37-52) via window count+index",
+)
+def q_route_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data; order
+    # by the full tuple so ties are only between identical rows
+    wo = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_quantity",
+    )
+    wc = Window.partitionBy("l_orderkey")
+    pos = li.select(
+        "l_orderkey",
+        (F.row_number().over(wo) - 1).alias("stop_index"),
+        F.count("*").over(wc).alias("stop_count"),
+        "l_extendedprice",
+    )
+    return (
+        pos.groupBy(
+            Fr.route_section(F.col("stop_index"), F.col("stop_count")).alias("route_section")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("total_price"),
+        )
+    )
+
+
+_LAT_A = "((s_suppkey % 120) * 0.001 - 0.05)"
+_LON_A = "((s_suppkey % 77) * 0.001)"
+
+
+@register(
+    "extended_stops",
+    f"""
+    WITH coords AS (
+      SELECT s_suppkey, {_LAT_A} AS lat, {_LON_A} AS lon FROM supplier
+    )
+    SELECT a.s_suppkey AS stop_a, b.s_suppkey AS stop_b,
+           round({Fg.haversine_m_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')}, 3) AS dist_m
+    FROM coords a JOIN coords b ON a.s_suppkey < b.s_suppkey
+    WHERE {Fg.haversine_m_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} < 300.0
+    """,
+    covers="C9 haversine + J8 geo proximity self-join, 300 m radius (src/monitor/journey_data.rs:22-23, 241-263)",
+)
+def q_extended_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 120) * 0.001 - 0.05).alias("lat"),
+        ((F.col("s_suppkey") % 77) * 0.001).alias("lon"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    dist = Fg.haversine_m(
+        F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")
+    )
+    return (
+        a.join(b, F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        .withColumn("dist_m", dist)
+        .filter(F.col("dist_m") < 300.0)
+        .select(
+            F.col("a.s_suppkey").alias("stop_a"),
+            F.col("b.s_suppkey").alias("stop_b"),
+            F.round("dist_m", 3).alias("dist_m"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup hierarchy (A6), quantiles (A13), ECDF (A3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    covers="A6 hierarchical rollup levels (src/analyser/default_curves.rs:42-248)",
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+@register(
+    "delay_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.01), 6) AS p01,
+           round(quantile_cont(value, 0.05), 6) AS p05,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    covers="A13 quantile extraction p1..p99 (src/types/prediction_result.rs:34-48)",
+)
+def q_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ps = {"p01": 0.01, "p05": 0.05, "p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95, "p99": 0.99}
+    return ev.groupBy("event_type").agg(
+        *[F.round(F.percentile("value", F.lit(p)), 6).alias(n) for n, p in ps.items()]
+    )
+
+
+@register(
+    "ecdf_per_type",
+    """
+    SELECT DISTINCT event_type, value,
+           round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 9) AS cdf
+    FROM events
+    """,
+    covers="A3 ECDF construction via cume_dist (src/analyser/curve_utils.rs:44-94, unweighted)",
+)
+def q_ecdf_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_type", "value", F.round(F.cume_dist().over(w), 9).alias("cdf")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Set ops / anti-joins / autocomplete (E1-E4, O4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inactive_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT user_id FROM events)
+    """,
+    covers="E2/W2 duplicate-removal as anti-join (src/monitor/mod.rs:478-495)",
+)
+def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    return c.join(
+        ev, c.c_custkey == ev.user_id, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "autocomplete",
+    """
+    SELECT DISTINCT p_name FROM part
+    WHERE contains(lower(p_name), 'sm') AND contains(lower(p_name), 'gi')
+    ORDER BY p_name LIMIT 10
+    """,
+    covers="O4 top-10 autocomplete w/ contains_all (src/monitor/mod.rs:198-223), C7",
+)
+def q_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    terms = ["sm", "gi"]
+    cond = F.lit(True)
+    for t in terms:
+        cond = cond & F.lower(F.col("p_name")).contains(t)
+    return p.filter(cond).select("p_name").distinct().orderBy("p_name").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Fallback hierarchy (J10) on generic dims
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fallback_lookup",
+    """
+    WITH by_brand_type AS (
+      SELECT p_brand, p_type,
+             CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS est,
+             count(*) AS n
+      FROM part GROUP BY 1, 2 HAVING count(*) >= 5
+    ), by_brand AS (
+      SELECT p_brand,
+             CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS est,
+             count(*) AS n
+      FROM part GROUP BY 1 HAVING count(*) >= 5
+    ), overall AS (
+      SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS est,
+             count(*) AS n
+      FROM part
+    )
+    SELECT p.p_partkey,
+           coalesce(bt.est, bb.est, overall.est) AS predicted_price,
+           CASE WHEN bt.est IS NOT NULL THEN 'specific'
+                WHEN bb.est IS NOT NULL THEN 'semi_specific'
+                ELSE 'general' END AS precision_type,
+           coalesce(bt.n, bb.n, overall.n) AS sample_size
+    FROM part p
+    LEFT JOIN by_brand_type bt ON p.p_brand = bt.p_brand AND p.p_type = bt.p_type
+    LEFT JOIN by_brand bb ON p.p_brand = bb.p_brand
+    CROSS JOIN overall
+    """,
+    covers="J10 fallback-hierarchy coalesce ladder + PrecisionType (src/predictor/mod.rs:178-335), F11 min-sample guards",
+)
+def q_fallback_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    avg_ = (F.sum(_dec(F.col("p_retailprice"))).cast("double") / F.count("*")).alias("est")
+    spec = (
+        p.groupBy("p_brand", "p_type")
+        .agg(avg_, F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+        .select(
+            F.col("p_brand").alias("sb"), F.col("p_type").alias("st"),
+            F.col("est").alias("spec_est"), F.col("n").alias("spec_n"),
+        )
+    )
+    semi = (
+        p.groupBy("p_brand")
+        .agg(avg_, F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+        .select(F.col("p_brand").alias("mb"), F.col("est").alias("semi_est"), F.col("n").alias("semi_n"))
+    )
+    glob = p.agg(avg_, F.count("*").alias("n")).select(
+        F.col("est").alias("glob_est"), F.col("n").alias("glob_n")
+    )
+    return (
+        p.join(
+            F.broadcast(spec),
+            (p.p_brand == F.col("sb")) & (p.p_type == F.col("st")),
+            "left",
+        )
+        .join(F.broadcast(semi), p.p_brand == F.col("mb"), "left")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "p_partkey",
+            F.coalesce("spec_est", "semi_est", "glob_est").alias("predicted_price"),
+            F.when(F.col("spec_est").isNotNull(), "specific")
+            .when(F.col("semi_est").isNotNull(), "semi_specific")
+            .otherwise("general")
+            .alias("precision_type"),
+            F.coalesce("spec_n", "semi_n", "glob_n").alias("sample_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (T7 analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP)) - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_s
+    FROM sess GROUP BY 1, 2
+    """,
+    covers="T7 sessionization: event-time gap windows (lag + cumulative sum)",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn("session_id", F.sum("new_session").over(wcum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            (
+                F.max("ts").cast("double") - F.min("ts").cast("double")
+            ),
+            6,
+        ).alias("duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_counts",
+    f"""
+    SELECT doc_id,
+           {Ft.ws_token_count_sql('text')} AS ws_tokens,
+           {Ft.bpe_ish_token_count_sql('text')} AS bpe_tokens,
+           n_chars
+    FROM documents
+    """,
+    covers="token counting (whitespace + BPE-ish regex) for training-data pipelines",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        Ft.ws_token_count(F.col("text")).alias("ws_tokens"),
+        Ft.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        "n_chars",
+    )
+
+
+@register(
+    "quality_scores",
+    f"""
+    SELECT doc_id, lang,
+           round({Ft.quality_score_sql('text')}, 6) AS quality,
+           round({Ft.punct_ratio_sql('text')}, 6) AS punct_ratio,
+           round({Ft.mean_word_len_sql('text')}, 6) AS mean_word_len,
+           round({Ft.stopword_ratio_sql('text', 'en')}, 6) AS stopword_ratio
+    FROM documents
+    """,
+    covers="document quality scoring (length/punct/stopword heuristics)",
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(Ft.quality_score(F.col("text")), 6).alias("quality"),
+        F.round(Ft.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(Ft.mean_word_len(F.col("text")), 6).alias("mean_word_len"),
+        F.round(Ft.stopword_ratio(F.col("text"), "en"), 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "lang_id",
+    f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {Ft.lang_id_sql('text')} AS detected_lang
+    FROM documents
+    """,
+    covers="language-ID n-gram/stopword heuristic",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        Ft.lang_id(F.col("text")).alias("detected_lang"),
+    )
+
+
+@register(
+    "fingerprint_dedup",
+    f"""
+    SELECT fp AS fingerprint, count(*) AS dup_count, min(doc_id) AS canonical_id
+    FROM (SELECT doc_id, {Ft.fingerprint_sql('text')} AS fp FROM documents)
+    GROUP BY fp
+    """,
+    covers="document fingerprinting + exact dedup hash-groupBy",
+)
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", Ft.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search / near-dup (embedding ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])), 4) AS cosine
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    covers="brute-force cosine top-k ANN baseline (zip_with/aggregate dot product)",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(q, emb, k=5)
+
+
+@register(
+    "embedding_near_dups",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    covers="embedding-cosine near-dup detection (exact pairwise baseline)",
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return allpairs_cosine(emb, threshold=0.4, block_size=512)
+
+
+@register(
+    "minhash_near_dups",
+    None,  # xxhash64 not available in DuckDB → rows-only check; verified in tests/ vs a Python oracle
+    covers="MinHash+LSH near-dup pipeline (shingle → minhash → band → bucket join → Jaccard verify)",
+)
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@register(
+    "simhash_near_dups",
+    None,  # xxhash64 not available in DuckDB → rows-only; verified in tests/
+    covers="SimHash near-dup pipeline (bit-vote signature + chunk pigeonhole join)",
+)
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "lsh_topk",
+    None,  # approximate ANN — no SQL oracle; recall vs brute force checked in tests/
+    covers="LSH-bucketed approximate nearest neighbor (scale path for cosine_topk)",
+)
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(q, emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# public API used by __spark_entry__
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

@@ -1,0 +1,58 @@
+"""Loaders for the driver's synthetic parquet tables (TESTDATA.md).
+
+Parquet scans are the scale path: columnar, predicate-pushdown and
+column-pruning capable (the reference's MySQL scans S4 with hand-written
+WHERE/SELECT pushdown, src/analyser/specific_curves.rs:80-116, become
+Catalyst-managed pushdown for free).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make a caller-provided session (e.g. the driver's) behave like
+    ours: ns-parquet readable, UTC semantics for oracle parity.  Both are
+    runtime-settable SQL confs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet; with nanosAsLong it arrives
+        # as epoch-ns long → truncate to µs (DuckDB's native TIMESTAMP unit,
+        # so oracle comparisons CAST(ts AS TIMESTAMP) agree bit-for-bit)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL API."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,155 @@
+"""Dedup + similarity operators vs Python oracles.
+
+MinHash/SimHash have no SQL oracle (xxhash64 isn't portable to DuckDB),
+so we verify their *semantics* here: candidate generation recall against
+an exact all-pairs Jaccard/cosine computation on a small corpus, and the
+final verified outputs against exact similarity values.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dystonse_gtfs_data_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_duplicates,
+)
+from dystonse_gtfs_data_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+
+
+def _shingle_set(text: str, k: int = 3) -> set[str]:
+    toks = text.lower().split()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _jaccard(a: set, b: set) -> float:
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+@pytest.fixture(scope="module")
+def doc_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    # family 0: exact dup + tiny edits of `base`
+    rows.append((0, base))
+    rows.append((1, base))  # exact dup
+    rows.append((2, base.replace("today", "tonight")))  # near dup
+    rows.append((3, base.replace("quick", "slow").replace("dog", "cat")))
+    # unrelated docs
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(50)]
+    for i in range(4, 24):
+        rows.append((i, " ".join(rng.choice(vocab, 20))))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(doc_corpus):
+    out = exact_duplicates(doc_corpus).collect()
+    assert len(out) == 1
+    assert out[0]["canonical_id"] == 0
+    assert out[0]["dup_count"] == 2
+
+
+def test_minhash_finds_near_dups(doc_corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(doc_corpus, threshold=0.5).collect()
+    }
+    # exact dup pair must be found with jaccard 1.0
+    assert pairs.get((0, 1)) == pytest.approx(1.0)
+    # near-dup (one word changed) must be found
+    assert (0, 2) in pairs and (1, 2) in pairs
+    # reported jaccard values must equal the exact set jaccard
+    texts = {r["doc_id"]: r["text"] for r in doc_corpus.collect()}
+    for (a, b), j in pairs.items():
+        exact = _jaccard(_shingle_set(texts[a]), _shingle_set(texts[b]))
+        assert j == pytest.approx(exact, abs=1e-6)
+        assert exact >= 0.5
+
+
+def test_minhash_no_false_positives_below_threshold(doc_corpus):
+    pairs = minhash_near_duplicates(doc_corpus, threshold=0.8).collect()
+    texts = {r["doc_id"]: r["text"] for r in doc_corpus.collect()}
+    for r in pairs:
+        exact = _jaccard(_shingle_set(texts[r["id_a"]]), _shingle_set(texts[r["id_b"]]))
+        assert exact >= 0.8  # verify stage guarantees no false positives
+
+
+def test_simhash_deterministic_and_close_for_near_dups(doc_corpus):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(doc_corpus).collect()}
+    assert sigs[0] == sigs[1]  # identical docs → identical signature
+    ham_near = bin(sigs[0] ^ sigs[2]).count("1")
+    # one-token edit moves few bits; unrelated docs move many
+    unrelated = [bin(sigs[0] ^ sigs[i]).count("1") for i in range(4, 24)]
+    assert ham_near < min(unrelated)
+
+
+def test_simhash_near_duplicates_pairs(doc_corpus):
+    out = {(r["id_a"], r["id_b"]) for r in simhash_near_duplicates(doc_corpus, max_hamming=10).collect()}
+    assert (0, 1) in out
+
+
+@pytest.fixture(scope="module")
+def vec_corpus(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    # rows 0 and 1 nearly identical
+    base[1] = base[0] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), base
+
+
+def _cos_matrix(base: np.ndarray) -> np.ndarray:
+    n = base / np.linalg.norm(base, axis=1, keepdims=True)
+    return n @ n.T
+
+
+def test_cosine_topk_exact(vec_corpus):
+    df, base = vec_corpus
+    out = cosine_topk(df.filter(F.col("vec_id") < 3), df, k=3, round_digits=None).collect()
+    cm = _cos_matrix(base.astype(np.float64))
+    for r in out:
+        assert r["cosine"] == pytest.approx(cm[r["query_id"], r["neighbor_id"]], abs=1e-6)
+    # rank-1 neighbor of 0 must be 1 (the near-identical vector)
+    top = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert top[0] == 1 and top[1] == 0
+
+
+def test_lsh_topk_recall(vec_corpus):
+    df, base = vec_corpus
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df.filter(F.col("vec_id") < 5), df, k=3).collect()
+    }
+    # few planes + many tables for a tiny corpus: collision probability per
+    # table (1 − θ/π)^planes must stay well above 0 for near-orthogonal pairs
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(
+            df.filter(F.col("vec_id") < 5), df, k=3, dim=16, n_planes=3, n_tables=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # approximate, but must be far better than random
+
+
+def test_embedding_near_duplicates_finds_planted_pair(vec_corpus):
+    df, base = vec_corpus
+    out = embedding_near_duplicates(df, threshold=0.99, dim=16).collect()
+    assert any((r["id_a"], r["id_b"]) == (0, 1) for r in out)
+    cm = _cos_matrix(base.astype(np.float64))
+    for r in out:
+        assert r["cosine"] == pytest.approx(cm[r["id_a"], r["id_b"]], abs=1e-6)

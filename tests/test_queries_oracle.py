@@ -1,0 +1,46 @@
+"""Every oracle-backed catalog query vs DuckDB on sf0.001 — the same
+comparison the driver's correctness gate performs (row count + columns +
+order-insensitive values)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from check_correctness import canon, values_match
+
+from dystonse_gtfs_data_spark import queries as Q
+from dystonse_gtfs_data_spark.sources.tables import TESTDATA_TABLES
+
+ORACLE_QUERIES = sorted(name for name, spec in Q.REGISTRY.items() if spec.oracle)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    spec = Q.REGISTRY[name]
+    sdf = canon(spec.fn(spark, sf_dir).toPandas())
+    odf = canon(duck.execute(spec.oracle).df())
+    ok, msg = values_match(sdf, odf)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(set(Q.REGISTRY) - set(ORACLE_QUERIES)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = Q.REGISTRY[name].fn(spark, sf_dir)
+    assert df.count() >= 0
