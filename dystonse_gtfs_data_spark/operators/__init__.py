@@ -1,3 +1,25 @@
-from . import asof, dedup, gapfill, similarity
+from . import (
+    asof,
+    count,
+    dedup,
+    default_curves,
+    gapfill,
+    monitor,
+    predict,
+    records,
+    similarity,
+    specific_curves,
+)
 
-__all__ = ["asof", "dedup", "gapfill", "similarity"]
+__all__ = [
+    "asof",
+    "count",
+    "dedup",
+    "default_curves",
+    "gapfill",
+    "monitor",
+    "predict",
+    "records",
+    "similarity",
+    "specific_curves",
+]

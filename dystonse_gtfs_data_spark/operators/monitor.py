@@ -1,0 +1,124 @@
+"""Departure-board / monitor query layer (src/monitor/mod.rs): the
+serving-side DataFrame queries over the predictions table.
+
+- departure_board: predictions at a stop set within a time window,
+  realtime-over-schedule dedup, outlier/last-stop filters, sorted by
+  median predicted time (F5/F6/W2/F9/W5 + J7).
+- extended_stops: the 300 m haversine proximity set (J8).
+- autocomplete_stops: top-10 name search (O4/C7).
+- pair_counts: the record-pair count matrix (J5/A10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..curves.udfs import curve_x_at_y
+from ..functions.geo import EXTENDED_STOPS_MAX_DISTANCE_M, haversine_m
+from ..schemas import ORIGIN_REALTIME
+
+
+def extended_stops(stops: DataFrame, radius_m: float = EXTENDED_STOPS_MAX_DISTANCE_M) -> DataFrame:
+    """All ordered stop pairs within ``radius_m`` (haversine), including
+    self-pairs — the reference's "extended stops" cluster
+    (src/monitor/journey_data.rs:22-23, 241-263).  Small dim → plain
+    self-join; at scale, geohash-bucket the join key first."""
+    a = stops.select(
+        F.col("stop_id").alias("stop_id_a"),
+        F.col("stop_lat").alias("lat_a"),
+        F.col("stop_lon").alias("lon_a"),
+    )
+    b = stops.select(
+        F.col("stop_id").alias("stop_id_b"),
+        F.col("stop_lat").alias("lat_b"),
+        F.col("stop_lon").alias("lon_b"),
+    )
+    return (
+        a.crossJoin(b)
+        .withColumn(
+            "dist_m",
+            haversine_m(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")),
+        )
+        .filter(F.col("dist_m") <= radius_m)
+        .select("stop_id_a", "stop_id_b", "dist_m")
+    )
+
+
+def autocomplete_stops(stops: DataFrame, terms: list[str], limit: int = 10) -> DataFrame:
+    """O4: distinct stop names containing every term (lowercased),
+    sorted, top-N (src/monitor/mod.rs:198-223)."""
+    cond = F.lit(True)
+    for t in terms:
+        cond = cond & F.lower(F.col("stop_name")).contains(t.lower())
+    return (
+        stops.filter(cond).select("stop_name").distinct().orderBy("stop_name").limit(limit)
+    )
+
+
+def pair_counts(records: DataFrame) -> DataFrame:
+    """J5/A10: per (start_seq, end_seq) count of same-vehicle record pairs
+    (src/monitor/mod.rs:1510-1528)."""
+    key = ["source", "route_id", "trip_id", "trip_start_date", "trip_start_time"]
+    a = records.select(*key, F.col("stop_sequence").alias("start_seq"))
+    b = records.select(*key, F.col("stop_sequence").alias("end_seq"))
+    return (
+        a.join(b, key)
+        .filter(F.col("start_seq") < F.col("end_seq"))
+        .groupBy("start_seq", "end_seq")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def departure_board(
+    predictions: DataFrame,
+    stop_ids: list[str],
+    window_min,
+    window_max,
+    trip_max_sequences: DataFrame | None = None,
+) -> DataFrame:
+    """The stop-page query (src/monitor/mod.rs:426-591):
+
+    - F5: time-window overlap (prediction_min < max AND prediction_max > min)
+    - E1: stop_id ∈ extended set
+    - W2: among predictions for the same vehicle, drop Schedule-origin
+      rows when a Realtime-origin row exists
+    - F9: drop the trip's final stop (needs ``trip_max_sequences``:
+      trip_id → max_stop_sequence)
+    - F6: keep rows whose 5%..95% quantile band overlaps the window
+    - W5: sort by the median (50% quantile) predicted time
+    """
+    p = predictions.filter(
+        F.col("stop_id").isin(stop_ids)
+        & (F.col("prediction_min") < F.lit(window_max))
+        & (F.col("prediction_max") > F.lit(window_min))
+    )
+
+    vehicle = ["route_id", "trip_id", "trip_start_date", "trip_start_time", "event_type", "stop_sequence"]
+    w = Window.partitionBy(*vehicle)
+    p = p.withColumn(
+        "_has_rt", F.max((F.col("origin_type") == ORIGIN_REALTIME).cast("int")).over(w)
+    ).filter((F.col("origin_type") == ORIGIN_REALTIME) | (F.col("_has_rt") == 0)).drop("_has_rt")
+
+    if trip_max_sequences is not None:
+        p = p.join(F.broadcast(trip_max_sequences), "trip_id", "left").filter(
+            F.col("stop_sequence") < F.col("max_stop_sequence")
+        ).drop("max_stop_sequence")
+
+    # quantiles in seconds relative to prediction_min's timeline: the
+    # stored curve is relative delay; absolute time = scheduled + quantile
+    p = (
+        p.withColumn("_q05", curve_x_at_y(F.col("prediction_curve"), F.lit(0.05)))
+        .withColumn("_q50", curve_x_at_y(F.col("prediction_curve"), F.lit(0.5)))
+        .withColumn("_q95", curve_x_at_y(F.col("prediction_curve"), F.lit(0.95)))
+    )
+    base = F.col("prediction_min").cast("double")
+    p = p.filter(
+        (base + F.col("_q05") < F.lit(window_max).cast("timestamp").cast("double"))
+        & (base + F.col("_q95") > F.lit(window_min).cast("timestamp").cast("double"))
+    )
+    return (
+        p.withColumn("median_time", F.timestamp_seconds(base + F.col("_q50")))
+        .drop("_q05", "_q95")
+        .orderBy("median_time")
+    )

@@ -1,0 +1,100 @@
+"""Records pipeline: flattened GTFS-rt updates → per-stop delay
+observations (the reference's import path,
+src/importer/per_schedule_importer.rs:151-456).
+
+Spark shape: broadcast hash joins against the schedule dimensions
+(J1/J2), pure column expressions for the time parsing, and a
+latest-wins window dedup standing in for the UPDATE-then-INSERT-IGNORE
+upsert (S6/W1).  At scale: rt updates stream through executors, the
+schedule dims broadcast (a national GTFS is ~100 MB), so no shuffle at
+all until the merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def parse_gtfs_time(col: F.Column) -> F.Column:
+    """'HH:MM:SS' (H may exceed 24) → seconds from service-day midnight
+    (src/types/gtfs_time.rs:31-44)."""
+    parts = F.split(col, ":")
+    return (
+        parts.getItem(0).cast("int") * 3600
+        + parts.getItem(1).cast("int") * 60
+        + parts.getItem(2).cast("int")
+    )
+
+
+def build_records(
+    rt_updates: DataFrame,
+    trips: DataFrame,
+    stop_times: DataFrame,
+    source: str,
+    schedule_file_name: str | None = None,
+) -> DataFrame:
+    """J1 (trip match) + J2 (stop_time match) + delay extraction → RECORDS.
+
+    Rows referencing unknown trips or stop_sequences are dropped (the
+    reference logs and skips them, errors.log:11-31); use
+    :func:`skipped_trip_updates` for the error report.  Rows with neither
+    delay set are dropped (F7).
+    """
+    t = F.broadcast(trips.select("trip_id", "route_id", "route_variant"))
+    st = F.broadcast(stop_times.select("trip_id", "stop_sequence", "stop_id"))
+    first_departure = F.broadcast(
+        stop_times.groupBy("trip_id").agg(F.min("departure_time").alias("_first_dep"))
+    )
+
+    r = (
+        rt_updates.drop("route_id", "stop_id")  # trust the schedule's values
+        .join(t, "trip_id")
+        .join(st, ["trip_id", "stop_sequence"])
+        .join(first_departure, "trip_id", "left")
+    )
+    return r.select(
+        F.lit(source).alias("source"),
+        "route_id",
+        "route_variant",
+        "trip_id",
+        F.to_date("start_date", "yyyyMMdd").alias("trip_start_date"),
+        F.coalesce(parse_gtfs_time(F.col("start_time")), F.col("_first_dep"))
+        .cast("int")
+        .alias("trip_start_time"),
+        "stop_sequence",
+        "stop_id",
+        F.col("header_timestamp").alias("time_of_recording"),
+        F.col("arrival_delay").alias("delay_arrival"),
+        F.col("departure_delay").alias("delay_departure"),
+        F.coalesce(F.lit(schedule_file_name), F.col("feed_file")).alias(
+            "schedule_file_name"
+        ),
+    ).filter(F.col("delay_arrival").isNotNull() | F.col("delay_departure").isNotNull())
+
+
+def skipped_trip_updates(rt_updates: DataFrame, trips: DataFrame) -> DataFrame:
+    """J1 anti side: updates whose trip_id is not in the schedule
+    ("Did not find trip … in schedule. Skipping.", errors.log:11-31)."""
+    return rt_updates.join(
+        F.broadcast(trips.select("trip_id")), "trip_id", "left_anti"
+    )
+
+
+def merge_records(existing: DataFrame, updates: DataFrame, key: list[str]) -> DataFrame:
+    """Latest-wins upsert (S6: UPDATE where time_of_recording < new, else
+    INSERT IGNORE → newest observation per natural key wins; on a tie the
+    existing row is kept).  At scale this is a Delta MERGE; expressed here
+    as union + one window dedup, which AQE executes as a single shuffle
+    on the key."""
+    tagged_old = existing.withColumn("_is_new", F.lit(0))
+    tagged_new = updates.withColumn("_is_new", F.lit(1))
+    w = Window.partitionBy(*key).orderBy(
+        F.desc("time_of_recording"), F.asc("_is_new")
+    )
+    return (
+        tagged_old.unionByName(tagged_new)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_new")
+    )

@@ -1,0 +1,344 @@
+"""Specific-curve analytics: per route variant, build
+
+- ``general_delay`` curves: ECDF of all delays at each stop index
+  (A8; generate_delay_curve_data, src/analyser/specific_curves.rs:356-369)
+- stop-pair ``curve_sets``: for every (start_index < end_index, time
+  slot, event type), a family of CDFs keyed by initial delay
+  (A7; src/analyser/specific_curves.rs:279-351, 371-426)
+
+Spark shape replacing the reference's per-route driver loop + O(n²)
+nested pair matching: derive stop_index/slots as columns, one self-join
+on the vehicle key for pair matching (J4), then grouped pandas UDFs
+running the numpy curve builders.  Partitioning is by (route_id,
+route_variant) — the unit the reference holds in memory — so a
+1000-executor cluster processes variants independently.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..curves.core import build_curve_set, make_curve, simplify
+from ..curves.udfs import curve_to_rows
+from ..functions.delays import CURVE_DELAY_BOUND, DELAY_ROUND_STEP
+from ..functions.time import service_day_timestamp, time_slot_id
+from ..schemas import (
+    DELAY_CURVES,
+    EVENT_ARRIVAL,
+    EVENT_DEPARTURE,
+    PRECISION_SEMI_SPECIFIC,
+    PRECISION_SPECIFIC,
+)
+
+MIN_PAIRS_FOR_CURVE_SET = 20  # strictly-greater guard (:337)
+MIN_DATA_FOR_GENERAL_CURVE = 20  # >= guard (:359-361)
+
+VEHICLE_KEY = ["trip_id", "trip_start_date", "trip_start_time"]
+
+
+def stop_indexed(stop_times: DataFrame) -> DataFrame:
+    """stop_times + stop_index (0-based position in the trip) + stop_count.
+    The reference indexes by position in trip.stop_times; we derive it
+    with a per-trip window (sequence order == position order)."""
+    w = Window.partitionBy("trip_id").orderBy("stop_sequence")
+    wc = Window.partitionBy("trip_id")
+    return stop_times.select(
+        "*",
+        (F.row_number().over(w) - 1).alias("stop_index"),
+        F.count("*").over(wc).alias("stop_count"),
+    )
+
+
+def enrich_records(records: DataFrame, stop_times_idx: DataFrame) -> DataFrame:
+    """records + stop_index/stop_count + per-event scheduled datetimes and
+    time-slot ids.
+
+    Slot datetime = trip_start_date + scheduled arrival/departure seconds
+    (NOT including the delay) — DbItem::get_datetime_from_trip,
+    src/types/db_item.rs:44-60.  Deviation from the reference: stops are
+    matched by stop_sequence, not stop_id (its own TODO at
+    src/analyser/specific_curves.rs:287-289 asks for exactly this).
+    """
+    st = F.broadcast(
+        stop_times_idx.select(
+            "trip_id", "stop_sequence", "stop_index", "stop_count",
+            "arrival_time", "departure_time",
+        )
+    )
+    r = records.join(st, ["trip_id", "stop_sequence"])
+    arr_dt = service_day_timestamp(F.col("trip_start_date"), F.col("arrival_time"))
+    dep_dt = service_day_timestamp(F.col("trip_start_date"), F.col("departure_time"))
+    return r.select(
+        "*",
+        time_slot_id(arr_dt).alias("slot_arrival"),
+        time_slot_id(dep_dt).alias("slot_departure"),
+    )
+
+
+def project_missing_delays(records: DataFrame, stop_times: DataFrame) -> DataFrame:
+    """J6 gap projection: synthesize records for scheduled stops a vehicle
+    never reported, carrying the delays of the *next* reported stop
+    backward (the reference's loop reads the current item's delays into
+    gap rows before it, src/analyser/specific_curves.rs:157-252; its
+    comment says "previous" but the code copies from the following
+    observation).  Scheduled stops after a vehicle's last report are not
+    synthesized.
+    """
+    st = F.broadcast(stop_times.select("trip_id", "stop_sequence", "stop_id"))
+    vehicles = records.select(
+        "source", "route_id", "route_variant", "schedule_file_name", *VEHICLE_KEY
+    ).distinct()
+    grid = vehicles.join(st, "trip_id")
+
+    r = records.select(
+        *VEHICLE_KEY,
+        "stop_sequence",
+        F.lit(1).alias("_observed"),
+        F.col("delay_arrival").alias("_obs_arr"),
+        F.col("delay_departure").alias("_obs_dep"),
+        F.col("time_of_recording").alias("_obs_tor"),
+    )
+    g = grid.join(r, [*VEHICLE_KEY, "stop_sequence"], "left")
+
+    w_next = (
+        Window.partitionBy(*VEHICLE_KEY)
+        .orderBy("stop_sequence")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    # both delays travel together from the same next-observed row
+    nxt = F.first(
+        F.when(
+            F.col("_observed").isNotNull(),
+            F.struct("_obs_arr", "_obs_dep", "_obs_tor"),
+        ),
+        ignorenulls=True,
+    ).over(w_next)
+    return (
+        g.withColumn("_next", nxt)
+        .filter(F.col("_next").isNotNull())  # drop stops after last report
+        .select(
+            "source",
+            "route_id",
+            "route_variant",
+            "trip_id",
+            "trip_start_date",
+            "trip_start_time",
+            "stop_sequence",
+            "stop_id",
+            F.col("_next._obs_tor").alias("time_of_recording"),
+            F.col("_next._obs_arr").alias("delay_arrival"),
+            F.col("_next._obs_dep").alias("delay_departure"),
+            "schedule_file_name",
+        )
+    )
+
+
+def _ecdf_udf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped UDF: raw delay values → one general_delay curve row."""
+    values = pdf["delay"].to_numpy(dtype=float)
+    if len(values) < MIN_DATA_FOR_GENERAL_CURVE:
+        return pd.DataFrame(
+            columns=["route_id", "route_variant", "stop_index", "event_type", "curve", "sample_size"]
+        )
+    made = make_curve(values, None)
+    if made is None:
+        return pd.DataFrame(
+            columns=["route_id", "route_variant", "stop_index", "event_type", "curve", "sample_size"]
+        )
+    curve = simplify(made[0], 0.01)
+    head = pdf.iloc[0]
+    return pd.DataFrame(
+        {
+            "route_id": [head["route_id"]],
+            "route_variant": [head["route_variant"]],
+            "stop_index": [int(head["stop_index"])],
+            "event_type": [int(head["event_type"])],
+            "curve": [curve_to_rows(curve)],
+            "sample_size": [len(values)],
+        }
+    )
+
+
+_GENERAL_SCHEMA = (
+    "route_id string, route_variant long, stop_index int, event_type int, "
+    "curve array<struct<x: float, y: float>>, sample_size int"
+)
+
+
+def general_delay_curves(enriched: DataFrame) -> DataFrame:
+    """A8: per (variant, stop index, event type) ECDF of raw delays
+    (>= 20 values, simplify(0.01), precision SemiSpecific).  The
+    reference's slot loop overwrites each slot's result with the
+    DEFAULT slot's (it iterates TIME_SLOTS_WITH_DEFAULT and inserts
+    unconditionally, src/analyser/specific_curves.rs:276-369), so the
+    net semantics are slot-independent — implemented directly."""
+    per_event = []
+    for et, delay_col in ((EVENT_ARRIVAL, "delay_arrival"), (EVENT_DEPARTURE, "delay_departure")):
+        per_event.append(
+            enriched.filter(F.col(delay_col).isNotNull()).select(
+                "route_id",
+                "route_variant",
+                "stop_index",
+                F.lit(et).alias("event_type"),
+                F.col(delay_col).alias("delay"),
+            )
+        )
+    stacked = per_event[0].unionByName(per_event[1])
+    return stacked.groupBy("route_id", "route_variant", "stop_index", "event_type").applyInPandas(
+        _ecdf_udf, _GENERAL_SCHEMA
+    )
+
+
+def _curve_set_udf(pdf: pd.DataFrame) -> pd.DataFrame:
+    pairs = list(zip(pdf["d_start"], pdf["d_end"]))
+    cols = [
+        "route_id", "route_variant", "start_stop_index", "end_stop_index",
+        "time_slot_id", "event_type", "focus_delay", "curve", "sample_size",
+    ]
+    if len(pairs) <= MIN_PAIRS_FOR_CURVE_SET:
+        return pd.DataFrame(columns=cols)
+    built = build_curve_set(pairs)
+    if built is None:
+        return pd.DataFrame(columns=cols)
+    curves, sample_size = built
+    head = pdf.iloc[0]
+    return pd.DataFrame(
+        {
+            "route_id": [head["route_id"]] * len(curves),
+            "route_variant": [head["route_variant"]] * len(curves),
+            "start_stop_index": [int(head["start_stop_index"])] * len(curves),
+            "end_stop_index": [int(head["end_stop_index"])] * len(curves),
+            "time_slot_id": [int(head["time_slot_id"])] * len(curves),
+            "event_type": [int(head["event_type"])] * len(curves),
+            "focus_delay": [focus for focus, _ in curves],
+            "curve": [curve_to_rows(c) for _, c in curves],
+            "sample_size": [sample_size] * len(curves),
+        }
+    )
+
+
+_CURVE_SET_SCHEMA = (
+    "route_id string, route_variant long, start_stop_index int, end_stop_index int, "
+    "time_slot_id int, event_type int, focus_delay float, "
+    "curve array<struct<x: float, y: float>>, sample_size int"
+)
+
+DEFAULT_SLOT = 12
+
+
+def stop_pair_curve_sets(enriched: DataFrame) -> DataFrame:
+    """A7/J4: the stop-pair self-join + curve-set build.
+
+    Pair semantics (src/analyser/specific_curves.rs:279-351): join two
+    observations of the same vehicle with start_index < end_index; the
+    initial delay is the *departure* delay at the start stop, the outcome
+    delay is the event-type delay at the end stop; both must be within
+    ±3000 s exclusive; both are rounded toward zero to 12-s multiples; a
+    pair belongs to a specific time slot only if BOTH endpoint datetimes
+    match it, and always to the DEFAULT slot; > 20 pairs per group.
+    """
+    starts = enriched.filter(F.col("delay_departure").isNotNull()).select(
+        "route_id",
+        "route_variant",
+        *VEHICLE_KEY,
+        F.col("stop_index").alias("start_stop_index"),
+        F.col("delay_departure").alias("d_start_raw"),
+        F.col("slot_arrival").alias("s_slot_arr"),
+        F.col("slot_departure").alias("s_slot_dep"),
+    )
+    ends = enriched.select(
+        *VEHICLE_KEY,
+        F.col("stop_index").alias("end_stop_index"),
+        F.col("delay_arrival").alias("d_end_arr"),
+        F.col("delay_departure").alias("d_end_dep"),
+        F.col("slot_arrival").alias("e_slot_arr"),
+        F.col("slot_departure").alias("e_slot_dep"),
+    )
+    paired = starts.join(ends, VEHICLE_KEY).filter(
+        F.col("start_stop_index") < F.col("end_stop_index")
+    )
+
+    def rounded(col):
+        d = col.cast("long")
+        return (F.signum(d) * F.floor(F.abs(d) / DELAY_ROUND_STEP) * DELAY_ROUND_STEP).cast(
+            "float"
+        )
+
+    t = CURVE_DELAY_BOUND
+    per_event = []
+    for et, d_end, e_slot, s_slot in (
+        (EVENT_ARRIVAL, "d_end_arr", "e_slot_arr", "s_slot_arr"),
+        (EVENT_DEPARTURE, "d_end_dep", "e_slot_dep", "s_slot_dep"),
+    ):
+        p = paired.filter(
+            F.col(d_end).isNotNull()
+            & (F.col("d_start_raw") > -t) & (F.col("d_start_raw") < t)
+            & (F.col(d_end) > -t) & (F.col(d_end) < t)
+        ).select(
+            "route_id",
+            "route_variant",
+            "start_stop_index",
+            "end_stop_index",
+            F.lit(et).alias("event_type"),
+            rounded(F.col("d_start_raw")).alias("d_start"),
+            rounded(F.col(d_end)).alias("d_end"),
+            F.col(s_slot).alias("slot_start"),
+            F.col(e_slot).alias("slot_end"),
+        )
+        per_event.append(p)
+    pairs = per_event[0].unionByName(per_event[1])
+
+    slotted = pairs.filter(F.col("slot_start") == F.col("slot_end")).withColumn(
+        "time_slot_id", F.col("slot_start")
+    )
+    default_slot = pairs.withColumn("time_slot_id", F.lit(DEFAULT_SLOT))
+    all_pairs = slotted.unionByName(default_slot).drop("slot_start", "slot_end")
+
+    return all_pairs.groupBy(
+        "route_id", "route_variant", "start_stop_index", "end_stop_index",
+        "time_slot_id", "event_type",
+    ).applyInPandas(_curve_set_udf, _CURVE_SET_SCHEMA)
+
+
+def specific_statistics(records: DataFrame, stop_times: DataFrame) -> DataFrame:
+    """Full specific-curve build → DELAY_CURVES-shaped rows
+    (scopes 'specific' + 'semi_specific')."""
+    sti = stop_indexed(stop_times)
+    projected = project_missing_delays(records, stop_times)
+    enriched = enrich_records(projected, sti)
+
+    sets = stop_pair_curve_sets(enriched).select(
+        F.lit("specific").alias("scope"),
+        "route_id",
+        "route_variant",
+        "start_stop_index",
+        "end_stop_index",
+        F.lit(None).cast("int").alias("stop_index"),
+        F.lit(None).cast("int").alias("route_type"),
+        F.lit(None).cast("string").alias("route_section"),
+        "time_slot_id",
+        "event_type",
+        "focus_delay",
+        "curve",
+        F.lit(PRECISION_SPECIFIC).alias("precision_type"),
+        "sample_size",
+    )
+    general = general_delay_curves(enriched).select(
+        F.lit("semi_specific").alias("scope"),
+        "route_id",
+        "route_variant",
+        F.lit(None).cast("int").alias("start_stop_index"),
+        F.lit(None).cast("int").alias("end_stop_index"),
+        "stop_index",
+        F.lit(None).cast("int").alias("route_type"),
+        F.lit(None).cast("string").alias("route_section"),
+        F.lit(None).cast("int").alias("time_slot_id"),
+        "event_type",
+        F.lit(None).cast("float").alias("focus_delay"),
+        "curve",
+        F.lit(PRECISION_SEMI_SPECIFIC).alias("precision_type"),
+        "sample_size",
+    )
+    return sets.unionByName(general)

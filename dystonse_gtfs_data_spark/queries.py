@@ -873,6 +873,173 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Curve UDAF against a SQL oracle (A3 make_curve semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "make_curve_ecdf",
+    """
+    WITH g AS (
+      SELECT event_type, value AS x, count(*) AS c FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, x, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY x) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS total,
+             row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd,
+             first_value(x) OVER (PARTITION BY event_type ORDER BY x) AS first_x
+      FROM g
+    )
+    SELECT event_type, x,
+           round(CASE WHEN rn = (CASE WHEN first_x = 0.0 THEN 2 ELSE 1 END) THEN 0.0
+                      WHEN rn = nd THEN 1.0
+                      ELSE (cum - c + 1.0) / total END, 9) AS y
+    FROM w
+    WHERE NOT (rn = 1 AND x = 0.0)
+    """,
+    covers="A3 make_curve ECDF UDAF (src/analyser/curve_utils.rs:68-94) incl. "
+    "first-occurrence-weight and leading-zero semantics, vs a pure-SQL oracle",
+)
+def q_make_curve_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .curves.core import make_curve
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        made = make_curve(pdf["value"].to_numpy(dtype=float))
+        if made is None:
+            return pd.DataFrame(columns=["event_type", "x", "y"])
+        curve, _ = made
+        return pd.DataFrame(
+            {"event_type": pdf["event_type"].iloc[0], "x": curve.xs, "y": curve.ys}
+        )
+
+    out = ev.groupBy("event_type").applyInPandas(
+        build, "event_type string, x double, y double"
+    )
+    return out.withColumn("y", F.round("y", 9))
+
+
+# ---------------------------------------------------------------------------
+# GTFS domain pipeline (rows-only: fixture-driven, no testdata SQL oracle;
+# semantics are oracle-tested against numpy in tests/test_domain_pipeline.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gtfs_records",
+    None,
+    covers="S2 decode surrogate + J1/J2 schedule joins + F7 null-skip + W1 "
+    "latest-wins merge (src/importer/per_schedule_importer.rs:151-456)",
+)
+def q_gtfs_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.records import build_records, merge_records
+    from .schemas import RECORDS_KEY
+    from .sources.demo import build_rt_updates, build_schedule
+
+    sched = build_schedule(spark)
+    rec = build_records(
+        build_rt_updates(spark), sched["trips"], sched["stop_times"], source="demo"
+    )
+    return merge_records(rec.limit(0), rec, key=RECORDS_KEY).orderBy(
+        "trip_id", "stop_sequence"
+    )
+
+
+@register(
+    "gtfs_statistics",
+    None,
+    covers="A7/A8 specific curves + A6 default rollup: the full statistics "
+    "tree build (src/analyser/specific_curves.rs, default_curves.rs)",
+)
+def q_gtfs_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.default_curves import default_statistics
+    from .operators.specific_curves import (
+        enrich_records,
+        specific_statistics,
+        stop_indexed,
+    )
+    from .sources.demo import build_records as demo_records
+    from .sources.demo import build_schedule
+
+    sched = build_schedule(spark)
+    records = demo_records(spark)
+    sti = stop_indexed(sched["stop_times"])
+    spec = specific_statistics(records, sched["stop_times"])
+    dflt = default_statistics(enrich_records(records, sti), sched["routes"])
+    stats = spec.unionByName(dflt)
+    # summarize: one row per curve with its span + size (stable schema)
+    return stats.select(
+        "scope",
+        "route_id",
+        "route_variant",
+        "start_stop_index",
+        "end_stop_index",
+        "stop_index",
+        "route_type",
+        "route_section",
+        "time_slot_id",
+        "event_type",
+        "focus_delay",
+        F.size("curve").alias("n_points"),
+        "precision_type",
+        "sample_size",
+    ).orderBy(
+        "scope", "route_type", "route_section", "time_slot_id", "event_type",
+        "route_variant", "start_stop_index", "end_stop_index", "stop_index",
+        "focus_delay",
+    )
+
+
+@register(
+    "gtfs_predictions",
+    None,
+    covers="J10 fallback ladder + T3 basis + prediction_min/max time shift: "
+    "records → statistics → predictions end-to-end (src/predictor/mod.rs, "
+    "src/importer/per_schedule_importer.rs:315-366)",
+)
+def q_gtfs_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.default_curves import default_statistics
+    from .operators.predict import generate_realtime_predictions
+    from .operators.specific_curves import (
+        enrich_records,
+        specific_statistics,
+        stop_indexed,
+    )
+    from .sources.demo import build_records as demo_records
+    from .sources.demo import build_schedule
+
+    sched = build_schedule(spark)
+    records = demo_records(spark)
+    sti = stop_indexed(sched["stop_times"])
+    spec = specific_statistics(records, sched["stop_times"])
+    dflt = default_statistics(enrich_records(records, sti), sched["routes"])
+    stats = spec.unionByName(dflt)
+    preds = generate_realtime_predictions(
+        records, sti, sched["routes"], sched["trips"], stats
+    )
+    return preds.select(
+        "source",
+        "event_type",
+        "stop_id",
+        "stop_sequence",
+        "route_id",
+        "trip_id",
+        "trip_start_date",
+        "trip_start_time",
+        "prediction_min",
+        "prediction_max",
+        "precision_type",
+        "origin_type",
+        "sample_size",
+        F.size("prediction_curve").alias("n_curve_points"),
+    ).orderBy("trip_id", "trip_start_date", "trip_start_time", "stop_sequence", "event_type")
+
+
+# ---------------------------------------------------------------------------
 # public API used by __spark_entry__
 # ---------------------------------------------------------------------------
 

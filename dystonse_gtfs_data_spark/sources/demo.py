@@ -1,0 +1,134 @@
+"""Deterministic GTFS-shaped demo/fixture data (FIXTURES.md schemas):
+2 routes, 3 variants (one ≥16 stops, one short with >24:00:00 times,
+one sub-trip of the long one), 60 vehicles of realtime data with seeded
+delays, plus the edge cases the fixtures doc calls for (null delays,
+unknown trips, duplicate updates).  Used by the domain tests and by the
+rows-only GTFS queries in the driver contract."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+from pyspark.sql import SparkSession
+
+from .. import schemas as S
+
+MONDAY = dt.date(2024, 1, 1)  # a Monday; 08:xx is slot 3 (workday 8-12)
+
+N_LONG_STOPS = 16
+N_SHORT_STOPS = 6
+N_VEHICLES = 60
+
+
+def build_schedule(spark: SparkSession):
+    routes = spark.createDataFrame(
+        [("r1", "a1", "R1", 3), ("r2", "a1", "R2", 0)], S.ROUTES
+    )
+    trips = spark.createDataFrame(
+        [
+            ("t_long", "r1", "svc_wk", "Downtown", 101),
+            ("t_short", "r2", "svc_wk", "Uptown", 201),
+            ("t_sub", "r1", "svc_wk", "Downtown", 102),  # contiguous subsequence
+        ],
+        S.TRIPS,
+    )
+    st_rows = []
+    for i in range(N_LONG_STOPS):
+        # departures 08:00, 08:04, ...; arrivals 30 s earlier
+        dep = 8 * 3600 + i * 240
+        st_rows.append(("t_long", i + 1, f"s{i}", dep - 30, dep))
+    for i in range(N_SHORT_STOPS):
+        dep = 25 * 3600 + i * 300  # >24:00:00 times (GTFS next-day service)
+        st_rows.append(("t_short", i + 1, f"s{i + 20}", dep - 30, dep))
+    for i in range(5, 10):  # sub-trip covers stops s5..s9 of the long route
+        dep = 9 * 3600 + (i - 5) * 240
+        st_rows.append(("t_sub", i - 4, f"s{i}", dep - 30, dep))
+    stop_times = spark.createDataFrame(st_rows, S.STOP_TIMES)
+
+    stops = spark.createDataFrame(
+        [
+            (f"s{i}", f"Stop {i}", 53.0 + i * 0.0005, 8.8)  # ~55 m apart: clusters
+            for i in range(N_LONG_STOPS)
+        ]
+        + [(f"s{i + 20}", f"Stop {i + 20}", 54.0 + i * 0.01, 9.9) for i in range(N_SHORT_STOPS)],
+        S.STOPS,
+    )
+    calendar = spark.createDataFrame(
+        [("svc_wk", True, True, True, True, True, False, False, MONDAY, dt.date(2024, 12, 31))],
+        S.CALENDAR,
+    )
+    return {"routes": routes, "trips": trips, "stop_times": stop_times, "stops": stops, "calendar": calendar}
+
+
+def delay_matrix(seed: int = 5) -> np.ndarray:
+    """(N_VEHICLES, N_LONG_STOPS) integer delays, reproducible."""
+    rng = np.random.default_rng(seed)
+    start = rng.normal(60, 90, size=(N_VEHICLES, 1))
+    drift = rng.normal(15, 30, size=(N_VEHICLES, N_LONG_STOPS)).cumsum(axis=1)
+    return np.round(start + drift).astype(int)
+
+
+def build_records(spark: SparkSession):
+    """Direct RECORDS rows for the long trip: one row per vehicle × stop,
+    arrival delay = matrix value, departure delay = arrival + jitter.
+    Stop 15 (index 14, seq 15) reports for only 15 vehicles (< 21-pair
+    guard); stop 16 never reports (gap-fill target)."""
+    delays = delay_matrix()
+    rng = np.random.default_rng(99)
+    jitter = rng.integers(-24, 24, size=delays.shape)
+    rows = []
+    for v in range(N_VEHICLES):
+        date = MONDAY + dt.timedelta(days=int(v % 5))  # Mon..Fri
+        # distinct start_time per vehicle: the vehicle identity is
+        # (trip_id, trip_start_date, trip_start_time) and dates repeat
+        start_time = 8 * 3600 + v * 60
+        for i in range(N_LONG_STOPS):
+            seq = i + 1
+            if i == 14 and v >= 15:
+                continue
+            if i == 15:
+                continue
+            d_arr = int(delays[v, i])
+            d_dep = int(delays[v, i] + jitter[v, i])
+            rows.append(
+                (
+                    "test",
+                    "r1",
+                    101,
+                    "t_long",
+                    date,
+                    start_time,
+                    seq,
+                    f"s{i}",
+                    dt.datetime(date.year, date.month, date.day, 8, 0, seq),
+                    d_arr,
+                    d_dep,
+                    "sched_v1",
+                )
+            )
+    return spark.createDataFrame(rows, S.RECORDS)
+
+
+def build_rt_updates(spark: SparkSession):
+    """Flattened rt updates exercising the records-pipeline edge cases."""
+    hdr = dt.datetime(2024, 1, 1, 8, 30, 0)
+    rows = [
+        # normal update
+        ("f1", hdr, "t_long", "20240101", "08:00:00", "r1", "s0", 1, 60, 72),
+        # duplicate for same (trip, stop) with newer timestamp → wins
+        ("f2", hdr + dt.timedelta(minutes=5), "t_long", "20240101", "08:00:00", "r1", "s0", 1, 48, 60),
+        # only arrival delay
+        ("f1", hdr, "t_long", "20240101", "08:00:00", "r1", "s1", 2, 120, None),
+        # neither delay → dropped
+        ("f1", hdr, "t_long", "20240101", "08:00:00", "r1", "s2", 3, None, None),
+        # >24 h start time (short trip next-day service)
+        ("f1", hdr, "t_short", "20240101", "25:00:00", "r2", "s20", 1, 30, 36),
+        # unknown trip → skipped (J1 anti)
+        ("f1", hdr, "t_ghost", "20240101", "08:00:00", "rX", "s0", 1, 10, 10),
+        # unknown stop_sequence → skipped (J2)
+        ("f1", hdr, "t_long", "20240101", "08:00:00", "r1", "s99", 99, 10, 10),
+        # missing start_time → fall back to trip's first departure
+        ("f1", hdr, "t_long", "20240101", None, "r1", "s3", 4, -13, -1),
+    ]
+    return spark.createDataFrame(rows, S.RT_UPDATES)
