@@ -1,3 +1,13 @@
+from . import demo, gtfs, rt, sinks
 from .tables import TESTDATA_TABLES, load_table, load_tables, register_views
 
-__all__ = ["TESTDATA_TABLES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TESTDATA_TABLES",
+    "demo",
+    "gtfs",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "rt",
+    "sinks",
+]

@@ -1,0 +1,97 @@
+"""Structured Streaming wrappers over the batch operators (SURVEY §2.9).
+
+The reference hand-rolls a micro-batch loop: scan a directory every 5 s,
+process new files, move them to imported/ or failed/
+(src/importer/mod.rs:295-359, 523-555).  Structured Streaming's file
+source replaces all of it: checkpointed exactly-once file tracking (T2),
+trigger cadence (T1), and late-file semantics via watermarks (T5).  Each
+micro-batch reuses the *same* batch transformations (build_records,
+merge_records) inside foreachBatch — batch/stream parity by
+construction.
+
+State (T3, the per-vehicle prediction-basis dedup) is intentionally
+stateless-recomputed: latest-wins MERGE yields the same table contents
+as the reference's mutex-guarded basis map, with no state store to
+lose (SURVEY §7 hard parts #6).  Retention (T4) is `apply_retention`,
+run as a maintenance step per batch or on a schedule.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas as S
+from ..operators.records import build_records, merge_records
+
+MAX_ESTIMATED_TRIP_DURATION_H = 12  # src/importer/mod.rs:26-28
+
+
+def stream_rt_updates(spark: SparkSession, rt_dir: str) -> DataFrame:
+    """File-source stream of flattened rt updates (parquet landing zone).
+    For wire protobuf feeds, land binaryFile + decode_feed_messages in
+    the batch function instead."""
+    return spark.readStream.schema(S.RT_UPDATES).parquet(rt_dir)
+
+
+def start_records_stream(
+    spark: SparkSession,
+    rt_dir: str,
+    trips: DataFrame,
+    stop_times: DataFrame,
+    source: str,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+):
+    """rt stream → per-batch records build → caller's sink (typically a
+    MERGE into the records table).  ``available_now=True`` drains the
+    backlog once and stops — batch parity mode for tests/backfills."""
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        recs = build_records(batch_df, trips, stop_times, source=source)
+        # in-batch latest-wins dedup before handing to the sink
+        deduped = merge_records(recs.limit(0), recs, key=S.RECORDS_KEY)
+        sink(deduped, epoch_id)
+
+    writer = (
+        stream_rt_updates(spark, rt_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def apply_retention(
+    predictions: DataFrame,
+    now_ts,
+    max_trip_age_hours: int = MAX_ESTIMATED_TRIP_DURATION_H,
+    current_schedule_file: str | None = None,
+) -> DataFrame:
+    """T4: drop predictions whose trip started more than 12 h ago
+    (src/importer/mod.rs:174-198) and, when a new schedule lands,
+    schedule-origin predictions from outdated schedule files
+    (src/importer/scheduled_predictions_importer.rs:244-265).
+    Expressed as a filter; on a Delta table this is the predicate of a
+    DELETE WHERE."""
+    from ..functions.time import service_day_timestamp
+
+    trip_start = service_day_timestamp(
+        F.col("trip_start_date"), F.col("trip_start_time")
+    )
+    keep = trip_start >= F.lit(now_ts) - F.expr(
+        f"INTERVAL {max_trip_age_hours} HOURS"
+    )
+    if current_schedule_file is not None:
+        keep = keep & (
+            (F.col("origin_type") != S.ORIGIN_SCHEDULE)
+            | (F.col("schedule_file_name") == current_schedule_file)
+        )
+    return predictions.filter(keep)

@@ -1,0 +1,236 @@
+"""Sources (GTFS CSV/zip, rt decode, file as-of pairing), streaming
+(file source + foreachBatch merge), sinks (partitioned statistics), and
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import zipfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dystonse_gtfs_data_spark import schemas as S
+from dystonse_gtfs_data_spark.operators.multimodal import (
+    decode_and_featurize_images,
+    sample_audio_features,
+    video_decode_stub,
+)
+from dystonse_gtfs_data_spark.sources.demo import build_schedule
+from dystonse_gtfs_data_spark.sources.gtfs import derive_route_variants, read_gtfs
+from dystonse_gtfs_data_spark.sources.rt import (
+    decode_feed_messages,
+    fake_decoder,
+    list_feed_files,
+    protobuf_decoder,
+)
+from dystonse_gtfs_data_spark.sources.sinks import (
+    load_statistics,
+    merge_statistics,
+    save_statistics,
+)
+from dystonse_gtfs_data_spark.streaming.pipeline import (
+    apply_retention,
+    start_records_stream,
+)
+
+GTFS_CSV = {
+    "agency": "agency_id,agency_name\na1,Demo Transit\n",
+    "routes": "route_id,agency_id,route_short_name,route_type\nr1,a1,R1,3\nr2,a1,R2,0\n",
+    "stops": "stop_id,stop_name,stop_lat,stop_lon\ns0,Alpha,53.0,8.8\ns1,Beta,53.001,8.8\n",
+    "trips": "trip_id,route_id,service_id,trip_headsign\nta,r1,svc,Down\ntb,r1,svc,Down\ntc,r1,svc,Up\n",
+    "stop_times": (
+        "trip_id,stop_sequence,stop_id,arrival_time,departure_time\n"
+        "ta,1,s0,28770,28800\nta,2,s1,29070,29100\n"
+        "tb,1,s0,30570,30600\ntb,2,s1,30870,30900\n"  # same pattern as ta
+        "tc,1,s1,28770,28800\ntc,2,s0,29070,29100\n"  # reversed → new variant
+    ),
+    "calendar": (
+        "service_id,monday,tuesday,wednesday,thursday,friday,saturday,sunday,start_date,end_date\n"
+        "svc,true,true,true,true,true,false,false,2024-01-01,2024-12-31\n"
+    ),
+}
+
+
+@pytest.fixture()
+def gtfs_dir(tmp_path):
+    d = tmp_path / "feed"
+    d.mkdir()
+    for name, content in GTFS_CSV.items():
+        (d / f"{name}.txt").write_text(content)
+    return str(d)
+
+
+class TestGtfsSource:
+    def test_read_dir_and_derive_variants(self, spark, gtfs_dir):
+        tables = read_gtfs(spark, gtfs_dir)
+        assert tables["routes"].count() == 2
+        trips = {r["trip_id"]: r["route_variant"] for r in tables["trips"].collect()}
+        # ta and tb share a stop pattern → same variant; tc differs
+        assert trips["ta"] == trips["tb"] != trips["tc"]
+        # schema'd read: ints are ints
+        st = tables["stop_times"].schema
+        assert str(st["stop_sequence"].dataType) == "IntegerType()"
+
+    def test_read_zip(self, spark, gtfs_dir, tmp_path):
+        zpath = str(tmp_path / "feed.zip")
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for name in GTFS_CSV:
+                zf.write(os.path.join(gtfs_dir, f"{name}.txt"), f"{name}.txt")
+        tables = read_gtfs(spark, zpath)
+        assert tables["trips"].count() == 3
+
+    def test_explicit_variants_respected(self, spark):
+        sched = build_schedule(spark)
+        trips = {r["trip_id"]: r["route_variant"] for r in sched["trips"].collect()}
+        assert trips == {"t_long": 101, "t_short": 201, "t_sub": 102}
+        # re-derivation groups by pattern: t_long ≠ t_sub (sub-trip differs)
+        derived = derive_route_variants(sched["trips"], sched["stop_times"])
+        dmap = {r["trip_id"]: r["route_variant"] for r in derived.collect()}
+        assert dmap["t_long"] != dmap["t_sub"]
+
+
+class TestRtSource:
+    @staticmethod
+    def _write_feed(path, rows):
+        header = "trip_id,start_date,start_time,route_id,stop_id,stop_sequence,arrival_delay,departure_delay"
+        path.write_text("\n".join([header] + rows))
+
+    def test_decode_and_asof_pairing(self, spark, tmp_path):
+        rt_dir = tmp_path / "rt"
+        sched_dir = tmp_path / "sched"
+        rt_dir.mkdir()
+        sched_dir.mkdir()
+        (sched_dir / "gtfs-2024-01-01.zip").write_bytes(b"x")
+        (sched_dir / "gtfs-2024-01-03.zip").write_bytes(b"x")
+        self._write_feed(
+            rt_dir / "feed-2024-01-02T08-00-00.csv",
+            ["t_long,20240102,08:00:00,r1,s0,1,60,66"],
+        )
+        self._write_feed(
+            rt_dir / "feed-2024-01-04T09-30-00.csv",
+            ["t_long,20240104,08:00:00,r1,s1,2,120,", "t_x,,,,s9,9,,"],
+        )
+
+        paired = list_feed_files(spark, str(rt_dir), str(sched_dir)).collect()
+        by_file = {os.path.basename(r["rt_file"]): os.path.basename(r["schedule_file"]) for r in paired}
+        # as-of: each rt file pairs with the newest schedule dated <= it
+        assert by_file["feed-2024-01-02T08-00-00.csv"] == "gtfs-2024-01-01.zip"
+        assert by_file["feed-2024-01-04T09-30-00.csv"] == "gtfs-2024-01-03.zip"
+
+        files = spark.read.format("binaryFile").load(str(rt_dir))
+        updates = decode_feed_messages(files, fake_decoder).collect()
+        assert len(updates) == 3
+        first = [u for u in updates if u["trip_id"] == "t_long" and u["stop_sequence"] == 1][0]
+        # header timestamp from the filename, not mtime
+        assert first["header_timestamp"] == dt.datetime(2024, 1, 2, 8, 0, 0)
+        nulls = [u for u in updates if u["trip_id"] == "t_x"][0]
+        assert nulls["arrival_delay"] is None and nulls["start_time"] is None
+
+    def test_protobuf_decoder_is_gated(self):
+        with pytest.raises(NotImplementedError):
+            protobuf_decoder(b"\x00")
+
+
+class TestStreaming:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        from dystonse_gtfs_data_spark.operators.records import build_records, merge_records
+        from dystonse_gtfs_data_spark.sources.demo import build_rt_updates
+
+        sched = build_schedule(spark)
+        rt = build_rt_updates(spark)
+        land = str(tmp_path / "landing")
+        rt.write.parquet(land)
+
+        collected = []
+
+        def sink(df, epoch_id):
+            collected.append(df.collect())
+
+        q = start_records_stream(
+            spark,
+            land,
+            sched["trips"],
+            sched["stop_times"],
+            source="stream",
+            sink=sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        stream_rows = {
+            (r["trip_id"], r["stop_sequence"]): r["delay_arrival"]
+            for batch in collected
+            for r in batch
+        }
+        batch_df = build_records(rt, sched["trips"], sched["stop_times"], source="stream")
+        batch_rows = {
+            (r["trip_id"], r["stop_sequence"]): r["delay_arrival"]
+            for r in merge_records(batch_df.limit(0), batch_df, key=S.RECORDS_KEY).collect()
+        }
+        assert stream_rows == batch_rows  # batch/stream parity
+
+    def test_retention(self, spark):
+        now = dt.datetime(2024, 1, 2, 12, 0, 0)
+        rows = [
+            # started 2024-01-02 08:00 → kept
+            ("s", 1, "x", 1, "r1", "t1", dt.date(2024, 1, 2), 28800, None, None, 3, 1, 10, None, "f_new"),
+            # started 2024-01-01 08:00 → > 12 h old → dropped
+            ("s", 1, "x", 1, "r1", "t2", dt.date(2024, 1, 1), 28800, None, None, 3, 1, 10, None, "f_new"),
+            # schedule-origin from an outdated schedule → dropped
+            ("s", 1, "x", 1, "r1", "t3", dt.date(2024, 1, 2), 28800, None, None, 3, 2, 10, None, "f_old"),
+        ]
+        preds = spark.createDataFrame(rows, S.PREDICTIONS)
+        kept = apply_retention(preds, now, current_schedule_file="f_new").collect()
+        assert {r["trip_id"] for r in kept} == {"t1"}
+
+
+class TestSinks:
+    def test_partitioned_roundtrip_and_merge(self, spark, tmp_path):
+        stats = spark.createDataFrame(
+            [
+                ("specific", "r1", 101, 0, 5, None, None, None, 12, 1, 0.0,
+                 [{"x": 0.0, "y": 0.0}, {"x": 60.0, "y": 1.0}], 0, 42),
+                ("default", None, None, None, None, None, 3, "middle", 3, 1, None,
+                 [{"x": 0.0, "y": 0.0}, {"x": 60.0, "y": 1.0}], 3, 99),
+            ],
+            S.DELAY_CURVES,
+        )
+        p1 = str(tmp_path / "stats_a")
+        p2 = str(tmp_path / "stats_b")
+        save_statistics(stats, p1)
+        save_statistics(stats, p2)
+        loaded = load_statistics(spark, p1)
+        assert loaded.count() == 2
+        # partition pruning path: scope+route_id are partition columns
+        assert loaded.filter((F.col("scope") == "specific") & (F.col("route_id") == "r1")).count() == 1
+        merged = merge_statistics(p1, p2, spark)
+        assert merged.filter(F.col("scope") == "specific").count() == 1
+        assert merged.filter(F.col("scope") == "default").count() == 1
+
+
+class TestMultimodal:
+    def test_image_plumbing(self, spark):
+        rows = [(i, bytes(range(i % 7, i % 7 + 192 if i % 3 else 10)), None) for i in range(1, 9)]
+        assets = spark.createDataFrame(rows, "asset_id long, content binary, meta struct<width:int,height:int,channels:int,format:string>")
+        out = decode_and_featurize_images(assets).collect()
+        assert len(out) == 8
+        for r in out:
+            assert r["width"] == 8 and r["height"] == 8
+            assert len(r["thumbnail"]) == 4 * 4 * 3
+            assert 0.0 <= r["mean_intensity"] <= 255.0
+
+    def test_audio_plumbing(self, spark):
+        assets = spark.createDataFrame(
+            [(1, bytes(1600)), (2, bytes(320))], "asset_id long, content binary"
+        )
+        out = {r["asset_id"]: r for r in sample_audio_features(assets).collect()}
+        assert out[1]["n_frames"] == 10
+        assert len(out[1]["rms"]) == 10
+        assert out[2]["n_frames"] == 2
+
+    def test_video_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            video_decode_stub(b"")
