@@ -35,7 +35,7 @@ def extended_stops(stops: DataFrame, radius_m: float = EXTENDED_STOPS_MAX_DISTAN
         F.col("stop_lon").alias("lon_b"),
     )
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .withColumn(
             "dist_m",
             haversine_m(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")),

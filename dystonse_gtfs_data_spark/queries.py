@@ -1040,6 +1040,158 @@ def q_gtfs_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Journey math (C9-C15) + variant grouping (E3) + scheduled predictions (T6)
+# ---------------------------------------------------------------------------
+
+_WALK_DIST = f"round({Fg.haversine_m_sql(_LAT_A.replace('s_suppkey', 'a.s_suppkey'), _LON_A.replace('s_suppkey', 'a.s_suppkey'), _LAT_A.replace('s_suppkey', 'b.s_suppkey'), _LON_A.replace('s_suppkey', 'b.s_suppkey'))}, 6)"
+
+
+@register(
+    "walk_time_bounds",
+    f"""
+    WITH pairs AS (
+      SELECT a.s_suppkey AS stop_a, b.s_suppkey AS stop_b, {_WALK_DIST} AS dist_m
+      FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      WHERE {_WALK_DIST} <= 500.0
+    )
+    SELECT stop_a, stop_b, dist_m,
+           round(CASE WHEN dist_m < 20.0 THEN -12.0
+                      ELSE dist_m / 3.5 + 10.0 END, 4) AS min_walk_s,
+           round(CASE WHEN dist_m < 20.0 THEN 12.0
+                      ELSE dist_m * (1.4 + greatest(0.0, least(0.4, (500.0 - dist_m) / 500.0 * 0.4))) / 0.8 + 45.0
+                 END, 4) AS max_walk_s
+    FROM pairs
+    """,
+    covers="C10 walk-time curve bounds + C9 haversine (src/monitor/journey_data.rs:558-594): "
+    "curve endpoints vs the closed-form oracle; interior shape tested in tests/",
+)
+def q_walk_time_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curves.udfs import curve_max_x, curve_min_x
+    from .operators.journey import walk_time_curve_udf
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 120) * 0.001 - 0.05).alias("lat"),
+        ((F.col("s_suppkey") % 77) * 0.001).alias("lon"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    dist = F.round(
+        Fg.haversine_m(F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")), 6
+    )
+    pairs = (
+        a.join(b, F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        .withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= 500.0)
+        .select(
+            F.col("a.s_suppkey").alias("stop_a"),
+            F.col("b.s_suppkey").alias("stop_b"),
+            "dist_m",
+        )
+    )
+    curve = walk_time_curve_udf(F.col("dist_m"))
+    return pairs.select(
+        "stop_a",
+        "stop_b",
+        "dist_m",
+        F.round(curve_min_x(curve), 4).alias("min_walk_s"),
+        F.round(curve_max_x(curve), 4).alias("max_walk_s"),
+    )
+
+
+@register(
+    "journey_transfers",
+    None,  # curve convolution/transfer integration — numpy-oracled in tests/
+    covers="C13 convolution + C14 transfer probability + C10 walk curves: one "
+    "journey hop end-to-end (src/monitor/time_curve.rs, journey_data.rs:166-264)",
+)
+def q_journey_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.journey import transfer_chain, walk_curves_between_stops
+    from .sources.demo import build_schedule
+
+    sched = build_schedule(spark)
+    legs = walk_curves_between_stops(sched["stops"], max_distance_m=400.0)
+    # synthetic absolute-time curves: trips arriving/departing around stops
+    arrivals = sched["stop_times"].select(
+        "trip_id",
+        "stop_id",
+        F.array(
+            F.struct((F.col("arrival_time") - 60).cast("float").alias("x"), F.lit(0.0).cast("float").alias("y")),
+            F.struct((F.col("arrival_time") + 120).cast("float").alias("x"), F.lit(1.0).cast("float").alias("y")),
+        ).alias("arrival_curve"),
+    )
+    departures = sched["stop_times"].select(
+        "trip_id",
+        "stop_id",
+        F.array(
+            F.struct(F.col("departure_time").cast("float").alias("x"), F.lit(0.0).cast("float").alias("y")),
+            F.struct((F.col("departure_time") + 180).cast("float").alias("x"), F.lit(1.0).cast("float").alias("y")),
+        ).alias("departure_curve"),
+    )
+    hops = transfer_chain(arrivals, departures, legs)
+    return hops.select(
+        "arr_trip", "from_stop", "dep_trip", "to_stop",
+        F.round("distance_m", 3).alias("distance_m"),
+        F.round("transfer_probability", 6).alias("transfer_probability"),
+    ).orderBy("arr_trip", "from_stop", "dep_trip", "to_stop")
+
+
+@register(
+    "master_variants",
+    None,  # subsequence containment — pure-Python oracled in tests/
+    covers="E3 variant partition-and-subtract: master-shape grouping incl. "
+    "reversed containment (src/analyser/visual_schedule.rs:212-277)",
+)
+def q_master_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.variants import master_variants
+    from .sources.demo import build_schedule
+
+    sched = build_schedule(spark)
+    return master_variants(sched["trips"], sched["stop_times"]).orderBy(
+        "route_id", "route_variant"
+    )
+
+
+@register(
+    "scheduled_predictions",
+    None,  # end-to-end ladder output — rung-oracled in tests/
+    covers="T6 schedule-origin look-ahead predictions incl. previous-service-day "
+    "rule (src/importer/scheduled_predictions_importer.rs:64-242)",
+)
+def q_scheduled_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from .operators.default_curves import default_statistics
+    from .operators.scheduled import generate_scheduled_predictions
+    from .operators.specific_curves import (
+        enrich_records,
+        specific_statistics,
+        stop_indexed,
+    )
+    from .sources.demo import build_records as demo_records
+    from .sources.demo import build_schedule
+
+    sched = build_schedule(spark)
+    records = demo_records(spark)
+    sti = stop_indexed(sched["stop_times"])
+    stats = specific_statistics(records, sched["stop_times"]).unionByName(
+        default_statistics(enrich_records(records, sti), sched["routes"])
+    )
+    preds = generate_scheduled_predictions(
+        sched["trips"], sched["calendar"], sched["stop_times"], sched["routes"],
+        stats,
+        window_begin=dt.datetime(2024, 1, 8, 6, 0, 0),
+        window_end=dt.datetime(2024, 1, 9, 6, 0, 0),
+        schedule_file_name="demo_sched",
+    )
+    return preds.select(
+        "source", "event_type", "stop_id", "stop_sequence", "route_id", "trip_id",
+        "trip_start_date", "trip_start_time", "prediction_min", "prediction_max",
+        "precision_type", "origin_type", "sample_size",
+        F.size("prediction_curve").alias("n_curve_points"),
+    ).orderBy("trip_id", "trip_start_date", "stop_sequence", "event_type")
+
+
+# ---------------------------------------------------------------------------
 # public API used by __spark_entry__
 # ---------------------------------------------------------------------------
 

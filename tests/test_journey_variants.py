@@ -1,0 +1,165 @@
+"""Journey math (walk/convolve/transfer UDFs), variant grouping, and
+scheduled predictions vs pure-Python oracles."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dystonse_gtfs_data_spark import schemas as S
+from dystonse_gtfs_data_spark.curves.core import (
+    Curve,
+    convolve_cdfs,
+    transfer_probability,
+)
+from dystonse_gtfs_data_spark.operators.journey import (
+    convolve_udf,
+    transfer_chain,
+    transfer_probability_udf,
+    walk_curves_between_stops,
+)
+from dystonse_gtfs_data_spark.operators.scheduled import (
+    active_trip_instances,
+    generate_scheduled_predictions,
+)
+from dystonse_gtfs_data_spark.operators.variants import master_variants
+from dystonse_gtfs_data_spark.sources.demo import build_schedule
+
+
+def _curve_rows(xs, ys):
+    return [{"x": float(x), "y": float(y)} for x, y in zip(xs, ys)]
+
+
+class TestJourneyUdfs:
+    def test_convolve_udf_matches_core(self, spark):
+        a = _curve_rows([0.0, 600.0], [0.0, 1.0])
+        b = _curve_rows([99.0, 101.0], [0.0, 1.0])
+        df = spark.createDataFrame(
+            [(a, b)],
+            "a array<struct<x: float, y: float>>, b array<struct<x: float, y: float>>",
+        )
+        out = df.select(convolve_udf(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+        expected = convolve_cdfs(Curve([0.0, 600.0], [0.0, 1.0]), Curve([99.0, 101.0], [0.0, 1.0]))
+        np.testing.assert_allclose([p["x"] for p in out], expected.xs, rtol=1e-6)
+        np.testing.assert_allclose([p["y"] for p in out], expected.ys, rtol=1e-6, atol=1e-7)
+
+    def test_transfer_probability_udf_matches_core(self, spark):
+        arr = _curve_rows([0.0, 100.0], [0.0, 1.0])
+        dep = _curve_rows([50.0, 150.0], [0.0, 1.0])
+        df = spark.createDataFrame(
+            [(arr, dep)],
+            "a array<struct<x: float, y: float>>, b array<struct<x: float, y: float>>",
+        )
+        got = df.select(transfer_probability_udf("a", "b").alias("p")).collect()[0]["p"]
+        expected = transfer_probability(Curve([0.0, 100.0], [0.0, 1.0]), Curve([50.0, 150.0], [0.0, 1.0]))
+        assert got == pytest.approx(expected, abs=1e-9)
+
+    def test_walk_legs_and_chain(self, spark):
+        sched = build_schedule(spark)
+        legs = walk_curves_between_stops(sched["stops"], max_distance_m=400.0)
+        leg_rows = legs.collect()
+        assert leg_rows
+        for r in leg_rows[:10]:
+            ys = [p["y"] for p in r["walk_curve"]]
+            assert ys[0] == 0.0 and ys[-1] == 1.0
+        arrivals = sched["stop_times"].select(
+            "trip_id", "stop_id",
+            F.array(
+                F.struct((F.col("arrival_time") - 60).cast("float").alias("x"), F.lit(0.0).cast("float").alias("y")),
+                F.struct((F.col("arrival_time") + 60).cast("float").alias("x"), F.lit(1.0).cast("float").alias("y")),
+            ).alias("arrival_curve"),
+        )
+        departures = sched["stop_times"].select(
+            "trip_id", "stop_id",
+            F.array(
+                F.struct(F.col("departure_time").cast("float").alias("x"), F.lit(0.0).cast("float").alias("y")),
+                F.struct((F.col("departure_time") + 120).cast("float").alias("x"), F.lit(1.0).cast("float").alias("y")),
+            ).alias("departure_curve"),
+        )
+        hops = transfer_chain(arrivals, departures, legs).collect()
+        assert hops
+        for h in hops:
+            assert 0.0 <= h["transfer_probability"] <= 1.0
+        # a departure hours after the arrival must be near-certain
+        sure = [h for h in hops if h["transfer_probability"] > 0.99]
+        assert sure
+
+
+class TestMasterVariants:
+    def test_subsequence_grouping(self, spark):
+        sched = build_schedule(spark)
+        out = {r["route_variant"]: r for r in master_variants(sched["trips"], sched["stop_times"]).collect()}
+        # t_sub (102) covers stops s5..s9 — a contiguous subsequence of t_long (101)
+        assert out[101]["master_variant"] == 101
+        assert out[102]["master_variant"] == 101
+        assert out[102]["reversed"] is False
+        # short route is its own master on its own route
+        assert out[201]["master_variant"] == 201
+
+    def test_reversed_containment(self, spark):
+        trips = spark.createDataFrame(
+            [("fwd", "r", "svc", None, 1), ("rev", "r", "svc", None, 2)], S.TRIPS
+        )
+        st = spark.createDataFrame(
+            [("fwd", i + 1, f"s{i}", None, None) for i in range(5)]
+            + [("rev", i + 1, f"s{4 - i}", None, None) for i in range(5)],
+            S.STOP_TIMES,
+        )
+        out = {r["route_variant"]: r for r in master_variants(trips, st).collect()}
+        masters = {out[1]["master_variant"], out[2]["master_variant"]}
+        assert len(masters) == 1  # one covers the other, reversed
+        covered = 2 if out[2]["master_variant"] == 1 else 1
+        assert out[covered]["reversed"] is True
+
+
+class TestScheduledPredictions:
+    def test_active_instances_two_service_day_rule(self, spark):
+        sched = build_schedule(spark)
+        # window on Tue Jan 9 at 00:30: the short trip departing Mon 25:00
+        # (= Tue 01:00) must appear as a MONDAY instance
+        inst = active_trip_instances(
+            sched["trips"], sched["calendar"], sched["stop_times"],
+            dt.datetime(2024, 1, 9, 0, 30), dt.datetime(2024, 1, 9, 2, 0),
+        ).collect()
+        short = [r for r in inst if r["trip_id"] == "t_short"]
+        assert dt.date(2024, 1, 8) in {r["trip_start_date"] for r in short}
+
+    def test_generate_scheduled_predictions(self, spark):
+        from dystonse_gtfs_data_spark.operators.default_curves import default_statistics
+        from dystonse_gtfs_data_spark.operators.specific_curves import (
+            enrich_records,
+            specific_statistics,
+            stop_indexed,
+        )
+        from dystonse_gtfs_data_spark.sources.demo import build_records as demo_records
+
+        sched = build_schedule(spark)
+        records = demo_records(spark)
+        sti = stop_indexed(sched["stop_times"])
+        stats = specific_statistics(records, sched["stop_times"]).unionByName(
+            default_statistics(enrich_records(records, sti), sched["routes"])
+        )
+        preds = generate_scheduled_predictions(
+            sched["trips"], sched["calendar"], sched["stop_times"], sched["routes"],
+            stats,
+            window_begin=dt.datetime(2024, 1, 8, 6, 0),
+            window_end=dt.datetime(2024, 1, 9, 6, 0),
+        ).collect()
+        assert preds
+        # schedule-origin, no basis → SemiSpecific for covered stops of the
+        # known variant, ladder precisions elsewhere; never Specific (0 needs a basis)
+        precisions = {r["precision_type"] for r in preds}
+        assert S.PRECISION_SEMI_SPECIFIC in precisions
+        assert S.PRECISION_SPECIFIC not in precisions
+        assert all(r["origin_type"] == S.ORIGIN_SCHEDULE for r in preds)
+        # the Monday 25:00 short trip contributes Tuesday-morning rows
+        tue_rows = [
+            r for r in preds
+            if r["trip_id"] == "t_short" and r["trip_start_date"] == dt.date(2024, 1, 8)
+        ]
+        assert tue_rows
+        for r in tue_rows:
+            assert r["prediction_min"] >= dt.datetime(2024, 1, 9, 0, 0)
