@@ -134,6 +134,68 @@ def fingerprint_sql(text: str) -> str:
     )
 
 
+def format_delay(delay_s: Column) -> Column:
+    """C16: signed delay rendering '+N'/'-N' (format_delay,
+    src/monitor/mod.rs:1174-1181)."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    return F.format_string("%+d", delay_s.cast("int"))
+
+
+def format_delay_sql(delay_s: str) -> str:
+    return f"printf('%+d', CAST({delay_s} AS INT))"
+
+
+def format_duration(seconds: Column) -> Column:
+    """C16: duration rendering — minutes when >= 60 s, else seconds
+    (format_duration, src/monitor/mod.rs:1183-1190)."""
+    from pyspark.sql import functions as F
+
+    s = seconds.cast("int")
+    return (
+        F.when(s >= 60, F.format_string("%d min", (s / 60).cast("int")))
+        .otherwise(F.format_string("%d s", s))
+    )
+
+
+def format_duration_sql(seconds: str) -> str:
+    s = f"CAST({seconds} AS INT)"
+    return (
+        f"(CASE WHEN {s} >= 60 THEN printf('%d min', CAST(floor({s} / 60) AS INT)) "
+        f"ELSE printf('%d s', {s}) END)"
+    )
+
+
+# C17: GTFS route_type → display label (src/monitor/mod.rs:894-922)
+ROUTE_TYPE_LABELS: list[tuple[int, str]] = [
+    (0, "Tram"),
+    (1, "U-Bahn"),
+    (2, "Zug"),
+    (3, "Bus"),
+    (4, "Faehre"),
+    (5, "Standseilbahn"),
+    (6, "Seilbahn"),
+    (7, "Zahnradbahn"),
+]
+
+
+def route_type_label(route_type: Column) -> Column:
+    from pyspark.sql import functions as F
+
+    expr = None
+    for code, label in ROUTE_TYPE_LABELS:
+        cond = route_type == code
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return expr.otherwise("Unbekannt")
+
+
+def route_type_label_sql(route_type: str) -> str:
+    whens = " ".join(
+        f"WHEN {code} THEN '{label}'" for code, label in ROUTE_TYPE_LABELS
+    )
+    return f"(CASE {route_type} {whens} ELSE 'Unbekannt' END)"
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality score in [0,1]: rewards moderate word length,
     presence of stopwords, low punctuation density (heuristics in the

