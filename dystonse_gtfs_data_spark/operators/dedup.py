@@ -133,8 +133,10 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard similarity.
-    Joins the (small) candidate list to the shingle sets twice; the
-    candidate list is usually broadcastable."""
+    Shingle sets are computed for the whole corpus and joined to the
+    (small) candidate list — keeping the sets independent of the
+    candidate subtree so Spark computes candidates exactly once.  (At
+    cluster scale, checkpoint `candidates` and semi-join instead.)"""
     sets = docs.select(
         F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("sh")
     )

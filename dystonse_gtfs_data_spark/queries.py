@@ -99,7 +99,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-           o_orderdate, o_orderpriority
+           epoch_us(o_orderdate) AS order_date_us, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
@@ -122,7 +122,14 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue")
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .select(
+            "l_orderkey",
+            "revenue",
+            # epoch-µs bigints on both engines: no tz-awareness ambiguity in
+            # the driver's value hash (see ARCHITECTURE.md correctness notes)
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_date_us"),
+            "o_orderpriority",
+        )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -202,7 +209,7 @@ def q_pair_count_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "latest_wins_dedup",
     """
-    SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+    SELECT user_id, event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
     FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id, event_type
                                    ORDER BY ts DESC, event_id DESC) AS rn
@@ -219,14 +226,17 @@ def q_latest_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts", "value")
+        .select(
+            "user_id", "event_type", "event_id",
+            F.unix_micros("ts").alias("ts_us"), "value",
+        )
     )
 
 
 @register(
     "forward_fill",
     """
-    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+    SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
            last_value(masked IGNORE NULLS) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
@@ -242,7 +252,10 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     filled = forward_fill(ev, ["user_id"], ["ts", "event_id"], ["masked"])
     return filled.select(
-        "event_id", "user_id", "ts", F.col("masked_filled").alias("value_filled")
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("masked_filled").alias("value_filled"),
     )
 
 
@@ -285,7 +298,7 @@ _INTERVAL = 4 * 3600
 @register(
     "interval_counts",
     f"""
-    SELECT {Fti.interval_bucket_sql('ts', _INTERVAL)} AS bucket,
+    SELECT epoch_us({Fti.interval_bucket_sql('ts', _INTERVAL)}) AS bucket_us,
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
     FROM events
@@ -297,7 +310,9 @@ _INTERVAL = 4 * 3600
 def q_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(Fd.count_valid(F.col("value")))
     return (
-        ev.groupBy(Fti.interval_bucket(F.col("ts"), _INTERVAL).alias("bucket"))
+        ev.groupBy(
+            F.unix_micros(Fti.interval_bucket(F.col("ts"), _INTERVAL)).alias("bucket_us")
+        )
         .agg(
             F.count("*").alias("n_events"),
             (F.sum(_dec(F.col("value"))).cast("double") / F.count("*")).alias("avg_value"),
@@ -334,7 +349,8 @@ def q_time_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
       FROM orders GROUP BY 1, 2
     )
-    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, od.o_orderdate AS last_order_date,
+    SELECT e.event_id, e.user_id, epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+           epoch_us(od.o_orderdate) AS last_order_date_us,
            od.day_total AS last_order_total
     FROM events e
     ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
@@ -356,8 +372,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        "ts",
-        F.col("o_orderdate").alias("last_order_date"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("last_order_date_us"),
         F.col("day_total").alias("last_order_total"),
     )
 
