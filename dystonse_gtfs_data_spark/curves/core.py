@@ -156,6 +156,22 @@ def simplify(curve: Curve, epsilon: float) -> Curve:
     return Curve(xs[keep], ys[keep])
 
 
+def simplify_to_max_points(curve: Curve, max_points: int = 30) -> Curve:
+    """Escalate the simplify tolerance until the curve fits in
+    ``max_points`` — the Spark analog of the reference's
+    serialize_compact_limited(120) byte cap on stored prediction curves
+    (src/importer/per_schedule_importer.rs:362): bounded storage, coarser
+    tail resolution."""
+    if len(curve.xs) <= max_points:
+        return curve
+    eps = 0.001
+    out = curve
+    while len(out.xs) > max_points and eps <= 0.512:
+        out = simplify(curve, eps)
+        eps *= 2.0
+    return out
+
+
 def average_curves(curves: list[Curve]) -> Curve:
     """Pointwise mean of CDFs sampled at the union of all x points
     (reference CurveData averaging, src/types/curve_data.rs:21-42)."""

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..curves.core import Curve, curve_set_interpolate
+from ..curves.core import Curve, curve_set_interpolate, simplify, simplify_to_max_points
 from ..curves.udfs import CURVE_TYPE, curve_to_rows, rows_to_curve
 from ..schemas import (
     PRECISION_FALLBACK_SPECIFIC,
@@ -62,7 +62,23 @@ def _interpolate_set(curve_set: pd.Series, initial_delay: pd.Series) -> pd.Serie
         if not members:
             out.append(None)
             continue
-        out.append(curve_to_rows(curve_set_interpolate(members, float(delay))))
+        # bound stored-curve size like the reference's 120-byte compact cap
+        # (src/importer/per_schedule_importer.rs:362): ε=0.001 keeps ~15-30
+        # points instead of the blended curves' union grid
+        blended = simplify(curve_set_interpolate(members, float(delay)), 0.001)
+        out.append(curve_to_rows(blended))
+    return pd.Series(out)
+
+
+@F.pandas_udf(CURVE_TYPE)
+def cap_curve_points(curve: pd.Series) -> pd.Series:
+    """Bound stored prediction-curve size (the reference's ≤120-byte cap,
+    src/importer/per_schedule_importer.rs:362) — escalating simplify
+    until ≤ 30 points."""
+    out = []
+    for rows in curve:
+        c = rows_to_curve(rows)
+        out.append(None if c is None else curve_to_rows(simplify_to_max_points(c, 30)))
     return pd.Series(out)
 
 
@@ -317,6 +333,9 @@ def generate_realtime_predictions(
     )
     predicted = predict(statistics, requests).filter(
         F.col("prediction_curve").isNotNull()
+    )
+    predicted = predicted.withColumn(
+        "prediction_curve", cap_curve_points(F.col("prediction_curve"))
     )
     sched = F.col("scheduled_time").cast("double")
     return predicted.select(

@@ -132,7 +132,12 @@ def generate_scheduled_predictions(
             )
         )
     requests = per_event[0].unionByName(per_event[1])
+    from .predict import cap_curve_points
+
     predicted = predict(statistics, requests).filter(F.col("prediction_curve").isNotNull())
+    predicted = predicted.withColumn(
+        "prediction_curve", cap_curve_points(F.col("prediction_curve"))
+    )
     sched = F.col("scheduled_time").cast("double")
     return predicted.select(
         F.lit(source).alias("source"),

@@ -1,0 +1,75 @@
+"""Scale-path operators: salted skew joins and bucketed co-located joins
+— correctness vs the plain equivalents, and the plan property that
+justifies them (no Exchange on the bucketed join)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dystonse_gtfs_data_spark.operators.skew import salted_count, salted_join
+from dystonse_gtfs_data_spark.plans import formatted_plan, shuffle_count
+from dystonse_gtfs_data_spark.sources.bucketed import read_table, write_bucketed
+from dystonse_gtfs_data_spark.sources.tables import load_table
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        )
+        plain = (
+            li.join(orders, "l_orderkey")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        )
+        salted = (
+            salted_join(li, orders, "l_orderkey", num_salts=8)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        )
+        a = {r["o_orderpriority"]: (r["n"], r["q"]) for r in plain.collect()}
+        b = {r["o_orderpriority"]: (r["n"], r["q"]) for r in salted.collect()}
+        assert set(a) == set(b)
+        for k in a:
+            assert a[k][0] == b[k][0]
+            assert a[k][1] == pytest.approx(b[k][1])
+
+    def test_salted_count_matches_group_count(self, spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        plain = {r["event_type"]: r["count"] for r in ev.groupBy("event_type").agg(F.count("*").alias("count")).collect()}
+        salted = {r["event_type"]: r["count"] for r in salted_count(ev, "event_type", num_salts=8).collect()}
+        assert plain == salted
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_shuffle(self, spark, sf_dir, tmp_path_factory):
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        )
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        write_bucketed(li, "b_lineitem", ["l_orderkey"], num_buckets=8)
+        write_bucketed(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "b_orders",
+            ["l_orderkey"],
+            num_buckets=8,
+        )
+        a = read_table(spark, "b_lineitem")
+        b = read_table(spark, "b_orders")
+        # disable broadcast so the co-location is what's being tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "l_orderkey")
+            plan = formatted_plan(joined)
+            assert shuffle_count(joined) == 0, plan
+            # and it actually answers correctly
+            assert joined.count() == li.join(
+                orders, li.l_orderkey == orders.o_orderkey
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
