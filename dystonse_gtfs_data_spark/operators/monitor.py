@@ -70,6 +70,45 @@ def pair_counts(records: DataFrame) -> DataFrame:
     )
 
 
+def resolve_trip(
+    trips: DataFrame,
+    routes: DataFrame,
+    stop_times: DataFrame,
+    stops: DataFrame,
+    headsign: str,
+    route_short_name: str,
+    route_type: int,
+    stop_name: str,
+    departure_seconds: int,
+) -> DataFrame:
+    """J9: resolve a trip from journey-URL components — (headsign, route
+    short name, route type, stop name within the extended set, exact
+    scheduled departure).  The reference scans all trips linearly
+    (src/monitor/journey_data.rs:382-473); here it is a multi-key
+    equi-join over broadcast dims, returning candidate (trip_id,
+    stop_sequence) rows."""
+    candidate_stops = stops.filter(F.col("stop_name") == stop_name).select("stop_id")
+    ext = (
+        extended_stops(stops)
+        .join(F.broadcast(candidate_stops), F.col("stop_id_a") == F.col("stop_id"))
+        .select(F.col("stop_id_b").alias("stop_id"))
+        .distinct()
+    )
+    r = routes.filter(
+        (F.col("route_short_name") == route_short_name)
+        & (F.col("route_type") == route_type)
+    )
+    t = trips.filter(F.col("trip_headsign") == headsign).join(
+        F.broadcast(r.select("route_id")), "route_id"
+    )
+    st = stop_times.filter(F.col("departure_time") == departure_seconds)
+    return (
+        st.join(F.broadcast(t.select("trip_id", "route_id", "route_variant")), "trip_id")
+        .join(F.broadcast(ext), "stop_id")
+        .select("trip_id", "route_id", "route_variant", "stop_id", "stop_sequence")
+    )
+
+
 def departure_board(
     predictions: DataFrame,
     stop_ids: list[str],

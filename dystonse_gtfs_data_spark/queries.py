@@ -1231,6 +1231,45 @@ def q_display_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "visual_schedule",
+    None,  # plot-data prep — semantics tested in tests/test_monitor_extras.py
+    covers="S11 (data side) visual-schedule polylines + F8 zero-delay skip + "
+    "E3 master grouping (src/analyser/visual_schedule.rs)",
+)
+def q_visual_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.visual_schedule import visual_schedule_data
+    from .sources.demo import build_records as demo_records
+    from .sources.demo import build_schedule
+
+    sched = build_schedule(spark)
+    out = visual_schedule_data(demo_records(spark), sched["trips"], sched["stop_times"])
+    return out.select(
+        "route_id", "master_variant", "route_variant", "trip_id", "trip_start_date",
+        "trip_start_time", "stop_index",
+        F.unix_micros("scheduled_arrival").alias("scheduled_arrival_us"),
+        F.unix_micros("realized_arrival").alias("realized_arrival_us"),
+    ).orderBy("trip_id", "trip_start_date", "trip_start_time", "stop_index")
+
+
+@register(
+    "trip_resolution",
+    None,  # multi-key join — tested in tests/test_monitor_extras.py
+    covers="J9 trip resolution from journey components incl. extended-stop "
+    "match (src/monitor/journey_data.rs:382-473)",
+)
+def q_trip_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.monitor import resolve_trip
+    from .sources.demo import build_schedule
+
+    sched = build_schedule(spark)
+    return resolve_trip(
+        sched["trips"], sched["routes"], sched["stop_times"], sched["stops"],
+        headsign="Downtown", route_short_name="R1", route_type=3,
+        stop_name="Stop 3", departure_seconds=8 * 3600 + 3 * 240,
+    ).orderBy("trip_id", "stop_sequence")
+
+
+@register(
     "departure_board",
     None,  # serving-layer query over demo predictions — filter logic tested in tests/
     covers="F5 window overlap + W2 realtime-over-schedule dedup + F9 last-stop "

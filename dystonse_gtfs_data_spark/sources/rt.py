@@ -82,6 +82,17 @@ def list_feed_files(spark: SparkSession, rt_dir: str, schedule_dir: str) -> Data
     return paired.drop("_k")
 
 
+def failed_feed_files(feed_files: DataFrame, decoded: DataFrame) -> DataFrame:
+    """Quarantine report: input files that produced no decoded rows — the
+    reference moves these to failed/ (src/importer/mod.rs:523-555).  With
+    a checkpointed stream the move is unnecessary; this anti-join is the
+    audit trail."""
+    seen = decoded.select(F.col("feed_file").alias("path")).distinct()
+    return feed_files.select("path", "length", "modificationTime").join(
+        seen, "path", "left_anti"
+    )
+
+
 def fake_decoder(blob: bytes) -> list[dict]:
     """Deterministic stand-in for a FeedMessage parse: interprets the blob
     as UTF-8 CSV lines `trip_id,start_date,start_time,route_id,stop_id,
