@@ -44,6 +44,33 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# memo for the demo statistics table: four catalog queries need it and the
+# build (curve UDAFs over the fixture) dominates their runtime — build once
+# per SparkSession and persist
+_DEMO_STATS_CACHE: dict[int, DataFrame] = {}
+
+
+def demo_statistics(spark: SparkSession) -> DataFrame:
+    key = id(spark._jsparkSession)  # noqa: SLF001
+    if key not in _DEMO_STATS_CACHE:
+        from .operators.default_curves import default_statistics
+        from .operators.specific_curves import (
+            enrich_records,
+            specific_statistics,
+            stop_indexed,
+        )
+        from .sources.demo import build_records as demo_records
+        from .sources.demo import build_schedule
+
+        sched = build_schedule(spark)
+        records = demo_records(spark)
+        sti = stop_indexed(sched["stop_times"])
+        stats = specific_statistics(records, sched["stop_times"]).unionByName(
+            default_statistics(enrich_records(records, sti), sched["routes"])
+        )
+        _DEMO_STATS_CACHE[key] = stats.persist()
+    return _DEMO_STATS_CACHE[key]
+
 
 def register(name: str, oracle: str | None, covers: str = ""):
     def deco(fn):
@@ -972,21 +999,7 @@ def q_gtfs_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tree build (src/analyser/specific_curves.rs, default_curves.rs)",
 )
 def q_gtfs_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.default_curves import default_statistics
-    from .operators.specific_curves import (
-        enrich_records,
-        specific_statistics,
-        stop_indexed,
-    )
-    from .sources.demo import build_records as demo_records
-    from .sources.demo import build_schedule
-
-    sched = build_schedule(spark)
-    records = demo_records(spark)
-    sti = stop_indexed(sched["stop_times"])
-    spec = specific_statistics(records, sched["stop_times"])
-    dflt = default_statistics(enrich_records(records, sti), sched["routes"])
-    stats = spec.unionByName(dflt)
+    stats = demo_statistics(spark)
     # summarize: one row per curve with its span + size (stable schema)
     return stats.select(
         "scope",
@@ -1018,24 +1031,16 @@ def q_gtfs_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "src/importer/per_schedule_importer.rs:315-366)",
 )
 def q_gtfs_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.default_curves import default_statistics
     from .operators.predict import generate_realtime_predictions
-    from .operators.specific_curves import (
-        enrich_records,
-        specific_statistics,
-        stop_indexed,
-    )
+    from .operators.specific_curves import stop_indexed
     from .sources.demo import build_records as demo_records
     from .sources.demo import build_schedule
 
     sched = build_schedule(spark)
     records = demo_records(spark)
     sti = stop_indexed(sched["stop_times"])
-    spec = specific_statistics(records, sched["stop_times"])
-    dflt = default_statistics(enrich_records(records, sti), sched["routes"])
-    stats = spec.unionByName(dflt)
     preds = generate_realtime_predictions(
-        records, sti, sched["routes"], sched["trips"], stats
+        records, sti, sched["routes"], sched["trips"], demo_statistics(spark)
     )
     return preds.select(
         "source",
@@ -1176,25 +1181,13 @@ def q_master_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scheduled_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as dt
 
-    from .operators.default_curves import default_statistics
     from .operators.scheduled import generate_scheduled_predictions
-    from .operators.specific_curves import (
-        enrich_records,
-        specific_statistics,
-        stop_indexed,
-    )
-    from .sources.demo import build_records as demo_records
     from .sources.demo import build_schedule
 
     sched = build_schedule(spark)
-    records = demo_records(spark)
-    sti = stop_indexed(sched["stop_times"])
-    stats = specific_statistics(records, sched["stop_times"]).unionByName(
-        default_statistics(enrich_records(records, sti), sched["routes"])
-    )
     preds = generate_scheduled_predictions(
         sched["trips"], sched["calendar"], sched["stop_times"], sched["routes"],
-        stats,
+        demo_statistics(spark),
         window_begin=dt.datetime(2024, 1, 8, 6, 0, 0),
         window_end=dt.datetime(2024, 1, 9, 6, 0, 0),
         schedule_file_name="demo_sched",
@@ -1278,25 +1271,17 @@ def q_trip_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_departure_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as dt
 
-    from .operators.default_curves import default_statistics
     from .operators.monitor import departure_board
     from .operators.predict import generate_realtime_predictions
-    from .operators.specific_curves import (
-        enrich_records,
-        specific_statistics,
-        stop_indexed,
-    )
+    from .operators.specific_curves import stop_indexed
     from .sources.demo import build_records as demo_records
     from .sources.demo import build_schedule
 
     sched = build_schedule(spark)
     records = demo_records(spark)
     sti = stop_indexed(sched["stop_times"])
-    stats = specific_statistics(records, sched["stop_times"]).unionByName(
-        default_statistics(enrich_records(records, sti), sched["routes"])
-    )
     preds = generate_realtime_predictions(
-        records, sti, sched["routes"], sched["trips"], stats
+        records, sti, sched["routes"], sched["trips"], demo_statistics(spark)
     )
     max_seq = sched["stop_times"].groupBy("trip_id").agg(
         F.max("stop_sequence").alias("max_stop_sequence")

@@ -22,6 +22,9 @@ N_VEHICLES = 60
 
 
 def build_schedule(spark: SparkSession):
+    from .tables import _ensure_session_confs
+
+    _ensure_session_confs(spark)  # UTC semantics even on a caller's session
     routes = spark.createDataFrame(
         [("r1", "a1", "R1", 3), ("r2", "a1", "R2", 0)], S.ROUTES
     )
