@@ -27,6 +27,16 @@ from .specific_curves import stop_indexed
 _WEEKDAY_COLS = ["monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday"]
 
 
+def prediction_high_watermark(predictions: DataFrame):
+    """T6 resume point: the latest (trip_start_date + trip_start_time)
+    present in the sink — the reference's `ORDER BY ... DESC LIMIT 1`
+    high-watermark query (src/importer/scheduled_predictions_importer.rs:
+    304-336).  Returns a 1-row DataFrame with `watermark` (timestamp);
+    the next window's begin."""
+    ts = service_day_timestamp(F.col("trip_start_date"), F.col("trip_start_time"))
+    return predictions.agg(F.max(ts).alias("watermark"))
+
+
 def active_trip_instances(
     trips: DataFrame,
     calendar: DataFrame,

@@ -215,6 +215,99 @@ def allpairs_cosine(
     return out
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids (by cosine)
+    — the IVF coarse quantizer.  Centroids are a driver-side list (they
+    are tiny: k × dim floats), evaluated as JVM expressions; at k in the
+    thousands, switch the argmax to a block matmul like allpairs_cosine."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    norm = _norm(F.col(vec_col))
+    scored = []
+    for ci, c in enumerate(cents):
+        arr = F.array(*[F.lit(float(v)) for v in c])
+        scored.append(F.struct((_dot(F.col(vec_col), arr) / norm).alias("sim"), F.lit(ci).alias("cid")))
+    top = F.slice(F.reverse(F.array_sort(F.array(*scored))), 1, n_probe)
+    return vectors.select(
+        F.col(id_col), F.col(vec_col), F.explode(top).alias("_c")
+    ).select(id_col, vec_col, F.col("_c.cid").alias("centroid_id"))
+
+
+def train_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    iterations: int = 3,
+    sample_fraction: float = 1.0,
+) -> list[list[float]]:
+    """Deterministic mini k-means for the IVF codebook: seed with the
+    first k vectors (by id order), refine with Lloyd iterations over a
+    sample aggregated distributedly (sum/count per assigned centroid)."""
+    import numpy as np
+
+    seed_rows = vectors.orderBy("vec_id").limit(k).collect()
+    cents = np.array([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+    sample = vectors.sample(False, sample_fraction, seed=7) if sample_fraction < 1.0 else vectors
+    for _ in range(iterations):
+        assigned = ivf_assign(sample, cents.tolist(), vec_col=vec_col, n_probe=1)
+        # component-wise mean via posexplode + groupBy: map-side combinable,
+        # returns only k × dim rows to the driver
+        means = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .collect()
+        )
+        for row in means:
+            cents[row["centroid_id"], row["pos"]] = row["mean"]
+    return cents.tolist()
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest
+    centroid's inverted list; each query probes its ``n_probe`` nearest
+    lists and scores only those vectors — an equi-join on centroid_id, so
+    the scored pair count shrinks by ~k/n_probe versus brute force."""
+    c_assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "centroid_id"
+    )
+    q_assigned = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "centroid_id"
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.95,

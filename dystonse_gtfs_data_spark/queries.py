@@ -915,6 +915,21 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(q, emb, k=5)
 
 
+@register(
+    "ivf_topk",
+    None,  # approximate ANN — recall vs brute force checked in tests/
+    covers="IVF-bucketed approximate nearest neighbor: k-means codebook + "
+    "inverted-list probe (the other scale path the pipeline brief names)",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk, train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, k=8, iterations=2)
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(q, emb, cents, k=5, n_probe=3).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Curve UDAF against a SQL oracle (A3 make_curve semantics)
 # ---------------------------------------------------------------------------

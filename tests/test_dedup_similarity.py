@@ -146,6 +146,26 @@ def test_lsh_topk_recall(vec_corpus):
     assert recall >= 0.5  # approximate, but must be far better than random
 
 
+def test_ivf_topk_recall(vec_corpus):
+    from dystonse_gtfs_data_spark.operators.similarity import ivf_topk, train_centroids
+
+    df, base = vec_corpus
+    cents = train_centroids(df, k=4, iterations=2)
+    assert len(cents) == 4 and len(cents[0]) == 16
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df.filter(F.col("vec_id") < 5), df, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(df.filter(F.col("vec_id") < 5), df, cents, k=3, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # 3 of 4 lists probed → high recall on a tiny corpus
+    # the planted near-identical pair must never be missed
+    assert (0, 1) in approx
+
+
 def test_embedding_near_duplicates_finds_planted_pair(vec_corpus):
     df, base = vec_corpus
     out = embedding_near_duplicates(df, threshold=0.99, dim=16).collect()

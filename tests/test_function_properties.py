@@ -1,0 +1,81 @@
+"""Property tests for the scalar column functions: exhaustiveness of the
+TimeSlot partition, Rust-semantics delay rounding, and the scheduled-
+predictions high-watermark."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dystonse_gtfs_data_spark import schemas as S
+from dystonse_gtfs_data_spark.functions.delays import round_toward_zero
+from dystonse_gtfs_data_spark.functions.time import DEFAULT_TIME_SLOT_ID, time_slot_id
+from dystonse_gtfs_data_spark.operators.scheduled import prediction_high_watermark
+
+
+def test_time_slots_partition_the_week(spark):
+    """Every (weekday, hour) combination maps to exactly one of the 11
+    slots — DEFAULT (12) is only ever an explicit query value, never an
+    assignment (the reference panics if no slot matches,
+    src/types/time_slots.rs:162-168)."""
+    base = dt.datetime(2024, 1, 1, 0, 0)  # Monday
+    rows = [(base + dt.timedelta(hours=h),) for h in range(7 * 24)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = df.select(time_slot_id(F.col("ts")).alias("slot")).collect()
+    slots = [r["slot"] for r in out]
+    assert all(1 <= s <= 11 for s in slots)
+    assert DEFAULT_TIME_SLOT_ID not in slots
+    assert set(slots) == set(range(1, 12))  # all 11 slots reachable
+
+
+def test_night_wraparound_assignments(spark):
+    cases = {
+        dt.datetime(2024, 1, 5, 23, 0): 11,  # Friday 23:00 → night before weekend
+        dt.datetime(2024, 1, 6, 3, 59): 11,  # Saturday 03:59 → same wrap
+        dt.datetime(2024, 1, 7, 20, 0): 10,  # Sunday 20:00 → night before workday
+        dt.datetime(2024, 1, 8, 3, 0): 10,   # Monday 03:00 → still night-before-workday
+        dt.datetime(2024, 1, 5, 3, 0): 11,   # Friday 03:00 → Fri-Sat wrap (reference quirk)
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "ts timestamp")
+    got = {r["ts"]: r["slot"] for r in df.select("ts", time_slot_id(F.col("ts")).alias("slot")).collect()}
+    for ts, expected in cases.items():
+        assert got[ts] == expected, (ts, got[ts], expected)
+
+
+class TestRounding:
+    @given(st.integers(min_value=-36000, max_value=36000))
+    @settings(max_examples=300, deadline=None)
+    def test_matches_rust_int_division(self, d):
+        # Rust: (d / 12) * 12 truncates toward zero
+        expected = int(d / 12) * 12 if d >= 0 else -((-d) // 12) * 12
+        assert self.oracle(d) == expected
+
+    @staticmethod
+    def oracle(d: int) -> int:
+        # pure-python mirror of the column expression
+        import math
+
+        sign = (d > 0) - (d < 0)
+        return sign * math.floor(abs(d) / 12) * 12
+
+    def test_column_expression_spot_values(self, spark):
+        vals = [-13, -12, -1, 0, 11, 12, 13, 25, -25, 35999, -35999]
+        df = spark.createDataFrame([(v,) for v in vals], "d long")
+        got = {r["d"]: r["r"] for r in df.select("d", round_toward_zero(F.col("d")).alias("r")).collect()}
+        expected = {-13: -12, -12: -12, -1: 0, 0: 0, 11: 0, 12: 12, 13: 12,
+                    25: 24, -25: -24, 35999: 35988, -35999: -35988}
+        assert got == expected
+
+
+def test_prediction_high_watermark(spark):
+    rows = [
+        ("s", 1, "x", 1, "r1", "t1", dt.date(2024, 1, 2), 28800, None, None, 3, 1, 10, None, "f"),
+        ("s", 1, "x", 1, "r1", "t2", dt.date(2024, 1, 2), 97200, None, None, 3, 1, 10, None, "f"),  # 27:00 → Jan 3 03:00
+        ("s", 1, "x", 1, "r1", "t3", dt.date(2024, 1, 1), 28800, None, None, 3, 1, 10, None, "f"),
+    ]
+    preds = spark.createDataFrame(rows, S.PREDICTIONS)
+    wm = prediction_high_watermark(preds).collect()[0]["watermark"]
+    assert wm == dt.datetime(2024, 1, 3, 3, 0)  # the >24h trip wins
