@@ -549,6 +549,27 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_revenue",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS status_O,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS status_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    covers="pivot / conditional aggregation (guide's common OLAP patterns)",
+)
+def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec(F.col("l_extendedprice"))).cast("double"))
+        .withColumnRenamed("O", "status_O")
+        .withColumnRenamed("F", "status_F")
+    )
+
+
+@register(
     "delay_quantiles",
     """
     SELECT event_type,
