@@ -1,0 +1,102 @@
+"""Streaming-native aggregations (T7) and the stateful prediction-basis
+dedup (T3) — the Structured Streaming forms of operators the batch
+layer expresses with groupBy/window functions.
+
+The batch engine recomputes + latest-wins-merges (simpler, same
+results); these exist for deployments that want true incremental state:
+event-time windows with watermarks for late data, and a keyed state
+store remembering each vehicle's last prediction basis so unchanged
+updates emit nothing (the reference's `current_prediction_basis`
+HashMap, src/importer/mod.rs:42, 200-221)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "4 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time tumbling-window counts with a late-data watermark — the
+    streaming form of the A1 interval report."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+_BASIS_STATE_SCHEMA = "stop_sequence int, delay_departure int"
+_BASIS_OUTPUT_SCHEMA = (
+    "trip_id string, trip_start_date string, trip_start_time int, "
+    "stop_sequence int, delay_departure int"
+)
+
+
+def _basis_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit a row only when the vehicle's (stop_sequence, delay) basis
+    changed — the incremental-skip the reference implements with a
+    mutex-guarded map (src/importer/per_schedule_importer.rs:266-313)."""
+    prev = state.get if state.exists else None
+    batch = pd.concat(list(pdfs), ignore_index=True).dropna(subset=["delay_departure"])
+    if batch.empty:
+        return
+    last = batch.sort_values(["time_of_recording", "stop_sequence"]).iloc[-1]
+    best = (int(last["stop_sequence"]), int(last["delay_departure"]))
+    if prev is not None and (prev[0], prev[1]) == best:
+        return  # unchanged basis → no output, no re-prediction
+    state.update(best)
+    trip_id, start_date, start_time = key
+    yield pd.DataFrame(
+        [
+            {
+                "trip_id": trip_id,
+                "trip_start_date": start_date,
+                "trip_start_time": int(start_time),
+                "stop_sequence": best[0],
+                "delay_departure": best[1],
+            }
+        ]
+    )
+
+
+def stateful_basis_stream(updates: DataFrame) -> DataFrame:
+    """updates: streaming RT_UPDATES-shaped frame (trip_id, start_date,
+    start_time parsed to seconds upstream).  Output: one row per basis
+    *change* per vehicle."""
+    keyed = updates.select(
+        "trip_id",
+        F.col("start_date").alias("trip_start_date"),
+        F.coalesce(
+            F.split(F.col("start_time"), ":").getItem(0).cast("int") * 3600
+            + F.split(F.col("start_time"), ":").getItem(1).cast("int") * 60
+            + F.split(F.col("start_time"), ":").getItem(2).cast("int"),
+            F.lit(0),
+        ).alias("trip_start_time"),
+        "stop_sequence",
+        "departure_delay",
+        F.col("header_timestamp").alias("time_of_recording"),
+    ).withColumnRenamed("departure_delay", "delay_departure")
+    return keyed.groupBy("trip_id", "trip_start_date", "trip_start_time").applyInPandasWithState(
+        _basis_fn,
+        outputStructType=_BASIS_OUTPUT_SCHEMA,
+        stateStructType=_BASIS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

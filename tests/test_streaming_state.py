@@ -1,0 +1,102 @@
+"""Streaming-native operators: windowed aggregation with watermark (T7)
+and the stateful prediction-basis dedup (T3) — basis changes emit,
+unchanged bases are suppressed across micro-batches."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dystonse_gtfs_data_spark import schemas as S
+from dystonse_gtfs_data_spark.streaming.aggregations import (
+    stateful_basis_stream,
+    windowed_event_counts,
+)
+
+
+class TestWindowedCounts:
+    def test_stream_counts_match_batch(self, spark, sf_dir, tmp_path):
+        from dystonse_gtfs_data_spark.sources.tables import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        land = str(tmp_path / "ev")
+        ev.write.parquet(land)
+        stream = spark.readStream.schema(ev.schema).parquet(land)
+        agg = windowed_event_counts(stream)
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("wincounts")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["window_start"], r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM wincounts").collect()
+        }
+        batch = {
+            (r["w"]["start"], r["event_type"]): r["n"]
+            for r in ev.groupBy(F.window("ts", "4 hours").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        # append mode emits only watermark-closed windows; every emitted
+        # window must match the batch count exactly, and most windows close
+        assert got, "no windows emitted"
+        for k, v in got.items():
+            assert batch[k] == v
+        assert len(got) >= len(batch) - 2 * 5  # at most the last window per type open
+
+
+class TestStatefulBasis:
+    def _mk_updates(self, spark, rows):
+        return spark.createDataFrame(rows, S.RT_UPDATES)
+
+    def test_basis_change_detection(self, spark, tmp_path):
+        hdr = dt.datetime(2024, 1, 1, 8, 0, 0)
+        batch1 = [
+            ("f1", hdr, "t1", "20240101", "08:00:00", "r1", "s1", 3, None, 60),
+            ("f1", hdr, "t2", "20240101", "08:00:00", "r1", "s1", 2, None, 12),
+        ]
+        batch2 = [
+            # t1: same basis (stop 3, delay 60) → must NOT re-emit
+            ("f2", hdr + dt.timedelta(minutes=2), "t1", "20240101", "08:00:00", "r1", "s1", 3, None, 60),
+            # t2: new basis → emits
+            ("f2", hdr + dt.timedelta(minutes=2), "t2", "20240101", "08:00:00", "r1", "s2", 4, None, 48),
+        ]
+        land = tmp_path / "land"
+        land.mkdir()
+        self._mk_updates(spark, batch1).write.parquet(str(land / "b1"))
+
+        stream = spark.readStream.schema(S.RT_UPDATES).parquet(str(land) + "/*")
+        out = stateful_basis_stream(stream)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("bases")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            first = spark.sql("SELECT * FROM bases").collect()
+            assert {(r["trip_id"], r["stop_sequence"], r["delay_departure"]) for r in first} == {
+                ("t1", 3, 60),
+                ("t2", 2, 12),
+            }
+            self._mk_updates(spark, batch2).write.parquet(str(land / "b2"))
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM bases").collect()
+            tally = {}
+            for r in rows:
+                tally.setdefault(r["trip_id"], []).append((r["stop_sequence"], r["delay_departure"]))
+            # t1 emitted once (unchanged basis suppressed); t2 twice
+            assert len(tally["t1"]) == 1
+            assert sorted(tally["t2"]) == [(2, 12), (4, 48)]
+        finally:
+            q.stop()
