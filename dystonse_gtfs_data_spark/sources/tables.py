@@ -30,10 +30,17 @@ TESTDATA_TABLES = (
 
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Make a caller-provided session (e.g. the driver's) behave like
-    ours: ns-parquet readable, UTC semantics for oracle parity.  Both are
+    ours: ns-parquet readable, UTC semantics for oracle parity, and sane
+    local-mode parallelism (the 200-partition default turns the curve
+    pipelines into 400+ task stages of mostly scheduler overhead).  All
     runtime-settable SQL confs."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(8, min(64, cores))))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

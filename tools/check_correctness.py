@@ -72,7 +72,13 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = build_session("check_correctness")
+    if os.environ.get("CHECK_VANILLA_SESSION"):
+        # rehearse the driver's environment: no engine session configs
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").appName("vanilla").getOrCreate()
+    else:
+        spark = build_session("check_correctness")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
