@@ -747,7 +747,7 @@ def q_fallback_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM gaps
     )
     SELECT user_id, session_id, count(*) AS n_events,
-           round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_s
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
     FROM sess GROUP BY 1, 2
     """,
     covers="T7 sessionization: event-time gap windows (lag + cumulative sum)",
@@ -765,14 +765,14 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0),
     )
     sess = gaps.withColumn("session_id", F.sum("new_session").over(wcum))
+    # Session duration in epoch-µs BIGINT (the catalog's timestamp
+    # convention): exact integer arithmetic on both engines, unlike a
+    # float-seconds round() that can differ by 1 ulp at µs boundaries.
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.round(
-            (
-                F.max("ts").cast("double") - F.min("ts").cast("double")
-            ),
-            6,
-        ).alias("duration_s"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
     )
 
 
