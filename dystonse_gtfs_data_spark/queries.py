@@ -183,14 +183,19 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    dims = F.broadcast(
-        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).join(
-            c, c.c_nationkey == n.n_nationkey
-        )
+    # Broadcast ONLY the fixed-size dims (25 nations × 5 regions); customer
+    # is SF-proportional (150k × SF rows) and must shuffle-join on
+    # c_custkey, never sit on a broadcast build side — at 100 TB a
+    # customer broadcast would OOM the driver.
+    dims = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    c_dim = c.select("c_custkey", "c_nationkey").join(
+        F.broadcast(dims), c.c_nationkey == dims.n_nationkey
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(dims, o.o_custkey == dims.c_custkey)
+        .join(c_dim, o.o_custkey == c_dim.c_custkey)
         .groupBy("n_name")
         .agg(
             F.sum(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))))
