@@ -16,7 +16,7 @@ from pyspark.sql import types as T
 
 from ..curves.core import convolve_cdfs, transfer_probability, walk_time_curve
 from ..curves.udfs import CURVE_TYPE, curve_to_rows, rows_to_curve
-from ..functions.geo import haversine_m
+from ..functions.geo import grid_proximity_pairs
 
 
 @F.pandas_udf(CURVE_TYPE)
@@ -51,32 +51,17 @@ def transfer_probability_udf(arrival: pd.Series, departure: pd.Series) -> pd.Ser
 
 def walk_curves_between_stops(stops: DataFrame, max_distance_m: float = 500.0) -> DataFrame:
     """Stop-pair walk legs: haversine distance (C9, JVM trig) + walk-time
-    CDF (C10) for every pair within range."""
-    a = stops.select(
-        F.col("stop_id").alias("from_stop"),
-        F.col("stop_lat").alias("lat_a"),
-        F.col("stop_lon").alias("lon_a"),
-    )
-    b = stops.select(
-        F.col("stop_id").alias("to_stop"),
-        F.col("stop_lat").alias("lat_b"),
-        F.col("stop_lon").alias("lon_b"),
-    )
+    CDF (C10) for every pair within range.  Grid-cell equi-join keeps the
+    candidate space linear in |stops| (both orientations retained — a
+    walk leg is directional)."""
     return (
-        # broadcast nested-loop instead of a cartesian shuffle: stops is a
-        # dimension table, so the pair space partitions by the left side only
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("from_stop") != F.col("to_stop"))
-        .withColumn(
-            "distance_m",
-            haversine_m(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")),
-        )
-        .filter(F.col("distance_m") <= max_distance_m)
+        grid_proximity_pairs(stops, ["stop_id"], "stop_lat", "stop_lon", max_distance_m)
+        .filter(F.col("stop_id_a") != F.col("stop_id_b"))
         .select(
-            "from_stop",
-            "to_stop",
-            "distance_m",
-            walk_time_curve_udf(F.col("distance_m")).alias("walk_curve"),
+            F.col("stop_id_a").alias("from_stop"),
+            F.col("stop_id_b").alias("to_stop"),
+            F.col("dist_m").alias("distance_m"),
+            walk_time_curve_udf(F.col("dist_m")).alias("walk_curve"),
         )
     )
 

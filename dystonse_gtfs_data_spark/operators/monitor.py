@@ -15,34 +15,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..curves.udfs import curve_x_at_y
-from ..functions.geo import EXTENDED_STOPS_MAX_DISTANCE_M, haversine_m
+from ..functions.geo import EXTENDED_STOPS_MAX_DISTANCE_M, grid_proximity_pairs
 from ..schemas import ORIGIN_REALTIME
 
 
 def extended_stops(stops: DataFrame, radius_m: float = EXTENDED_STOPS_MAX_DISTANCE_M) -> DataFrame:
     """All ordered stop pairs within ``radius_m`` (haversine), including
     self-pairs — the reference's "extended stops" cluster
-    (src/monitor/journey_data.rs:22-23, 241-263).  Small dim → plain
-    self-join; at scale, geohash-bucket the join key first."""
-    a = stops.select(
-        F.col("stop_id").alias("stop_id_a"),
-        F.col("stop_lat").alias("lat_a"),
-        F.col("stop_lon").alias("lon_a"),
-    )
-    b = stops.select(
-        F.col("stop_id").alias("stop_id_b"),
-        F.col("stop_lat").alias("lat_b"),
-        F.col("stop_lon").alias("lon_b"),
-    )
-    return (
-        a.crossJoin(F.broadcast(b))
-        .withColumn(
-            "dist_m",
-            haversine_m(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")),
-        )
-        .filter(F.col("dist_m") <= radius_m)
-        .select("stop_id_a", "stop_id_b", "dist_m")
-    )
+    (src/monitor/journey_data.rs:22-23, 241-263).  Grid-cell equi-join:
+    linear shuffle volume instead of the O(n²) all-pairs scan."""
+    return grid_proximity_pairs(
+        stops, ["stop_id"], "stop_lat", "stop_lon", radius_m
+    ).select("stop_id_a", "stop_id_b", "dist_m")
 
 
 def autocomplete_stops(stops: DataFrame, terms: list[str], limit: int = 10) -> DataFrame:

@@ -503,17 +503,16 @@ def q_extended_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s_suppkey") % 120) * 0.001 - 0.05).alias("lat"),
         ((F.col("s_suppkey") % 77) * 0.001).alias("lon"),
     )
-    a, b = s.alias("a"), s.alias("b")
-    dist = Fg.haversine_m(
-        F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")
-    )
+    # Grid-cell equi-join (J8 scale path): linear shuffle instead of the
+    # O(n²) non-equi self-join that plans as BroadcastNestedLoop.
     return (
-        a.join(b, F.col("a.s_suppkey") < F.col("b.s_suppkey"))
-        .withColumn("dist_m", dist)
-        .filter(F.col("dist_m") < 300.0)
+        Fg.grid_proximity_pairs(s, ["s_suppkey"], "lat", "lon", 300.0)
+        .filter(
+            (F.col("s_suppkey_a") < F.col("s_suppkey_b")) & (F.col("dist_m") < 300.0)
+        )
         .select(
-            F.col("a.s_suppkey").alias("stop_a"),
-            F.col("b.s_suppkey").alias("stop_b"),
+            F.col("s_suppkey_a").alias("stop_a"),
+            F.col("s_suppkey_b").alias("stop_b"),
             F.round("dist_m", 3).alias("dist_m"),
         )
     )
@@ -1136,17 +1135,16 @@ def q_walk_time_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s_suppkey") % 120) * 0.001 - 0.05).alias("lat"),
         ((F.col("s_suppkey") % 77) * 0.001).alias("lon"),
     )
-    a, b = s.alias("a"), s.alias("b")
-    dist = F.round(
-        Fg.haversine_m(F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")), 6
-    )
+    # Grid cells sized with ~1 m slack so the post-round <= 500.0 filter
+    # (the oracle's predicate) never loses a boundary pair.
     pairs = (
-        a.join(b, F.col("a.s_suppkey") < F.col("b.s_suppkey"))
-        .withColumn("dist_m", dist)
+        Fg.grid_proximity_pairs(s, ["s_suppkey"], "lat", "lon", 501.0)
+        .filter(F.col("s_suppkey_a") < F.col("s_suppkey_b"))
+        .withColumn("dist_m", F.round("dist_m", 6))
         .filter(F.col("dist_m") <= 500.0)
         .select(
-            F.col("a.s_suppkey").alias("stop_a"),
-            F.col("b.s_suppkey").alias("stop_b"),
+            F.col("s_suppkey_a").alias("stop_a"),
+            F.col("s_suppkey_b").alias("stop_b"),
             "dist_m",
         )
     )

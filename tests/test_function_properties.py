@@ -79,3 +79,52 @@ def test_prediction_high_watermark(spark):
     preds = spark.createDataFrame(rows, S.PREDICTIONS)
     wm = prediction_high_watermark(preds).collect()[0]["watermark"]
     assert wm == dt.datetime(2024, 1, 3, 3, 0)  # the >24h trip wins
+
+
+def test_grid_proximity_matches_brute_force(spark):
+    """The grid-cell equi-join (J8 scale path) finds EXACTLY the pairs a
+    brute-force O(n²) cross join finds — including high latitudes (lon
+    degrees shrink with cos(lat)), negative coords, and cell-border
+    points."""
+    import random
+
+    from dystonse_gtfs_data_spark.functions.geo import (
+        grid_proximity_pairs,
+        haversine_m,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    # clusters around three latitude bands, incl. 59.9° (near the ±60° bound)
+    for i, (clat, clon) in enumerate([(0.0, 0.0), (-35.5, 150.2), (59.9, 10.7)]):
+        for j in range(30):
+            rows.append(
+                (
+                    f"p{i}_{j}",
+                    clat + rng.uniform(-0.01, 0.01),
+                    clon + rng.uniform(-0.01, 0.01),
+                )
+            )
+    pts = spark.createDataFrame(rows, "stop_id string, stop_lat double, stop_lon double")
+    radius = 400.0
+    grid = {
+        (r["stop_id_a"], r["stop_id_b"])
+        for r in grid_proximity_pairs(
+            pts, ["stop_id"], "stop_lat", "stop_lon", radius
+        ).collect()
+    }
+    a = pts.select(
+        F.col("stop_id").alias("ida"), F.col("stop_lat").alias("la"), F.col("stop_lon").alias("lo")
+    )
+    b = pts.select(
+        F.col("stop_id").alias("idb"), F.col("stop_lat").alias("lb"), F.col("stop_lon").alias("lb2")
+    )
+    brute = {
+        (r["ida"], r["idb"])
+        for r in a.crossJoin(b)
+        .withColumn("d", haversine_m(F.col("la"), F.col("lo"), F.col("lb"), F.col("lb2")))
+        .filter(F.col("d") <= radius)
+        .collect()
+    }
+    assert grid == brute
+    assert len(grid) > len(rows)  # sanity: clusters produced real pairs

@@ -97,6 +97,17 @@ def test_token_counts_stays_jvm_side(spark, sf_dir):
     )
 
 
+def test_geo_proximity_is_equi_join(spark, sf_dir):
+    # J8 scale path: the 300 m / 500 m proximity joins must plan as a
+    # shuffle EQUI-join on grid cells — never BroadcastNestedLoop or a
+    # cartesian product over all pairs (O(n²) at 100 TB).
+    for q in (Q.q_extended_stops, Q.q_walk_time_bounds):
+        df = q(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
 def test_minhash_signature_single_aggregation(spark, sf_dir):
     from dystonse_gtfs_data_spark.operators.dedup import minhash_signatures
     from dystonse_gtfs_data_spark.sources.tables import load_table
