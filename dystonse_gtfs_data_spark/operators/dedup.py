@@ -133,11 +133,22 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard similarity.
-    Shingle sets are computed for the whole corpus and joined to the
-    (small) candidate list — keeping the sets independent of the
-    candidate subtree so Spark computes candidates exactly once.  (At
-    cluster scale, checkpoint `candidates` and semi-join instead.)"""
-    sets = docs.select(
+
+    The wide shingle-array column is pruned to ids that actually appear
+    in a candidate pair (left-semi join on the id set) BEFORE the two
+    payload joins — at corpus scale only the near-dup subset's shingles
+    ever traverse a shuffle, not every document's.  The (small) candidate
+    list is materialized once via an eager localCheckpoint so the
+    expensive LSH subtree feeding it is NOT re-evaluated for the
+    semi-join branch (two branches of one DAG otherwise recompute their
+    shared subtree)."""
+    candidates = candidates.localCheckpoint(eager=True)
+    cand_ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    # broadcast the narrow id set: the semi-join prunes the corpus scan
+    # in place, with no shuffle of the documents side at all
+    sets = docs.join(F.broadcast(cand_ids), id_col, "leftsemi").select(
         F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("sh")
     )
     out = (

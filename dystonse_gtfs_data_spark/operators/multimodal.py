@@ -128,9 +128,27 @@ def video_decode_stub(blob: bytes):  # pragma: no cover - explicit stub
     )
 
 
-def with_binary_partitioning(assets: DataFrame, target_rows_per_partition: int = 1024) -> DataFrame:
+def with_binary_partitioning(
+    assets: DataFrame,
+    target_rows_per_partition: int = 1024,
+    expected_rows: int | None = None,
+) -> DataFrame:
     """Repartition a binary-asset table so each Arrow batch holds a
     bounded number of blobs — the knob that keeps executor memory flat
-    when blobs are MBs (100 TB path: size partitions by bytes, not rows)."""
-    n = max(1, assets.count() // target_rows_per_partition)
+    when blobs are MBs (100 TB path: size partitions by bytes, not rows).
+
+    Partition count comes from ``expected_rows`` (caller-known cardinality)
+    or, for parquet-backed frames, Catalyst's row-count statistics — never
+    from a ``.count()`` action, which would add a full extra scan of a
+    blob table just to pick a number."""
+    if expected_rows is None:
+        stats = assets._jdf.queryExecution().optimizedPlan().stats()
+        row_stat = stats.rowCount()
+        expected_rows = (
+            int(str(row_stat.get())) if row_stat.isDefined()
+            # fall back to sizeInBytes assuming ~1 MiB blobs: conservative
+            # (over-partitioning is cheap, OOM is not)
+            else max(1, int(str(stats.sizeInBytes())) // (1 << 20))
+        )
+    n = max(1, expected_rows // target_rows_per_partition)
     return assets.repartition(n, "asset_id")
