@@ -30,6 +30,32 @@ def _hash_family(n: int) -> list[tuple[int, int]]:
     return params
 
 
+def portable_base_hash(col):
+    """60-bit base hash reproducible in ANY SQL engine: fold the first 15
+    hex chars of md5 into a bigint.  Slower than xxhash64 (the default
+    hot path) but lets a DuckDB/Trino/BigQuery twin recompute identical
+    minhash/simhash signatures for cross-engine verification."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_base_hash_sql(hex_col: str) -> str:
+    """ANSI-ish SQL twin of :func:`portable_base_hash` — the fold over a
+    column holding ``substr(md5(x), 1, 15)``.  Literal power-of-16
+    multipliers (not ``power()``) keep every term exact in int64."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({hex_col}, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    ) + ")"
+
+
+def _base_hash_col(col, base_hash: str):
+    if base_hash == "md5":
+        return portable_base_hash(col)
+    if base_hash == "xxhash64":
+        return F.abs(F.xxhash64(col))
+    raise ValueError(f"unknown base_hash {base_hash!r} (use 'xxhash64' or 'md5')")
+
+
 def tokens(text_col: str = "text"):
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
@@ -67,17 +93,19 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_k: int = 3,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """id → array<bigint> minhash signature.
 
-    Explodes shingles once, hashes them with xxhash64, then computes all
-    ``num_hashes`` permutation minima as independent agg expressions over
-    a single groupBy — signature width never multiplies the shuffle.
+    Explodes shingles once, hashes them (xxhash64 hot path, or the
+    portable md5 fold for cross-engine-verifiable runs), then computes
+    all ``num_hashes`` permutation minima as independent agg expressions
+    over a single groupBy — signature width never multiplies the shuffle.
     """
     fam = _hash_family(num_hashes)
     sh = docs.select(
         F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
-    ).withColumn("h", F.abs(F.xxhash64("shingle")))
+    ).withColumn("h", _base_hash_col(F.col("shingle"), base_hash))
     aggs = [
         F.min((F.col("h") % MERSENNE_P * a + b) % MERSENNE_P).alias(f"mh_{i}")
         for i, (a, b) in enumerate(fam)
@@ -94,10 +122,13 @@ def minhash_lsh_candidates(
     num_bands: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Band the signatures and self-join on (band_id, band_hash) to get
-    candidate near-dup pairs (id_a < id_b).  The join key is the band
-    hash — collisions co-locate, everything else never meets (the LSH
-    property), so the shuffle is O(docs × bands)."""
+    """Band the signatures and self-join on (band_id, band slice) to get
+    candidate near-dup pairs (id_a < id_b).  The join key is the raw
+    band slice (arrays are hashable join keys in Spark) — equal bands
+    co-locate, everything else never meets (the LSH property), so the
+    shuffle is O(docs × bands); joining the 4-element slice itself
+    instead of a hash of it keeps the key engine-portable for oracles
+    at negligible extra shuffle width."""
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -105,17 +136,17 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(num_bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_id"),
-                    F.xxhash64(
-                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-                    ).alias("band_hash"),
+                    F.slice(
+                        F.col("signature"), b * rows_per_band + 1, rows_per_band
+                    ).alias("band_sig"),
                 ),
             )
         ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    ).select(id_col, "band.band_id", "band.band_sig")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
-        a.join(b, ["band_id", "band_hash"])
+        a.join(b, ["band_id", "band_sig"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
@@ -173,21 +204,55 @@ def minhash_near_duplicates(
     num_bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: near-dup pairs with exact Jaccard."""
     rows = num_hashes // num_bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k, base_hash)
     cands = minhash_lsh_candidates(sigs, id_col, num_bands, rows)
     return ngram_jaccard_pairs(docs, cands, text_col, id_col, shingle_k, threshold)
 
 
 def simhash(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sum +1/−1 of token
     hashes' bit values; sign → bit.  One explode + one groupBy with
-    ``bits`` agg expressions (map-side combinable)."""
+    ``bits`` agg expressions (map-side combinable).
+
+    ``base_hash='md5'`` derives each bit from the portable base hash via
+    the affine family (bit_i = h_i(tok) mod 2) instead of xxhash64's raw
+    bits — an equally valid ±1 hash family that a SQL oracle can
+    recompute exactly."""
     tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    if base_hash == "md5":
+        fam = _hash_family(bits)
+        h = tok.withColumn(
+            "hm", portable_base_hash(F.col("tok")) % MERSENNE_P
+        )
+        aggs = [
+            F.sum(
+                F.when(((F.col("hm") * a + b) % MERSENNE_P) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i, (a, b) in enumerate(fam)
+        ]
+        per_bit = h.groupBy(id_col).agg(*aggs)
+        one = F.lit(1).cast("long")
+        zero = F.lit(0).cast("long")
+        return per_bit.select(
+            id_col,
+            sum(
+                [
+                    F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(zero)
+                    for i in range(bits)
+                ],
+                zero,
+            ).alias("simhash"),
+        )
     h = tok.withColumn("th", F.xxhash64("tok"))
     aggs = [
         F.sum(
@@ -217,11 +282,12 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using the
     4×16-bit chunk pigeonhole: pairs within distance 3 share at least one
     of four 16-bit chunks → equi-join per chunk, then exact popcount."""
-    sig = simhash(docs, text_col, id_col)
+    sig = simhash(docs, text_col, id_col, base_hash=base_hash)
     chunks = sig.select(
         F.col(id_col),
         F.col("simhash"),
@@ -250,7 +316,10 @@ def simhash_near_duplicates(
             F.col("b.simhash").alias("sig_b"),
         )
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -27,7 +27,10 @@ from .functions import text as Ft
 from .functions import time as Fti
 from .operators.asof import asof_join
 from .operators.dedup import (
+    MERSENNE_P,
+    _hash_family,
     minhash_near_duplicates,
+    portable_base_hash_sql,
     simhash_near_duplicates,
 )
 from .operators.gapfill import forward_fill
@@ -909,24 +912,130 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allpairs_cosine(emb, threshold=0.4, block_size=512)
 
 
+# DuckDB twins for the minhash/simhash pipelines: both engines use the
+# SAME portable base hash (md5 hex fold, dedup.portable_base_hash) and
+# the SAME affine family constants, and the oracle replicates the FULL
+# pipeline (shingling → signatures → banding/pigeonhole → verify), so
+# the candidate sets — not just the final similarities — are exactly
+# equal by construction, with no LSH-recall probability in the compare.
+_FAM64_SQL = "fam(i, a, b) AS (VALUES " + ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(_hash_family(64))
+) + ")"
+_MD5_FOLD = portable_base_hash_sql("hx")
+
+_MINHASH_ORACLE_SQL = f"""
+    WITH {_FAM64_SQL},
+    tokd AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 2, 1))) AS i
+      FROM tokd
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+                  ELSE array_to_string(toks[i + 1 : i + 3], ' ') END AS shingle
+      FROM pos
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+    hashed AS (
+      SELECT doc_id, shingle, ({_MD5_FOLD}) % {MERSENNE_P} AS hm
+      FROM (SELECT doc_id, shingle, substr(md5(shingle), 1, 15) AS hx FROM sh)
+    ),
+    mins AS (
+      SELECT doc_id, f.i, min((hm * f.a + f.b) % {MERSENNE_P}) AS mh
+      FROM hashed CROSS JOIN fam f GROUP BY doc_id, f.i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band_id, list(mh ORDER BY i) AS sig
+      FROM mins GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS ni
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(coalesce(ni, 0) AS DOUBLE) / (za.n + zb.n - coalesce(ni, 0)) AS jaccard
+    FROM cand c
+    LEFT JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+    JOIN sizes za ON za.doc_id = c.id_a
+    JOIN sizes zb ON zb.doc_id = c.id_b
+    WHERE CAST(coalesce(ni, 0) AS DOUBLE) / (za.n + zb.n - coalesce(ni, 0)) >= 0.5
+    ORDER BY c.id_a, c.id_b
+"""
+
+_SIMHASH_ORACLE_SQL = f"""
+    WITH {_FAM64_SQL},
+    tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ({_MD5_FOLD}) % {MERSENNE_P} AS hm
+      FROM (SELECT doc_id, substr(md5(tok), 1, 15) AS hx FROM tok)
+    ),
+    bits AS (
+      SELECT doc_id, f.i,
+             CASE WHEN sum(CASE WHEN ((hm * f.a + f.b) % {MERSENNE_P}) % 2 = 1
+                                THEN 1 ELSE -1 END) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM hashed CROSS JOIN fam f GROUP BY doc_id, f.i
+    ),
+    chunks AS (
+      SELECT doc_id, i // 16 AS chunk_id, list(bit ORDER BY i) AS chunk
+      FROM bits GROUP BY doc_id, i // 16
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN bits ba ON ba.doc_id = c.id_a
+    JOIN bits bb ON bb.doc_id = c.id_b AND bb.i = ba.i
+    GROUP BY 1, 2
+    HAVING sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 3
+    ORDER BY id_a, id_b
+"""
+
+
 @register(
     "minhash_near_dups",
-    None,  # xxhash64 not available in DuckDB → rows-only check; verified in tests/ vs a Python oracle
+    _MINHASH_ORACLE_SQL,
     covers="MinHash+LSH near-dup pipeline (shingle → minhash → band → bucket join → Jaccard verify)",
 )
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return minhash_near_duplicates(d, threshold=0.5).orderBy("id_a", "id_b")
+    return minhash_near_duplicates(d, threshold=0.5, base_hash="md5").orderBy(
+        "id_a", "id_b"
+    )
 
 
 @register(
     "simhash_near_dups",
-    None,  # xxhash64 not available in DuckDB → rows-only; verified in tests/
+    _SIMHASH_ORACLE_SQL,
     covers="SimHash near-dup pipeline (bit-vote signature + chunk pigeonhole join)",
 )
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_near_duplicates(d, max_hamming=3, base_hash="md5").orderBy(
+        "id_a", "id_b"
+    )
 
 
 @register(
