@@ -1115,6 +1115,90 @@ def q_make_curve_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("y", F.round("y", 9))
 
 
+# ECDF knots shared between the Spark query and the DuckDB oracle of
+# stored_curve_quantiles: IDENTICAL SQL text runs on both engines, so
+# the knot doubles agree bit-for-bit and the comparison isolates the
+# x_at_y interpolation semantics (A13/C11).
+_ECDF_KNOTS_SQL = """
+    WITH g AS (
+      SELECT event_type, value AS x, count(*) AS c FROM {events} GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, x, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY x) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS total,
+             row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd,
+             first_value(x) OVER (PARTITION BY event_type ORDER BY x) AS first_x
+      FROM g
+    )
+    SELECT event_type, x,
+           CASE WHEN rn = (CASE WHEN first_x = 0.0 THEN 2 ELSE 1 END) THEN 0.0
+                WHEN rn = nd THEN 1.0
+                ELSE (cum - c + 1.0) / total END AS y
+    FROM w
+    WHERE NOT (rn = 1 AND x = 0.0)
+"""
+
+_QUANTILE_PS = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+_PROBS_SQL = "probs(p) AS (VALUES " + ", ".join(
+    f"(CAST({p} AS DOUBLE))" for p in _QUANTILE_PS
+) + ")"
+
+
+@register(
+    "stored_curve_quantiles",
+    f"""
+    WITH knots AS ({_ECDF_KNOTS_SQL.format(events='events')}),
+    {_PROBS_SQL},
+    segs AS (
+      SELECT event_type, x AS x0, y AS y0,
+             lead(x) OVER (PARTITION BY event_type ORDER BY y) AS x1,
+             lead(y) OVER (PARTITION BY event_type ORDER BY y) AS y1
+      FROM knots
+    ),
+    b AS (
+      SELECT event_type, arg_min(x, y) AS first_x, min(y) AS first_y,
+             arg_max(x, y) AS last_x, max(y) AS last_y
+      FROM knots GROUP BY 1
+    ),
+    interp AS (
+      SELECT s.event_type, p.p,
+             ((s.x1 - s.x0) / (s.y1 - s.y0)) * (p.p - s.y0) + s.x0 AS xq
+      FROM segs s JOIN probs p ON s.y0 <= p.p AND p.p < s.y1
+    )
+    SELECT b.event_type, p.p,
+           round(CASE WHEN p.p <= b.first_y THEN b.first_x
+                      WHEN p.p >= b.last_y THEN b.last_x
+                      ELSE i.xq END, 9) AS x_q
+    FROM b CROSS JOIN probs p
+    LEFT JOIN interp i ON i.event_type = b.event_type AND i.p = p.p
+    ORDER BY b.event_type, p.p
+    """,
+    covers="A13/C11 stored-CDF quantile extraction: curve_x_at_y linear "
+    "interpolation on array<struct> curves vs a relational SQL twin "
+    "(src/monitor/mod.rs:1455-1472, src/types/prediction_result.rs:34-48)",
+)
+def q_stored_curve_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curves.udfs import curve_x_at_y
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__scq_events")
+    knots = spark.sql(_ECDF_KNOTS_SQL.format(events="__scq_events"))
+    curves = knots.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("x", "y"))).alias("curve")
+    )
+    probs = F.explode(F.array(*[F.lit(p) for p in _QUANTILE_PS])).alias("p")
+    return (
+        curves.select("event_type", "curve", probs)
+        .select(
+            "event_type",
+            "p",
+            F.round(curve_x_at_y(F.col("curve"), F.col("p")), 9).alias("x_q"),
+        )
+        .orderBy("event_type", "p")
+    )
+
+
 # ---------------------------------------------------------------------------
 # GTFS domain pipeline (rows-only: fixture-driven, no testdata SQL oracle;
 # semantics are oracle-tested against numpy in tests/test_domain_pipeline.py)
