@@ -1208,18 +1208,20 @@ def q_stored_curve_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "gtfs_records",
     None,
-    covers="S2 decode surrogate + J1/J2 schedule joins + F7 null-skip + W1 "
-    "latest-wins merge (src/importer/per_schedule_importer.rs:151-456)",
+    covers="S2 protobuf wire decode (gtfs-realtime FeedMessage, pure-Python "
+    "parser) + J1/J2 schedule joins + F7 null-skip + W1 latest-wins merge "
+    "(src/importer/per_schedule_importer.rs:96-117, 151-456)",
 )
 def q_gtfs_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.records import build_records, merge_records
     from .schemas import RECORDS_KEY
-    from .sources.demo import build_rt_updates, build_schedule
+    from .sources.demo import build_schedule, rt_feed_files_dir
+    from .sources.rt import decode_feed_messages
 
     sched = build_schedule(spark)
-    rec = build_records(
-        build_rt_updates(spark), sched["trips"], sched["stop_times"], source="demo"
-    )
+    feed_files = spark.read.format("binaryFile").load(rt_feed_files_dir())
+    updates = decode_feed_messages(feed_files)  # default: wire_decoder on real bytes
+    rec = build_records(updates, sched["trips"], sched["stop_times"], source="demo")
     return merge_records(rec.limit(0), rec, key=RECORDS_KEY).orderBy(
         "trip_id", "stop_sequence"
     )

@@ -113,10 +113,9 @@ def build_records(spark: SparkSession):
     return spark.createDataFrame(rows, S.RECORDS)
 
 
-def build_rt_updates(spark: SparkSession):
-    """Flattened rt updates exercising the records-pipeline edge cases."""
+def _rt_update_rows() -> list[tuple]:
     hdr = dt.datetime(2024, 1, 1, 8, 30, 0)
-    rows = [
+    return [
         # normal update
         ("f1", hdr, "t_long", "20240101", "08:00:00", "r1", "s0", 1, 60, 72),
         # duplicate for same (trip, stop) with newer timestamp → wins
@@ -134,4 +133,60 @@ def build_rt_updates(spark: SparkSession):
         # missing start_time → fall back to trip's first departure
         ("f1", hdr, "t_long", "20240101", None, "r1", "s3", 4, -13, -1),
     ]
-    return spark.createDataFrame(rows, S.RT_UPDATES)
+
+
+def build_rt_updates(spark: SparkSession):
+    """Flattened rt updates exercising the records-pipeline edge cases."""
+    return spark.createDataFrame(_rt_update_rows(), S.RT_UPDATES)
+
+
+def write_rt_feed_files(out_dir: str) -> list[str]:
+    """Encode the demo rt updates as REAL GTFS-rt FeedMessage protobuf
+    binaries (S2's wire format), one file per source feed, named with the
+    filename-timestamp convention (C4) so the decode path recovers
+    header_timestamp from the name.  Returns the written paths."""
+    import os
+    from collections import defaultdict
+
+    from .rt import encode_feed_message
+
+    groups: dict[tuple, list[dict]] = defaultdict(list)
+    for feed, hdr, trip, sdate, stime, route, stop, seq, arr, dep in _rt_update_rows():
+        groups[(feed, hdr)].append(
+            {
+                "trip_id": trip,
+                "start_date": sdate,
+                "start_time": stime,
+                "route_id": route,
+                "stop_id": stop,
+                "stop_sequence": seq,
+                "arrival_delay": arr,
+                "departure_delay": dep,
+            }
+        )
+    paths = []
+    for (feed, hdr), rows in sorted(groups.items()):
+        name = f"{feed}_{hdr.strftime('%Y-%m-%dT%H-%M-%S')}.pb"
+        path = os.path.join(out_dir, name)
+        with open(path, "wb") as fh:
+            fh.write(
+                encode_feed_message(
+                    rows, header_timestamp=int(hdr.replace(tzinfo=dt.timezone.utc).timestamp())
+                )
+            )
+        paths.append(path)
+    return paths
+
+
+_RT_FEED_DIR: list[str] = []
+
+
+def rt_feed_files_dir() -> str:
+    """Process-memoized temp directory of encoded demo feed binaries."""
+    if not _RT_FEED_DIR:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="gtfs_rt_demo_")
+        write_rt_feed_files(d)
+        _RT_FEED_DIR.append(d)
+    return _RT_FEED_DIR[0]

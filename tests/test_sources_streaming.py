@@ -234,3 +234,98 @@ class TestMultimodal:
     def test_video_stub_raises(self):
         with pytest.raises(NotImplementedError):
             video_decode_stub(b"")
+
+
+class TestWireCodec:
+    """S2: the dependency-free GTFS-rt protobuf wire decoder, exercised on
+    real FeedMessage bytes (reference input path:
+    src/importer/per_schedule_importer.rs:96-117)."""
+
+    def test_known_bytes_decode(self):
+        # Hand-assembled FeedMessage: header(version "2.0") + one entity
+        # with trip_id "t1", stop_seq 5, arrival delay -1 (10-byte varint).
+        from dystonse_gtfs_data_spark.sources.rt import wire_decoder
+
+        header = b"\x0a\x03" + b"2.0"                       # field 1 len 3
+        trip = b"\x0a\x02" + b"t1"                          # trip_id
+        arrival = b"\x08" + b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x01"  # delay=-1
+        stu = b"\x08\x05" + b"\x12\x0b" + arrival            # seq=5, arrival (11 bytes)
+        tu = b"\x0a" + bytes([len(trip)]) + trip + b"\x12" + bytes([len(stu)]) + stu
+        entity = b"\x0a\x010" + b"\x1a" + bytes([len(tu)]) + tu
+        msg = b"\x0a" + bytes([len(header)]) + header + b"\x12" + bytes([len(entity)]) + entity
+
+        rows = wire_decoder(msg)
+        assert rows == [
+            {
+                "trip_id": "t1",
+                "start_date": None,
+                "start_time": None,
+                "route_id": None,
+                "stop_sequence": 5,
+                "stop_id": None,
+                "arrival_delay": -1,
+                "departure_delay": None,
+            }
+        ]
+
+    def test_encode_decode_roundtrip(self):
+        from dystonse_gtfs_data_spark.sources.rt import (
+            encode_feed_message,
+            wire_decoder,
+        )
+
+        rows = [
+            {
+                "trip_id": "t_long",
+                "start_date": "20240101",
+                "start_time": "08:00:00",
+                "route_id": "r1",
+                "stop_id": "s0",
+                "stop_sequence": 1,
+                "arrival_delay": -13,
+                "departure_delay": 300,
+            },
+            {
+                "trip_id": "t_short",
+                "start_date": None,
+                "start_time": "25:00:00",
+                "route_id": None,
+                "stop_id": None,
+                "stop_sequence": 999,  # 2-byte varint
+                "arrival_delay": None,
+                "departure_delay": -100000,
+            },
+        ]
+        assert wire_decoder(encode_feed_message(rows, header_timestamp=1704096000)) == rows
+
+    def test_distributed_decode_of_binary_feeds(self, spark, tmp_path):
+        from dystonse_gtfs_data_spark.sources.demo import write_rt_feed_files
+        from dystonse_gtfs_data_spark.sources.rt import decode_feed_messages
+
+        paths = write_rt_feed_files(str(tmp_path))
+        assert len(paths) == 2  # f1 + f2 feeds
+        files = spark.read.format("binaryFile").load(str(tmp_path))
+        updates = decode_feed_messages(files).collect()  # DEFAULT decoder = wire
+        assert len(updates) == 8  # every demo update row survives the wire
+        by_key = {(u["trip_id"], u["stop_sequence"]): u for u in updates}
+        assert by_key[("t_long", 4)]["arrival_delay"] == -13
+        assert by_key[("t_long", 4)]["start_time"] is None
+        assert by_key[("t_short", 1)]["start_time"] == "25:00:00"
+        # filename timestamp drives header_timestamp: duplicate update in
+        # f2 carries the newer header
+        assert by_key[("t_long", 1)]["header_timestamp"] == dt.datetime(2024, 1, 1, 8, 35)
+
+    def test_malformed_file_quarantined(self, spark, tmp_path):
+        from dystonse_gtfs_data_spark.sources.demo import write_rt_feed_files
+        from dystonse_gtfs_data_spark.sources.rt import (
+            decode_feed_messages,
+            failed_feed_files,
+        )
+
+        write_rt_feed_files(str(tmp_path))
+        bad = tmp_path / "bad-2024-01-01T09-00-00.pb"
+        bad.write_bytes(b"\x12\xff\xff")  # truncated varint / length
+        files = spark.read.format("binaryFile").load(str(tmp_path))
+        decoded = decode_feed_messages(files)
+        failed = failed_feed_files(files, decoded).collect()
+        assert [os.path.basename(r["path"]) for r in failed] == [bad.name]
