@@ -1205,9 +1205,59 @@ def q_stored_curve_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Demo-fixture oracles: the GTFS domain queries' inputs are materialized
+# to parquet by sources/demo_oracle.py (triggered in oracle_sql()), and
+# the twins below read them with read_parquet — same rows both engines.
+from .sources.demo_oracle import demo_table_sql as _dt
+
+# NULL-guarded: DuckDB's split_part maps NULL input to '' (not NULL)
+_GTFS_TIME_SQL = (
+    "CASE WHEN u.start_time IS NULL THEN NULL ELSE "
+    "CAST(split_part(u.start_time, ':', 1) AS INT) * 3600"
+    " + CAST(split_part(u.start_time, ':', 2) AS INT) * 60"
+    " + CAST(split_part(u.start_time, ':', 3) AS INT) END"
+)
+
+
 @register(
     "gtfs_records",
-    None,
+    f"""
+    WITH upd AS (SELECT * FROM {_dt('rt_updates')}),
+    tr AS (SELECT trip_id, route_id, route_variant FROM {_dt('trips')}),
+    st AS (SELECT trip_id, stop_sequence, stop_id FROM {_dt('stop_times')}),
+    fd AS (
+      SELECT trip_id, min(departure_time) AS first_dep
+      FROM {_dt('stop_times')} GROUP BY 1
+    ),
+    rec AS (
+      SELECT 'demo' AS source, tr.route_id, tr.route_variant, u.trip_id,
+             CAST(CAST(strptime(u.start_date, '%Y%m%d') AS DATE) AS VARCHAR)
+               AS trip_start_date,
+             CAST(coalesce({_GTFS_TIME_SQL}, fd.first_dep) AS INT) AS trip_start_time,
+             u.stop_sequence, st.stop_id,
+             epoch_us(u.header_timestamp) AS time_of_recording_us,
+             u.arrival_delay AS delay_arrival,
+             u.departure_delay AS delay_departure,
+             u.feed_name
+      FROM upd u
+      JOIN tr ON tr.trip_id = u.trip_id
+      JOIN st ON st.trip_id = u.trip_id AND st.stop_sequence = u.stop_sequence
+      LEFT JOIN fd ON fd.trip_id = u.trip_id
+      WHERE u.arrival_delay IS NOT NULL OR u.departure_delay IS NOT NULL
+    ),
+    dedup AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY source, route_id, route_variant, trip_id,
+                     trip_start_date, trip_start_time, stop_sequence
+        ORDER BY time_of_recording_us DESC) AS rn
+      FROM rec
+    )
+    SELECT source, route_id, route_variant, trip_id, trip_start_date,
+           trip_start_time, stop_sequence, stop_id, time_of_recording_us,
+           delay_arrival, delay_departure, feed_name
+    FROM dedup WHERE rn = 1
+    ORDER BY trip_id, stop_sequence
+    """,
     covers="S2 protobuf wire decode (gtfs-realtime FeedMessage, pure-Python "
     "parser) + J1/J2 schedule joins + F7 null-skip + W1 latest-wins merge "
     "(src/importer/per_schedule_importer.rs:96-117, 151-456)",
@@ -1222,9 +1272,15 @@ def q_gtfs_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed_files = spark.read.format("binaryFile").load(rt_feed_files_dir())
     updates = decode_feed_messages(feed_files)  # default: wire_decoder on real bytes
     rec = build_records(updates, sched["trips"], sched["stop_times"], source="demo")
-    return merge_records(rec.limit(0), rec, key=RECORDS_KEY).orderBy(
-        "trip_id", "stop_sequence"
-    )
+    merged = merge_records(rec.limit(0), rec, key=RECORDS_KEY)
+    return merged.select(
+        "source", "route_id", "route_variant", "trip_id",
+        F.col("trip_start_date").cast("string").alias("trip_start_date"),
+        "trip_start_time", "stop_sequence", "stop_id",
+        F.unix_micros("time_of_recording").alias("time_of_recording_us"),
+        "delay_arrival", "delay_departure",
+        F.regexp_extract("schedule_file_name", r"([^/]+)\.pb$", 1).alias("feed_name"),
+    ).orderBy("trip_id", "stop_sequence")
 
 
 @register(
@@ -1390,9 +1446,62 @@ def q_journey_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("arr_trip", "from_stop", "dep_trip", "to_stop")
 
 
+# Master-variant assignment as SQL: patterns as '|'-delimited strings so
+# contiguous-subsequence = substring; variants ordered by (len DESC,
+# variant ASC); a variant's master is the first earlier variant whose
+# pattern contains it forward or reversed (two-level hierarchy — matches
+# the reference's partition-and-subtract on fixtures without chains).
+_MASTERS_SQL = f"""
+    trip_pat AS (
+      SELECT t.route_id, t.route_variant, st.trip_id,
+             '|' || string_agg(st.stop_id, '|' ORDER BY st.stop_sequence) || '|' AS pat,
+             '|' || string_agg(st.stop_id, '|' ORDER BY st.stop_sequence DESC) || '|' AS rpat,
+             count(*) AS n
+      FROM {_dt('trips')} t
+      JOIN {_dt('stop_times')} st ON st.trip_id = t.trip_id
+      GROUP BY 1, 2, 3
+    ),
+    pat AS (
+      SELECT route_id, route_variant, arg_min(pat, trip_id) AS pat,
+             arg_min(rpat, trip_id) AS rpat, arg_min(n, trip_id) AS n
+      FROM trip_pat GROUP BY 1, 2
+    ),
+    ordered AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY route_id ORDER BY n DESC, route_variant) AS rk
+      FROM pat
+    ),
+    cover AS (
+      SELECT a.route_id, a.route_variant,
+             b.route_variant AS master_variant,
+             (strpos(b.pat, a.pat) = 0) AS reversed, b.rk
+      FROM ordered a JOIN ordered b
+        ON a.route_id = b.route_id AND b.rk < a.rk
+       AND (strpos(b.pat, a.pat) > 0 OR strpos(b.pat, a.rpat) > 0)
+    ),
+    best AS (
+      SELECT route_id, route_variant, arg_min(master_variant, rk) AS master_variant,
+             arg_min(reversed, rk) AS reversed
+      FROM cover GROUP BY 1, 2
+    ),
+    masters AS (
+      SELECT o.route_id, o.route_variant,
+             coalesce(b.master_variant, o.route_variant) AS master_variant,
+             coalesce(b.reversed, false) AS reversed
+      FROM ordered o
+      LEFT JOIN best b
+        ON b.route_id = o.route_id AND b.route_variant = o.route_variant
+    )
+"""
+
+
 @register(
     "master_variants",
-    None,  # subsequence containment — pure-Python oracled in tests/
+    f"""
+    WITH {_MASTERS_SQL}
+    SELECT route_id, route_variant, master_variant, reversed
+    FROM masters ORDER BY route_id, route_variant
+    """,
     covers="E3 variant partition-and-subtract: master-shape grouping incl. "
     "reversed containment (src/analyser/visual_schedule.rs:212-277)",
 )
@@ -1459,7 +1568,37 @@ def q_display_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "visual_schedule",
-    None,  # plot-data prep — semantics tested in tests/test_monitor_extras.py
+    f"""
+    WITH {_MASTERS_SQL},
+    sti AS (
+      SELECT trip_id, stop_sequence, arrival_time,
+             CAST(row_number() OVER (PARTITION BY trip_id ORDER BY stop_sequence) - 1
+                  AS INT) AS stop_index
+      FROM {_dt('stop_times')}
+    ),
+    j AS (
+      SELECT r.route_id, m.master_variant, r.route_variant, r.trip_id,
+             r.trip_start_date, r.trip_start_time, sti.stop_index,
+             (CAST(epoch(CAST(r.trip_start_date AS TIMESTAMP)) AS BIGINT)
+               + sti.arrival_time) * 1000000 AS scheduled_arrival_us,
+             CASE WHEN r.delay_arrival IS NOT NULL AND r.delay_arrival <> 0
+                  THEN (CAST(epoch(CAST(r.trip_start_date AS TIMESTAMP)) AS BIGINT)
+                         + sti.arrival_time + r.delay_arrival) * 1000000
+             END AS realized_arrival_us
+      FROM {_dt('records')} r
+      JOIN sti ON sti.trip_id = r.trip_id AND sti.stop_sequence = r.stop_sequence
+      JOIN masters m
+        ON m.route_id = r.route_id AND m.route_variant = r.route_variant
+    ),
+    guarded AS (
+      SELECT *, count(*) OVER (PARTITION BY route_id, master_variant) AS _n FROM j
+    )
+    SELECT route_id, master_variant, route_variant, trip_id,
+           CAST(trip_start_date AS VARCHAR) AS trip_start_date,
+           trip_start_time, stop_index, scheduled_arrival_us, realized_arrival_us
+    FROM guarded WHERE _n >= 10
+    ORDER BY trip_id, trip_start_date, trip_start_time, stop_index
+    """,
     covers="S11 (data side) visual-schedule polylines + F8 zero-delay skip + "
     "E3 master grouping (src/analyser/visual_schedule.rs)",
 )
@@ -1471,7 +1610,8 @@ def q_visual_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     sched = build_schedule(spark)
     out = visual_schedule_data(demo_records(spark), sched["trips"], sched["stop_times"])
     return out.select(
-        "route_id", "master_variant", "route_variant", "trip_id", "trip_start_date",
+        "route_id", "master_variant", "route_variant", "trip_id",
+        F.col("trip_start_date").cast("string").alias("trip_start_date"),
         "trip_start_time", "stop_index",
         F.unix_micros("scheduled_arrival").alias("scheduled_arrival_us"),
         F.unix_micros("realized_arrival").alias("realized_arrival_us"),
@@ -1480,7 +1620,27 @@ def q_visual_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "trip_resolution",
-    None,  # multi-key join — tested in tests/test_monitor_extras.py
+    f"""
+    WITH cs AS (SELECT stop_id FROM {_dt('stops')} WHERE stop_name = 'Stop 3'),
+    ext AS (
+      SELECT DISTINCT b.stop_id
+      FROM {_dt('stops')} a
+      JOIN cs ON a.stop_id = cs.stop_id
+      CROSS JOIN {_dt('stops')} b
+      WHERE {Fg.haversine_m_sql('a.stop_lat', 'a.stop_lon', 'b.stop_lat', 'b.stop_lon')} <= 300.0
+    ),
+    r AS (SELECT route_id FROM {_dt('routes')}
+          WHERE route_short_name = 'R1' AND route_type = 3),
+    t AS (SELECT trip_id, route_id, route_variant FROM {_dt('trips')}
+          WHERE trip_headsign = 'Downtown'
+            AND route_id IN (SELECT route_id FROM r))
+    SELECT st.trip_id, t.route_id, t.route_variant, st.stop_id, st.stop_sequence
+    FROM {_dt('stop_times')} st
+    JOIN t ON t.trip_id = st.trip_id
+    JOIN ext ON ext.stop_id = st.stop_id
+    WHERE st.departure_time = {8 * 3600 + 3 * 240}
+    ORDER BY st.trip_id, st.stop_sequence
+    """,
     covers="J9 trip resolution from journey components incl. extended-stop "
     "match (src/monitor/journey_data.rs:382-473)",
 )
@@ -1543,4 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from .sources.demo_oracle import ensure_demo_oracle_dir
+
+    ensure_demo_oracle_dir()  # the GTFS twins read_parquet these files
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

@@ -21,21 +21,10 @@ N_SHORT_STOPS = 6
 N_VEHICLES = 60
 
 
-def build_schedule(spark: SparkSession):
-    from .tables import _ensure_session_confs
-
-    _ensure_session_confs(spark)  # UTC semantics even on a caller's session
-    routes = spark.createDataFrame(
-        [("r1", "a1", "R1", 3), ("r2", "a1", "R2", 0)], S.ROUTES
-    )
-    trips = spark.createDataFrame(
-        [
-            ("t_long", "r1", "svc_wk", "Downtown", 101),
-            ("t_short", "r2", "svc_wk", "Uptown", 201),
-            ("t_sub", "r1", "svc_wk", "Downtown", 102),  # contiguous subsequence
-        ],
-        S.TRIPS,
-    )
+def schedule_rows() -> dict[str, list[tuple]]:
+    """The schedule fixture as plain Python rows — shared by the Spark
+    builders and the pyarrow oracle materializer (sources/demo_oracle.py)
+    so both engines see byte-identical inputs."""
     st_rows = []
     for i in range(N_LONG_STOPS):
         # departures 08:00, 08:04, ...; arrivals 30 s earlier
@@ -47,21 +36,40 @@ def build_schedule(spark: SparkSession):
     for i in range(5, 10):  # sub-trip covers stops s5..s9 of the long route
         dep = 9 * 3600 + (i - 5) * 240
         st_rows.append(("t_sub", i - 4, f"s{i}", dep - 30, dep))
-    stop_times = spark.createDataFrame(st_rows, S.STOP_TIMES)
-
-    stops = spark.createDataFrame(
-        [
+    return {
+        "routes": [("r1", "a1", "R1", 3), ("r2", "a1", "R2", 0)],
+        "trips": [
+            ("t_long", "r1", "svc_wk", "Downtown", 101),
+            ("t_short", "r2", "svc_wk", "Uptown", 201),
+            ("t_sub", "r1", "svc_wk", "Downtown", 102),  # contiguous subsequence
+        ],
+        "stop_times": st_rows,
+        "stops": [
             (f"s{i}", f"Stop {i}", 53.0 + i * 0.0005, 8.8)  # ~55 m apart: clusters
             for i in range(N_LONG_STOPS)
         ]
-        + [(f"s{i + 20}", f"Stop {i + 20}", 54.0 + i * 0.01, 9.9) for i in range(N_SHORT_STOPS)],
-        S.STOPS,
-    )
-    calendar = spark.createDataFrame(
-        [("svc_wk", True, True, True, True, True, False, False, MONDAY, dt.date(2024, 12, 31))],
-        S.CALENDAR,
-    )
-    return {"routes": routes, "trips": trips, "stop_times": stop_times, "stops": stops, "calendar": calendar}
+        + [
+            (f"s{i + 20}", f"Stop {i + 20}", 54.0 + i * 0.01, 9.9)
+            for i in range(N_SHORT_STOPS)
+        ],
+        "calendar": [
+            ("svc_wk", True, True, True, True, True, False, False, MONDAY, dt.date(2024, 12, 31))
+        ],
+    }
+
+
+def build_schedule(spark: SparkSession):
+    from .tables import _ensure_session_confs
+
+    _ensure_session_confs(spark)  # UTC semantics even on a caller's session
+    rows = schedule_rows()
+    return {
+        "routes": spark.createDataFrame(rows["routes"], S.ROUTES),
+        "trips": spark.createDataFrame(rows["trips"], S.TRIPS),
+        "stop_times": spark.createDataFrame(rows["stop_times"], S.STOP_TIMES),
+        "stops": spark.createDataFrame(rows["stops"], S.STOPS),
+        "calendar": spark.createDataFrame(rows["calendar"], S.CALENDAR),
+    }
 
 
 def delay_matrix(seed: int = 5) -> np.ndarray:
@@ -72,7 +80,7 @@ def delay_matrix(seed: int = 5) -> np.ndarray:
     return np.round(start + drift).astype(int)
 
 
-def build_records(spark: SparkSession):
+def records_rows() -> list[tuple]:
     """Direct RECORDS rows for the long trip: one row per vehicle × stop,
     arrival delay = matrix value, departure delay = arrival + jitter.
     Stop 15 (index 14, seq 15) reports for only 15 vehicles (< 21-pair
@@ -110,7 +118,11 @@ def build_records(spark: SparkSession):
                     "sched_v1",
                 )
             )
-    return spark.createDataFrame(rows, S.RECORDS)
+    return rows
+
+
+def build_records(spark: SparkSession):
+    return spark.createDataFrame(records_rows(), S.RECORDS)
 
 
 def _rt_update_rows() -> list[tuple]:

@@ -1,0 +1,125 @@
+"""Materialize the demo GTFS fixture as parquet for DuckDB oracles.
+
+The driver's correctness gate runs ``oracle_sql()`` strings on DuckDB;
+the GTFS domain queries' inputs are the in-memory demo fixture, so the
+oracle needs them on disk.  Everything here is pure pyarrow — no Spark —
+built from the SAME row lists (``demo.schedule_rows`` /
+``demo.records_rows`` / ``demo._rt_update_rows``) the Spark builders
+use, so both engines read byte-identical inputs.  SQL twins reference
+the files via ``read_parquet('{DEMO_ORACLE_DIR}/…')``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+# Stable path embedded into oracle SQL strings at import time; the files
+# are (re)written by ensure_demo_oracle_dir() before any oracle runs.
+DEMO_ORACLE_DIR = os.path.join(tempfile.gettempdir(), "dystonse_demo_oracle_v1")
+
+_SENTINEL = os.path.join(DEMO_ORACLE_DIR, "_SUCCESS")
+
+
+def ensure_demo_oracle_dir() -> str:
+    """Write the fixture parquet files once per machine; idempotent."""
+    if os.path.exists(_SENTINEL):
+        return DEMO_ORACLE_DIR
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .demo import _rt_update_rows, records_rows, schedule_rows
+
+    os.makedirs(DEMO_ORACLE_DIR, exist_ok=True)
+    sched = schedule_rows()
+
+    def write(name: str, cols: dict) -> None:
+        pq.write_table(pa.table(cols), os.path.join(DEMO_ORACLE_DIR, f"{name}.parquet"))
+
+    def col(rows, i):
+        return [r[i] for r in rows]
+
+    write(
+        "routes",
+        {
+            "route_id": col(sched["routes"], 0),
+            "agency_id": col(sched["routes"], 1),
+            "route_short_name": col(sched["routes"], 2),
+            "route_type": pa.array(col(sched["routes"], 3), pa.int32()),
+        },
+    )
+    write(
+        "trips",
+        {
+            "trip_id": col(sched["trips"], 0),
+            "route_id": col(sched["trips"], 1),
+            "service_id": col(sched["trips"], 2),
+            "trip_headsign": col(sched["trips"], 3),
+            "route_variant": pa.array(col(sched["trips"], 4), pa.int64()),
+        },
+    )
+    write(
+        "stop_times",
+        {
+            "trip_id": col(sched["stop_times"], 0),
+            "stop_sequence": pa.array(col(sched["stop_times"], 1), pa.int32()),
+            "stop_id": col(sched["stop_times"], 2),
+            "arrival_time": pa.array(col(sched["stop_times"], 3), pa.int32()),
+            "departure_time": pa.array(col(sched["stop_times"], 4), pa.int32()),
+        },
+    )
+    write(
+        "stops",
+        {
+            "stop_id": col(sched["stops"], 0),
+            "stop_name": col(sched["stops"], 1),
+            "stop_lat": pa.array(col(sched["stops"], 2), pa.float64()),
+            "stop_lon": pa.array(col(sched["stops"], 3), pa.float64()),
+        },
+    )
+    upd = _rt_update_rows()
+    write(
+        "rt_updates",
+        {
+            # feed_name mirrors the wire-decode path's file basename
+            # (feed id + filename timestamp, C4 convention)
+            "feed_name": [
+                f"{r[0]}_{r[1].strftime('%Y-%m-%dT%H-%M-%S')}" for r in upd
+            ],
+            "header_timestamp": pa.array(col(upd, 1), pa.timestamp("us")),
+            "trip_id": col(upd, 2),
+            "start_date": col(upd, 3),
+            "start_time": col(upd, 4),
+            "route_id": col(upd, 5),
+            "stop_id": col(upd, 6),
+            "stop_sequence": pa.array(col(upd, 7), pa.int32()),
+            "arrival_delay": pa.array(col(upd, 8), pa.int32()),
+            "departure_delay": pa.array(col(upd, 9), pa.int32()),
+        },
+    )
+    rec = records_rows()
+    write(
+        "records",
+        {
+            "source": col(rec, 0),
+            "route_id": col(rec, 1),
+            "route_variant": pa.array(col(rec, 2), pa.int64()),
+            "trip_id": col(rec, 3),
+            "trip_start_date": pa.array(col(rec, 4), pa.date32()),
+            "trip_start_time": pa.array(col(rec, 5), pa.int32()),
+            "stop_sequence": pa.array(col(rec, 6), pa.int32()),
+            "stop_id": col(rec, 7),
+            "time_of_recording": pa.array(col(rec, 8), pa.timestamp("us")),
+            "delay_arrival": pa.array(col(rec, 9), pa.int32()),
+            "delay_departure": pa.array(col(rec, 10), pa.int32()),
+            "schedule_file_name": col(rec, 11),
+        },
+    )
+    with open(_SENTINEL, "w") as fh:
+        fh.write("ok")
+    return DEMO_ORACLE_DIR
+
+
+def demo_table_sql(name: str) -> str:
+    """SQL expression for one fixture table."""
+    return f"read_parquet('{os.path.join(DEMO_ORACLE_DIR, name)}.parquet')"
