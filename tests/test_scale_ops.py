@@ -73,3 +73,48 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
             spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+class TestBucketedDomainPipeline:
+    """VERDICT follow-up: the records⋈stop_times and record-pair joins of
+    the DOMAIN pipeline actually running on bucketed tables, shuffle-free."""
+
+    def test_records_stop_join_has_no_exchange(self, spark):
+        from dystonse_gtfs_data_spark.operators.monitor import pair_counts
+        from dystonse_gtfs_data_spark.sources.bucketed import (
+            bucketed_pair_counts,
+            bucketed_stop_join,
+            write_domain_tables_bucketed,
+        )
+        from dystonse_gtfs_data_spark.sources.demo import (
+            build_records,
+            build_schedule,
+        )
+
+        records = build_records(spark)
+        stop_times = build_schedule(spark)["stop_times"]
+        rec_t, st_t = write_domain_tables_bucketed(
+            records, stop_times, num_buckets=8, prefix="t_dom"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_stop_join(spark, rec_t, st_t)
+            plan = formatted_plan(joined)
+            assert shuffle_count(joined) == 0, plan
+            assert joined.count() == records.count()  # every record matches J2
+
+            pairs = bucketed_pair_counts(spark, rec_t)
+            pplan = formatted_plan(pairs)
+            # co-located self-join: the ONLY Exchange is the final rollup
+            assert shuffle_count(pairs) == 1, pplan
+            # value parity vs the unbucketed operator
+            got = {(r["start_seq"], r["end_seq"]): r["n_pairs"] for r in pairs.collect()}
+            want = {
+                (r["start_seq"], r["end_seq"]): r["n_pairs"]
+                for r in pair_counts(records).collect()
+            }
+            assert got == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.sql("DROP TABLE IF EXISTS t_dom_records_b")
+            spark.sql("DROP TABLE IF EXISTS t_dom_stop_times_b")
