@@ -98,10 +98,21 @@ def variant_section_curves(enriched: DataFrame, routes: DataFrame) -> DataFrame:
     ).applyInPandas(build, schema)
 
 
+_MEMBER_SORT_COLS = [
+    "route_type", "route_section", "time_slot_id", "event_type",
+    "route_id", "route_variant",
+]
+
+
 def _average_udf(group_cols: list[str], extra_simplify: float | None = None):
     cols = group_cols + ["curve", "sample_size"]
 
     def avg(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic member order: float summation in average_curves is
+        # order-sensitive at the ulp level, and applyInPandas row order is
+        # partition-arrival order — sort so reruns and the single-node
+        # oracle sum in the same order
+        pdf = pdf.sort_values([c for c in _MEMBER_SORT_COLS if c in pdf.columns])
         curves: list[Curve] = []
         for rows in pdf["curve"]:
             c = rows_to_curve(rows)

@@ -192,7 +192,11 @@ def general_delay_curves(enriched: DataFrame) -> DataFrame:
 
 
 def _curve_set_udf(pdf: pd.DataFrame) -> pd.DataFrame:
-    pairs = list(zip(pdf["d_start"], pdf["d_end"]))
+    # deterministic pair order: build_curve_set's stable sort breaks start-
+    # delay ties by input order, and applyInPandas row order follows
+    # partition arrival — sort fully so reruns (and the single-node
+    # differential oracle) produce identical curves
+    pairs = sorted(zip(pdf["d_start"], pdf["d_end"]))
     cols = [
         "route_id", "route_variant", "start_stop_index", "end_stop_index",
         "time_slot_id", "event_type", "focus_delay", "curve", "sample_size",

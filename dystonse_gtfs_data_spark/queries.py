@@ -1285,7 +1285,15 @@ def q_gtfs_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "gtfs_statistics",
-    None,
+    # differential oracle: expected rows computed by the single-node pandas
+    # reimplementation (sources/demo_oracle_pipeline.py) — independent
+    # orchestration, shared numpy curve interiors
+    f"""
+    SELECT * FROM {_dt("expected_gtfs_statistics")}
+    ORDER BY scope, route_type, route_section, time_slot_id, event_type,
+             route_variant, start_stop_index, end_stop_index, stop_index,
+             focus_delay
+    """,
     covers="A7/A8 specific curves + A6 default rollup: the full statistics "
     "tree build (src/analyser/specific_curves.rs, default_curves.rs)",
 )
@@ -1303,7 +1311,7 @@ def q_gtfs_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "route_section",
         "time_slot_id",
         "event_type",
-        "focus_delay",
+        F.col("focus_delay").cast("double").alias("focus_delay"),
         F.size("curve").alias("n_points"),
         "precision_type",
         "sample_size",
@@ -1316,7 +1324,11 @@ def q_gtfs_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "gtfs_predictions",
-    None,
+    # differential oracle: single-node pandas fallback-ladder reimplementation
+    f"""
+    SELECT * FROM {_dt("expected_gtfs_predictions")}
+    ORDER BY trip_id, trip_start_date, trip_start_time, stop_sequence, event_type
+    """,
     covers="J10 fallback ladder + T3 basis + prediction_min/max time shift: "
     "records → statistics → predictions end-to-end (src/predictor/mod.rs, "
     "src/importer/per_schedule_importer.rs:315-366)",
@@ -1335,17 +1347,17 @@ def q_gtfs_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return preds.select(
         "source",
-        "event_type",
+        F.col("event_type").cast("int").alias("event_type"),
         "stop_id",
         "stop_sequence",
         "route_id",
         "trip_id",
-        "trip_start_date",
+        F.col("trip_start_date").cast("string").alias("trip_start_date"),
         "trip_start_time",
-        "prediction_min",
-        "prediction_max",
-        "precision_type",
-        "origin_type",
+        F.unix_micros("prediction_min").alias("prediction_min_us"),
+        F.unix_micros("prediction_max").alias("prediction_max_us"),
+        F.col("precision_type").cast("int").alias("precision_type"),
+        F.col("origin_type").cast("int").alias("origin_type"),
         "sample_size",
         F.size("prediction_curve").alias("n_curve_points"),
     ).orderBy("trip_id", "trip_start_date", "trip_start_time", "stop_sequence", "event_type")
@@ -1517,7 +1529,11 @@ def q_master_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scheduled_predictions",
-    None,  # end-to-end ladder output — rung-oracled in tests/
+    # differential oracle: single-node pandas T6 reimplementation
+    f"""
+    SELECT * FROM {_dt("expected_scheduled_predictions")}
+    ORDER BY trip_id, trip_start_date, stop_sequence, event_type
+    """,
     covers="T6 schedule-origin look-ahead predictions incl. previous-service-day "
     "rule (src/importer/scheduled_predictions_importer.rs:64-242)",
 )
@@ -1536,9 +1552,16 @@ def q_scheduled_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         schedule_file_name="demo_sched",
     )
     return preds.select(
-        "source", "event_type", "stop_id", "stop_sequence", "route_id", "trip_id",
-        "trip_start_date", "trip_start_time", "prediction_min", "prediction_max",
-        "precision_type", "origin_type", "sample_size",
+        "source",
+        F.col("event_type").cast("int").alias("event_type"),
+        "stop_id", "stop_sequence", "route_id", "trip_id",
+        F.col("trip_start_date").cast("string").alias("trip_start_date"),
+        "trip_start_time",
+        F.unix_micros("prediction_min").alias("prediction_min_us"),
+        F.unix_micros("prediction_max").alias("prediction_max_us"),
+        F.col("precision_type").cast("int").alias("precision_type"),
+        F.col("origin_type").cast("int").alias("origin_type"),
+        "sample_size",
         F.size("prediction_curve").alias("n_curve_points"),
     ).orderBy("trip_id", "trip_start_date", "stop_sequence", "event_type")
 
@@ -1658,7 +1681,11 @@ def q_trip_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "departure_board",
-    None,  # serving-layer query over demo predictions — filter logic tested in tests/
+    # differential oracle: single-node pandas board reimplementation
+    f"""
+    SELECT * FROM {_dt("expected_departure_board")}
+    ORDER BY median_time_us, trip_id, stop_sequence, event_type
+    """,
     covers="F5 window overlap + W2 realtime-over-schedule dedup + F9 last-stop "
     "filter + F6 quantile band + W5 median sort (src/monitor/mod.rs:426-591)",
 )
@@ -1688,8 +1715,15 @@ def q_departure_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         trip_max_sequences=max_seq,
     )
     return board.select(
-        "stop_id", "stop_sequence", "event_type", "trip_id", "trip_start_date",
-        "trip_start_time", "precision_type", "origin_type", "median_time",
+        "stop_id",
+        "stop_sequence",
+        F.col("event_type").cast("int").alias("event_type"),
+        "trip_id",
+        F.col("trip_start_date").cast("string").alias("trip_start_date"),
+        "trip_start_time",
+        F.col("precision_type").cast("int").alias("precision_type"),
+        F.col("origin_type").cast("int").alias("origin_type"),
+        F.unix_micros("median_time").alias("median_time_us"),
     )
 
 

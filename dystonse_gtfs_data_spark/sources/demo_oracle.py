@@ -115,6 +115,36 @@ def ensure_demo_oracle_dir() -> str:
             "schedule_file_name": col(rec, 11),
         },
     )
+    # differential-oracle expected outputs: computed by the single-node
+    # pandas reimplementation (demo_oracle_pipeline.py)
+    from .demo_oracle_pipeline import (
+        expected_gtfs_statistics,
+        expected_realtime_predictions,
+    )
+
+    stats = expected_gtfs_statistics()
+    pq.write_table(
+        pa.Table.from_pandas(stats, preserve_index=False),
+        os.path.join(DEMO_ORACLE_DIR, "expected_gtfs_statistics.parquet"),
+    )
+    preds = expected_realtime_predictions()
+    pq.write_table(
+        pa.Table.from_pandas(preds, preserve_index=False),
+        os.path.join(DEMO_ORACLE_DIR, "expected_gtfs_predictions.parquet"),
+    )
+    from .demo_oracle_pipeline import (
+        expected_departure_board,
+        expected_scheduled_predictions,
+    )
+
+    pq.write_table(
+        pa.Table.from_pandas(expected_departure_board(), preserve_index=False),
+        os.path.join(DEMO_ORACLE_DIR, "expected_departure_board.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(expected_scheduled_predictions(), preserve_index=False),
+        os.path.join(DEMO_ORACLE_DIR, "expected_scheduled_predictions.parquet"),
+    )
     with open(_SENTINEL, "w") as fh:
         fh.write("ok")
     return DEMO_ORACLE_DIR

@@ -1,0 +1,718 @@
+"""Single-node pandas/numpy reimplementation of the demo statistics →
+predictions pipeline, used as a differential oracle.
+
+The distributed pipeline (operators/specific_curves.py, default_curves.py,
+predict.py) is re-derived here with pandas groupbys and explicit loops —
+same semantics, independent orchestration — so the driver's DuckDB gate
+can verify the Spark run row-for-row (the twins just ``read_parquet`` the
+expected output this module writes).  The curve *interiors* intentionally
+reuse ``curves.core`` (numpy-pure, pinned by their own unit tests against
+reference semantics); what this oracle independently checks is everything
+around them: gap projection, enrichment, slotting, the pair self-join,
+min-sample guards, the rollup/gap-fill grid, the fallback ladder, and the
+prediction time shifts.
+
+Float discipline: wherever the Spark pipeline stores a curve in a
+DataFrame (array<struct<x: float, y: float>>, float32) before the next
+stage reads it back, ``_store`` applies the same float32 round-trip so
+both sides feed later stages identical numbers.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+
+from ..curves.core import (
+    Curve,
+    average_curves,
+    build_curve_set,
+    curve_set_interpolate,
+    make_curve,
+    simplify,
+    simplify_to_max_points,
+)
+from ..functions.time import DEFAULT_TIME_SLOT_ID, TIME_SLOTS
+from ..schemas import (
+    EVENT_ARRIVAL,
+    EVENT_DEPARTURE,
+    PRECISION_FALLBACK_GENERAL,
+    PRECISION_FALLBACK_SPECIFIC,
+    PRECISION_GENERAL,
+    PRECISION_SEMI_SPECIFIC,
+    PRECISION_SPECIFIC,
+    PRECISION_SUPER_GENERAL,
+)
+from .demo import records_rows, schedule_rows
+
+VEHICLE_KEY = ["trip_id", "trip_start_date", "trip_start_time"]
+MIN_PAIRS_FOR_CURVE_SET = 20
+MIN_DATA_FOR_GENERAL_CURVE = 20
+MIN_DATA_FOR_DEFAULT_CURVE = 10
+DELAY_ROUND_STEP = 12
+CURVE_DELAY_BOUND = 3000
+DEFAULT_SLOT = 12
+ROUTE_TYPES = [0, 1, 2, 3, 4, 5, 6, 7]
+SECTIONS = ["beginning", "middle", "end"]
+SLOT_IDS = [s[0] for s in TIME_SLOTS]
+
+REC_COLS = [
+    "source", "route_id", "route_variant", "trip_id", "trip_start_date",
+    "trip_start_time", "stop_sequence", "stop_id", "time_of_recording",
+    "delay_arrival", "delay_departure", "schedule_file_name",
+]
+
+STAT_COLS = [
+    "scope", "route_id", "route_variant", "start_stop_index", "end_stop_index",
+    "stop_index", "route_type", "route_section", "time_slot_id", "event_type",
+    "focus_delay", "curve", "precision_type", "sample_size",
+]
+
+# member-order sort used by the Spark _average_udf (default_curves.py)
+_MEMBER_SORT_COLS = [
+    "route_type", "route_section", "time_slot_id", "event_type",
+    "route_id", "route_variant",
+]
+
+
+def _store(curve: Curve) -> Curve:
+    """Emulate the array<struct<float,float>> (float32) storage boundary."""
+    return Curve(
+        np.asarray(curve.xs, np.float32).astype(np.float64),
+        np.asarray(curve.ys, np.float32).astype(np.float64),
+    )
+
+
+def _f32(v: float) -> float:
+    return float(np.float32(v))
+
+
+def _slot_id(ts: dt.datetime) -> int:
+    wd, hr = ts.weekday(), ts.hour
+    for sid, min_wd, max_wd, min_hr, max_hr in TIME_SLOTS:
+        day = (min_wd <= wd <= max_wd) if min_wd <= max_wd else (wd >= min_wd or wd <= max_wd)
+        hour = (min_hr <= hr < max_hr) if min_hr <= max_hr else (hr >= min_hr or hr < max_hr)
+        if day and hour:
+            return sid
+    return DEFAULT_TIME_SLOT_ID
+
+
+def _route_section(stop_index: int, stop_count: int) -> str:
+    size = min(5, int(stop_count / 3))
+    if stop_index < size:
+        return "beginning"
+    if stop_count - stop_index <= size:
+        return "end"
+    return "middle"
+
+
+def _service_dt(date: dt.date, seconds: int) -> dt.datetime:
+    return dt.datetime(date.year, date.month, date.day) + dt.timedelta(seconds=int(seconds))
+
+
+def _round_delay(d: int) -> float:
+    sign = 1 if d >= 0 else -1
+    return _f32(sign * (abs(int(d)) // DELAY_ROUND_STEP) * DELAY_ROUND_STEP)
+
+
+def _records_df() -> pd.DataFrame:
+    return pd.DataFrame(records_rows(), columns=REC_COLS)
+
+
+def _stop_times_df() -> pd.DataFrame:
+    st = pd.DataFrame(
+        schedule_rows()["stop_times"],
+        columns=["trip_id", "stop_sequence", "stop_id", "arrival_time", "departure_time"],
+    ).sort_values(["trip_id", "stop_sequence"], ignore_index=True)
+    st["stop_index"] = st.groupby("trip_id").cumcount()
+    st["stop_count"] = st.groupby("trip_id")["stop_sequence"].transform("size")
+    return st
+
+
+def _routes_df() -> pd.DataFrame:
+    return pd.DataFrame(
+        schedule_rows()["routes"],
+        columns=["route_id", "agency_id", "route_short_name", "route_type"],
+    )
+
+
+def _projected_records(rec: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
+    """J6 gap projection (specific_curves.project_missing_delays): per
+    vehicle, the grid of scheduled stops, unobserved stops carrying the
+    NEXT observed stop's (arrival, departure, time_of_recording) together;
+    stops after the last report dropped."""
+    vehicles = rec[
+        ["source", "route_id", "route_variant", "schedule_file_name", *VEHICLE_KEY]
+    ].drop_duplicates()
+    grid = vehicles.merge(st[["trip_id", "stop_sequence", "stop_id"]], on="trip_id")
+    obs = rec[[*VEHICLE_KEY, "stop_sequence", "delay_arrival", "delay_departure",
+               "time_of_recording"]].copy()
+    obs["_observed"] = 1
+    g = grid.merge(obs, on=[*VEHICLE_KEY, "stop_sequence"], how="left")
+    g = g.sort_values([*VEHICLE_KEY, "stop_sequence"], ignore_index=True)
+    g["_src"] = np.where(g["_observed"].notna(), g.index.to_numpy(dtype=float), np.nan)
+    g["_src"] = g.groupby(VEHICLE_KEY, sort=False)["_src"].transform("bfill")
+    keep = g["_src"].notna()
+    src = g.loc[keep, "_src"].astype(int).to_numpy()
+    out = g.loc[
+        keep,
+        ["source", "route_id", "route_variant", *VEHICLE_KEY,
+         "stop_sequence", "stop_id", "schedule_file_name"],
+    ].reset_index(drop=True)
+    out["delay_arrival"] = g["delay_arrival"].to_numpy()[src]
+    out["delay_departure"] = g["delay_departure"].to_numpy()[src]
+    out["time_of_recording"] = g["time_of_recording"].to_numpy()[src]
+    return out
+
+
+def _enrich(records: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
+    e = records.merge(
+        st[["trip_id", "stop_sequence", "stop_index", "stop_count",
+            "arrival_time", "departure_time"]],
+        on=["trip_id", "stop_sequence"],
+    )
+    e["slot_arrival"] = [
+        _slot_id(_service_dt(d, s)) for d, s in zip(e["trip_start_date"], e["arrival_time"])
+    ]
+    e["slot_departure"] = [
+        _slot_id(_service_dt(d, s)) for d, s in zip(e["trip_start_date"], e["departure_time"])
+    ]
+    return e
+
+
+def _specific_curve_sets(enriched: pd.DataFrame) -> list[dict]:
+    """A7/J4 stop-pair curve sets (specific_curves.stop_pair_curve_sets)."""
+    starts = enriched[enriched["delay_departure"].notna()][
+        ["route_id", "route_variant", *VEHICLE_KEY, "stop_index",
+         "delay_departure", "slot_arrival", "slot_departure"]
+    ].rename(columns={
+        "stop_index": "start_stop_index", "delay_departure": "d_start_raw",
+        "slot_arrival": "s_slot_arr", "slot_departure": "s_slot_dep",
+    })
+    ends = enriched[
+        [*VEHICLE_KEY, "stop_index", "delay_arrival", "delay_departure",
+         "slot_arrival", "slot_departure"]
+    ].rename(columns={
+        "stop_index": "end_stop_index", "delay_arrival": "d_end_arr",
+        "delay_departure": "d_end_dep", "slot_arrival": "e_slot_arr",
+        "slot_departure": "e_slot_dep",
+    })
+    paired = starts.merge(ends, on=VEHICLE_KEY)
+    paired = paired[paired["start_stop_index"] < paired["end_stop_index"]]
+
+    t = CURVE_DELAY_BOUND
+    frames = []
+    for et, d_end, e_slot, s_slot in (
+        (EVENT_ARRIVAL, "d_end_arr", "e_slot_arr", "s_slot_arr"),
+        (EVENT_DEPARTURE, "d_end_dep", "e_slot_dep", "s_slot_dep"),
+    ):
+        p = paired[
+            paired[d_end].notna()
+            & (paired["d_start_raw"] > -t) & (paired["d_start_raw"] < t)
+            & (paired[d_end] > -t) & (paired[d_end] < t)
+        ].copy()
+        p["event_type"] = et
+        p["d_start"] = [_round_delay(v) for v in p["d_start_raw"]]
+        p["d_end"] = [_round_delay(v) for v in p[d_end]]
+        p["slot_start"] = p[s_slot]
+        p["slot_end"] = p[e_slot]
+        frames.append(p[["route_id", "route_variant", "start_stop_index",
+                         "end_stop_index", "event_type", "d_start", "d_end",
+                         "slot_start", "slot_end"]])
+    pairs = pd.concat(frames, ignore_index=True)
+
+    slotted = pairs[pairs["slot_start"] == pairs["slot_end"]].copy()
+    slotted["time_slot_id"] = slotted["slot_start"]
+    default_slot = pairs.copy()
+    default_slot["time_slot_id"] = DEFAULT_SLOT
+    all_pairs = pd.concat([slotted, default_slot], ignore_index=True)
+
+    rows = []
+    keys = ["route_id", "route_variant", "start_stop_index", "end_stop_index",
+            "time_slot_id", "event_type"]
+    for key, grp in all_pairs.groupby(keys, sort=False):
+        pair_list = sorted(zip(grp["d_start"], grp["d_end"]))
+        if len(pair_list) <= MIN_PAIRS_FOR_CURVE_SET:
+            continue
+        built = build_curve_set(pair_list)
+        if built is None:
+            continue
+        curves, sample_size = built
+        kd = dict(zip(keys, key))
+        for focus, curve in curves:
+            rows.append(
+                {
+                    **kd,
+                    "focus_delay": _f32(focus),
+                    "curve": _store(curve),
+                    "sample_size": int(sample_size),
+                }
+            )
+    return rows
+
+
+def _general_curves(enriched: pd.DataFrame) -> list[dict]:
+    """A8 per-stop ECDFs (specific_curves.general_delay_curves)."""
+    frames = []
+    for et, col in ((EVENT_ARRIVAL, "delay_arrival"), (EVENT_DEPARTURE, "delay_departure")):
+        f = enriched[enriched[col].notna()][
+            ["route_id", "route_variant", "stop_index", col]
+        ].rename(columns={col: "delay"})
+        f["event_type"] = et
+        frames.append(f)
+    stacked = pd.concat(frames, ignore_index=True)
+    rows = []
+    for key, grp in stacked.groupby(
+        ["route_id", "route_variant", "stop_index", "event_type"], sort=False
+    ):
+        values = grp["delay"].to_numpy(dtype=float)
+        if len(values) < MIN_DATA_FOR_GENERAL_CURVE:
+            continue
+        made = make_curve(values, None)
+        if made is None:
+            continue
+        curve = _store(simplify(made[0], 0.01))
+        rows.append(
+            {
+                "route_id": key[0], "route_variant": key[1],
+                "stop_index": int(key[2]), "event_type": int(key[3]),
+                "curve": curve, "sample_size": len(values),
+            }
+        )
+    return rows
+
+
+def _variant_section_curves(enriched: pd.DataFrame, routes: pd.DataFrame) -> pd.DataFrame:
+    r = enriched.merge(routes[["route_id", "route_type"]], on="route_id")
+    r["route_section"] = [
+        _route_section(i, c) for i, c in zip(r["stop_index"], r["stop_count"])
+    ]
+    frames = []
+    for et, col, slot_col in (
+        (EVENT_ARRIVAL, "delay_arrival", "slot_arrival"),
+        (EVENT_DEPARTURE, "delay_departure", "slot_departure"),
+    ):
+        f = r[r[col].notna()][
+            ["route_type", "route_section", slot_col, "route_id", "route_variant", col]
+        ].rename(columns={slot_col: "time_slot_id", col: "delay"})
+        f["event_type"] = et
+        frames.append(f)
+    stacked = pd.concat(frames, ignore_index=True)
+    rows = []
+    for key, grp in stacked.groupby(
+        ["route_type", "route_section", "time_slot_id", "event_type",
+         "route_id", "route_variant"],
+        sort=False,
+    ):
+        values = grp["delay"].to_numpy(dtype=float)
+        if len(values) < MIN_DATA_FOR_DEFAULT_CURVE:
+            continue
+        made = make_curve(values, None)
+        if made is None:
+            continue
+        rows.append(
+            {
+                "route_type": int(key[0]), "route_section": key[1],
+                "time_slot_id": int(key[2]), "event_type": int(key[3]),
+                "route_id": key[4], "route_variant": key[5],
+                "curve": _store(simplify(made[0], 0.001)),
+                "sample_size": len(values),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _average(members: pd.DataFrame, extra_simplify: float | None = None):
+    members = members.sort_values(
+        [c for c in _MEMBER_SORT_COLS if c in members.columns]
+    )
+    curves = []
+    for c in members["curve"]:
+        if c is None or len(c.xs) < 2:
+            continue
+        curves.append(simplify(c, extra_simplify) if extra_simplify else c)
+    if not curves:
+        return None
+    merged = _store(simplify(average_curves(curves), 0.001))
+    sample = int(members["sample_size"].mean())
+    return merged, sample
+
+
+def _default_statistics(enriched: pd.DataFrame, routes: pd.DataFrame) -> list[dict]:
+    vc = _variant_section_curves(enriched, routes)
+    level1: dict[tuple, tuple] = {}
+    if len(vc):
+        for key, grp in vc.groupby(
+            ["route_type", "route_section", "time_slot_id", "event_type"], sort=False
+        ):
+            got = _average(grp)
+            if got:
+                level1[key] = got
+        level2: dict[tuple, tuple] = {}
+        for key, grp in vc.groupby(["route_type", "event_type"], sort=False):
+            got = _average(grp)
+            if got:
+                level2[key] = got
+        level3 = _average(vc, extra_simplify=0.01)
+    else:
+        level2, level3 = {}, None
+
+    rows = []
+    for rt in ROUTE_TYPES:
+        for sec in SECTIONS:
+            for slot in SLOT_IDS:
+                for et in (EVENT_ARRIVAL, EVENT_DEPARTURE):
+                    if (rt, sec, slot, et) in level1:
+                        curve, n = level1[(rt, sec, slot, et)]
+                        precision = PRECISION_GENERAL
+                    elif (rt, et) in level2:
+                        curve, n = level2[(rt, et)]
+                        precision = PRECISION_FALLBACK_GENERAL
+                    elif level3 is not None:
+                        curve, n = level3
+                        precision = PRECISION_SUPER_GENERAL
+                    else:
+                        continue
+                    rows.append(
+                        {
+                            "route_type": rt, "route_section": sec,
+                            "time_slot_id": slot, "event_type": et,
+                            "curve": curve, "precision_type": precision,
+                            "sample_size": n,
+                        }
+                    )
+    return rows
+
+
+def expected_statistics() -> pd.DataFrame:
+    """The demo_statistics table (scopes specific / semi_specific /
+    default), curves as Curve objects in the ``curve`` column."""
+    rec = _records_df()
+    st = _stop_times_df()
+    routes = _routes_df()
+    projected = _projected_records(rec, st)
+    enriched_proj = _enrich(projected, st)
+    enriched_raw = _enrich(rec, st)
+
+    rows: list[dict] = []
+    for r in _specific_curve_sets(enriched_proj):
+        rows.append(
+            {
+                "scope": "specific", "route_id": r["route_id"],
+                "route_variant": r["route_variant"],
+                "start_stop_index": r["start_stop_index"],
+                "end_stop_index": r["end_stop_index"], "stop_index": None,
+                "route_type": None, "route_section": None,
+                "time_slot_id": r["time_slot_id"], "event_type": r["event_type"],
+                "focus_delay": r["focus_delay"], "curve": r["curve"],
+                "precision_type": PRECISION_SPECIFIC, "sample_size": r["sample_size"],
+            }
+        )
+    for r in _general_curves(enriched_proj):
+        rows.append(
+            {
+                "scope": "semi_specific", "route_id": r["route_id"],
+                "route_variant": r["route_variant"], "start_stop_index": None,
+                "end_stop_index": None, "stop_index": r["stop_index"],
+                "route_type": None, "route_section": None, "time_slot_id": None,
+                "event_type": r["event_type"], "focus_delay": None,
+                "curve": r["curve"], "precision_type": PRECISION_SEMI_SPECIFIC,
+                "sample_size": r["sample_size"],
+            }
+        )
+    for r in _default_statistics(enriched_raw, routes):
+        rows.append(
+            {
+                "scope": "default", "route_id": None, "route_variant": None,
+                "start_stop_index": None, "end_stop_index": None,
+                "stop_index": None, "route_type": r["route_type"],
+                "route_section": r["route_section"],
+                "time_slot_id": r["time_slot_id"], "event_type": r["event_type"],
+                "focus_delay": None, "curve": r["curve"],
+                "precision_type": r["precision_type"],
+                "sample_size": r["sample_size"],
+            }
+        )
+    return pd.DataFrame(rows, columns=STAT_COLS)
+
+
+def expected_gtfs_statistics() -> pd.DataFrame:
+    """q_gtfs_statistics projection: one row per curve, curve → n_points."""
+    stats = expected_statistics()
+    out = stats.drop(columns=["curve"]).copy()
+    out["n_points"] = [len(c.xs) for c in stats["curve"]]
+    cols = ["scope", "route_id", "route_variant", "start_stop_index",
+            "end_stop_index", "stop_index", "route_type", "route_section",
+            "time_slot_id", "event_type", "focus_delay", "n_points",
+            "precision_type", "sample_size"]
+    return out[cols]
+
+
+# --------------------------------------------------------------------------
+# Realtime predictions (predict.py) — fallback ladder + time shift
+# --------------------------------------------------------------------------
+
+
+def _realtime_bases(rec: pd.DataFrame) -> pd.DataFrame:
+    """T3/J11: latest observation with a departure delay per vehicle."""
+    f = rec[rec["delay_departure"].notna()].copy()
+    f = f.sort_values(
+        [*VEHICLE_KEY, "time_of_recording", "stop_sequence"],
+        ascending=[True, True, True, False, False],
+    )
+    first = f.groupby(VEHICLE_KEY, sort=False).head(1)
+    return first[
+        ["source", "route_id", "route_variant", *VEHICLE_KEY,
+         "stop_sequence", "delay_departure", "schedule_file_name"]
+    ].rename(columns={
+        "stop_sequence": "basis_stop_sequence", "delay_departure": "initial_delay",
+    })
+
+
+def _stats_lookup(stats: pd.DataFrame):
+    """Index the statistics table for the fallback ladder."""
+    specific = [r for _, r in stats[stats["scope"] == "specific"].iterrows()]
+    sets_any: dict[tuple, tuple] = {}
+    sets_default: dict[tuple, tuple] = {}
+    for r in specific:
+        k6 = (r["route_id"], r["route_variant"], r["start_stop_index"],
+              r["end_stop_index"], r["time_slot_id"], r["event_type"])
+        entry = sets_any.setdefault(k6, ([], r["sample_size"]))
+        entry[0].append((r["focus_delay"], r["curve"]))
+        if r["time_slot_id"] == DEFAULT_SLOT:
+            k5 = k6[:4] + (r["event_type"],)
+            e2 = sets_default.setdefault(k5, ([], r["sample_size"]))
+            e2[0].append((r["focus_delay"], r["curve"]))
+    semi = {
+        (r["route_id"], r["route_variant"], r["stop_index"], r["event_type"]):
+            (r["curve"], r["sample_size"])
+        for _, r in stats[stats["scope"] == "semi_specific"].iterrows()
+    }
+    dflt = {
+        (r["route_type"], r["route_section"], r["time_slot_id"], r["event_type"]):
+            (r["curve"], r["precision_type"], r["sample_size"])
+        for _, r in stats[stats["scope"] == "default"].iterrows()
+    }
+    return sets_any, sets_default, semi, dflt
+
+
+def _member_key(m):
+    # Spark sorts struct(focus_delay, curve): focus first, then the
+    # curve's (x, y) pairs lexicographically
+    return (m[0], tuple(zip(m[1].xs, m[1].ys)))
+
+
+def _realtime_predictions_full() -> list[dict]:
+    """Full realtime prediction rows incl. the capped curve object."""
+    rec = _records_df()
+    st = _stop_times_df()
+    routes = _routes_df()
+    sets_any, sets_default, _semi, dflt = _stats_lookup(expected_statistics())
+
+    bases = _realtime_bases(rec)
+    basis_idx = bases.merge(
+        st[["trip_id", "stop_sequence", "stop_index"]].rename(
+            columns={"stop_sequence": "basis_stop_sequence",
+                     "stop_index": "start_stop_index"}
+        ),
+        on=["trip_id", "basis_stop_sequence"],
+    )
+    targets = basis_idx.merge(
+        st[["trip_id", "stop_sequence", "stop_id", "stop_index", "stop_count",
+            "arrival_time", "departure_time"]].rename(
+            columns={"stop_sequence": "target_stop_sequence",
+                     "stop_id": "target_stop_id", "stop_index": "end_stop_index"}
+        ),
+        on="trip_id",
+    )
+    targets = targets[targets["end_stop_index"] > targets["start_stop_index"]]
+    targets = targets.merge(routes[["route_id", "route_type"]], on="route_id")
+
+    out_rows = []
+    for _, row in targets.iterrows():
+        for et, time_col in ((EVENT_ARRIVAL, "arrival_time"), (EVENT_DEPARTURE, "departure_time")):
+            event_dt = _service_dt(row["trip_start_date"], row[time_col])
+            slot = _slot_id(event_dt)
+            section = _route_section(row["end_stop_index"], row["stop_count"])
+            delay = float(row["initial_delay"])
+
+            k6 = (row["route_id"], row["route_variant"], row["start_stop_index"],
+                  row["end_stop_index"], slot, et)
+            k5 = k6[:4] + (et,)
+
+            def _interp(members, delay):
+                return _store(simplify(
+                    curve_set_interpolate(sorted(members, key=_member_key), delay),
+                    0.001,
+                ))
+
+            # fallback ladder (predict.py): the semi_specific rung applies
+            # only without a realtime basis, so it is never taken here
+            if k6 in sets_any:
+                members, n = sets_any[k6]
+                curve, precision = _interp(members, delay), PRECISION_SPECIFIC
+            elif k5 in sets_default:
+                members, n = sets_default[k5]
+                curve, precision = _interp(members, delay), PRECISION_FALLBACK_SPECIFIC
+            elif (row["route_type"], section, slot, et) in dflt:
+                curve, precision, n = dflt[(row["route_type"], section, slot, et)]
+            else:
+                continue
+            capped = _store(simplify_to_max_points(curve, 30))
+            sched = event_dt.replace(tzinfo=dt.timezone.utc).timestamp()
+            out_rows.append(
+                {
+                    "source": row["source"],
+                    "event_type": et,
+                    "stop_id": row["target_stop_id"],
+                    "stop_sequence": row["target_stop_sequence"],
+                    "route_id": row["route_id"],
+                    "trip_id": row["trip_id"],
+                    "trip_start_date": str(row["trip_start_date"]),
+                    "trip_start_time": row["trip_start_time"],
+                    "prediction_min_us": int((sched + capped.min_x()) * 1_000_000),
+                    "prediction_max_us": int((sched + capped.max_x()) * 1_000_000),
+                    "precision_type": precision,
+                    "origin_type": 1,
+                    "sample_size": n,
+                    "n_curve_points": len(capped.xs),
+                    "_curve": capped,
+                }
+            )
+    return out_rows
+
+
+def expected_realtime_predictions() -> pd.DataFrame:
+    """q_gtfs_predictions projection (origin Realtime)."""
+    rows = _realtime_predictions_full()
+    return pd.DataFrame([{k: v for k, v in r.items() if k != "_curve"} for r in rows])
+
+
+def expected_departure_board() -> pd.DataFrame:
+    """q_departure_board projection (monitor.departure_board semantics:
+    F5 overlap, W2 realtime-over-schedule [all-realtime here], F9 last-stop
+    filter, F6 quantile band, median extraction)."""
+    import math
+
+    rows = _realtime_predictions_full()
+    st = _stop_times_df()
+    max_seq = st.groupby("trip_id")["stop_sequence"].max().to_dict()
+    stop_ids = {f"s{i}" for i in range(16)}
+    utc = dt.timezone.utc
+    wmin = dt.datetime(2024, 1, 1, 8, 0, tzinfo=utc)
+    wmax = dt.datetime(2024, 1, 6, 10, 0, tzinfo=utc)
+    wmin_us = int(wmin.timestamp() * 1_000_000)
+    wmax_us = int(wmax.timestamp() * 1_000_000)
+    wmin_s, wmax_s = wmin.timestamp(), wmax.timestamp()
+
+    out = []
+    for r in rows:
+        if r["stop_id"] not in stop_ids:
+            continue
+        if not (r["prediction_min_us"] < wmax_us and r["prediction_max_us"] > wmin_us):
+            continue
+        if r["stop_sequence"] >= max_seq[r["trip_id"]]:
+            continue
+        c = r["_curve"]
+        q05 = float(np.interp(0.05, c.ys, c.xs))
+        q50 = float(np.interp(0.5, c.ys, c.xs))
+        q95 = float(np.interp(0.95, c.ys, c.xs))
+        # base = prediction_min cast to double seconds (µs / 1e6)
+        base = r["prediction_min_us"] / 1_000_000.0
+        if not (base + q05 < wmax_s and base + q95 > wmin_s):
+            continue
+        # Spark's timestamp_seconds(double) truncates toward zero at µs
+        median_us = math.trunc((base + q50) * 1_000_000)
+        out.append(
+            {
+                "stop_id": r["stop_id"],
+                "stop_sequence": r["stop_sequence"],
+                "event_type": r["event_type"],
+                "trip_id": r["trip_id"],
+                "trip_start_date": r["trip_start_date"],
+                "trip_start_time": r["trip_start_time"],
+                "precision_type": r["precision_type"],
+                "origin_type": r["origin_type"],
+                "median_time_us": median_us,
+            }
+        )
+    return pd.DataFrame(out)
+
+
+def expected_scheduled_predictions() -> pd.DataFrame:
+    """q_scheduled_predictions projection: T6 schedule-origin predictions
+    for window [2024-01-08 06:00, 2024-01-09 06:00), no realtime basis —
+    ladder rungs semi_specific → default only (operators/scheduled.py)."""
+    st = _stop_times_df()
+    routes = _routes_df()
+    sched_rows = schedule_rows()
+    trips = pd.DataFrame(
+        sched_rows["trips"],
+        columns=["trip_id", "route_id", "service_id", "trip_headsign", "route_variant"],
+    )
+    calendar = pd.DataFrame(
+        sched_rows["calendar"],
+        columns=["service_id", "monday", "tuesday", "wednesday", "thursday",
+                 "friday", "saturday", "sunday", "start_date", "end_date"],
+    )
+    _sa, _sd, semi, dflt = _stats_lookup(expected_statistics())
+
+    window_begin = dt.datetime(2024, 1, 8, 6, 0, 0)
+    window_end = dt.datetime(2024, 1, 9, 6, 0, 0)
+    day_cols = ["monday", "tuesday", "wednesday", "thursday", "friday",
+                "saturday", "sunday"]
+    d0 = window_begin.date() - dt.timedelta(days=1)
+    days = [(d0 + dt.timedelta(days=i)) for i in range((window_end.date() - d0).days + 1)]
+
+    active = []
+    for _, c in calendar.iterrows():
+        for d in days:
+            if c["start_date"] <= d <= c["end_date"] and bool(c[day_cols[d.weekday()]]):
+                active.append((c["service_id"], d))
+    first_dep = st.groupby("trip_id")["departure_time"].min().to_dict()
+
+    out = []
+    for _, t in trips.iterrows():
+        rt = int(routes.set_index("route_id").loc[t["route_id"], "route_type"])
+        for svc, day in active:
+            if svc != t["service_id"]:
+                continue
+            start_time = int(first_dep[t["trip_id"]])
+            for _, s in st[st["trip_id"] == t["trip_id"]].iterrows():
+                for et, tcol in ((EVENT_ARRIVAL, "arrival_time"), (EVENT_DEPARTURE, "departure_time")):
+                    event_dt = _service_dt(day, s[tcol])
+                    if not (window_begin <= event_dt < window_end):
+                        continue
+                    slot = _slot_id(event_dt)
+                    section = _route_section(s["stop_index"], s["stop_count"])
+                    k_semi = (t["route_id"], t["route_variant"], s["stop_index"], et)
+                    if k_semi in semi:
+                        curve, n = semi[k_semi]
+                        precision = PRECISION_SEMI_SPECIFIC
+                    elif (rt, section, slot, et) in dflt:
+                        curve, precision, n = dflt[(rt, section, slot, et)]
+                    else:
+                        continue
+                    capped = _store(simplify_to_max_points(curve, 30))
+                    sched = event_dt.replace(tzinfo=dt.timezone.utc).timestamp()
+                    out.append(
+                        {
+                            "source": "schedule",
+                            "event_type": et,
+                            "stop_id": s["stop_id"],
+                            "stop_sequence": s["stop_sequence"],
+                            "route_id": t["route_id"],
+                            "trip_id": t["trip_id"],
+                            "trip_start_date": str(day),
+                            "trip_start_time": start_time,
+                            "prediction_min_us": int((sched + capped.min_x()) * 1_000_000),
+                            "prediction_max_us": int((sched + capped.max_x()) * 1_000_000),
+                            "precision_type": int(precision),
+                            "origin_type": 2,
+                            "sample_size": int(n),
+                            "n_curve_points": len(capped.xs),
+                        }
+                    )
+    return pd.DataFrame(out)
