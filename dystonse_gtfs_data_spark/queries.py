@@ -1423,7 +1423,11 @@ def q_walk_time_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "journey_transfers",
-    None,  # curve convolution/transfer integration — numpy-oracled in tests/
+    # differential oracle: single-node pandas hop reimplementation
+    f"""
+    SELECT * FROM {_dt("expected_journey_transfers")}
+    ORDER BY arr_trip, from_stop, dep_trip, to_stop
+    """,
     covers="C13 convolution + C14 transfer probability + C10 walk curves: one "
     "journey hop end-to-end (src/monitor/time_curve.rs, journey_data.rs:166-264)",
 )

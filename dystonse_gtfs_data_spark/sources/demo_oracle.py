@@ -145,6 +145,12 @@ def ensure_demo_oracle_dir() -> str:
         pa.Table.from_pandas(expected_scheduled_predictions(), preserve_index=False),
         os.path.join(DEMO_ORACLE_DIR, "expected_scheduled_predictions.parquet"),
     )
+    from .demo_oracle_pipeline import expected_journey_transfers
+
+    pq.write_table(
+        pa.Table.from_pandas(expected_journey_transfers(), preserve_index=False),
+        os.path.join(DEMO_ORACLE_DIR, "expected_journey_transfers.parquet"),
+    )
     with open(_SENTINEL, "w") as fh:
         fh.write("ok")
     return DEMO_ORACLE_DIR

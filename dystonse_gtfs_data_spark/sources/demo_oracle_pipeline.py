@@ -716,3 +716,78 @@ def expected_scheduled_predictions() -> pd.DataFrame:
                         }
                     )
     return pd.DataFrame(out)
+
+
+def _haversine_m(lat1, lon1, lat2, lon2) -> float:
+    # mirrors functions/geo.haversine_m operation order (float64 throughout)
+    import math
+
+    rlat1, rlat2 = math.radians(lat1), math.radians(lat2)
+    dlat = math.radians(lat2 - lat1) / 2.0
+    dlon = math.radians(lon2 - lon1) / 2.0
+    a = math.sin(dlat) ** 2 + math.cos(rlat1) * math.cos(rlat2) * math.sin(dlon) ** 2
+    return 2.0 * 6371000.0 * math.asin(math.sqrt(a))
+
+
+def expected_journey_transfers() -> pd.DataFrame:
+    """q_journey_transfers: walk legs (≤400 m, directional, no self) ⊕
+    synthetic arrival/departure curves → reach convolution + transfer
+    probability (operators/journey.py transfer_chain)."""
+    from ..curves.core import convolve_cdfs, transfer_probability, walk_time_curve
+
+    sched = schedule_rows()
+    stops = pd.DataFrame(
+        sched["stops"], columns=["stop_id", "stop_name", "stop_lat", "stop_lon"]
+    )
+    st = pd.DataFrame(
+        sched["stop_times"],
+        columns=["trip_id", "stop_sequence", "stop_id", "arrival_time", "departure_time"],
+    )
+
+    legs = []
+    for _, a in stops.iterrows():
+        for _, b in stops.iterrows():
+            if a["stop_id"] == b["stop_id"]:
+                continue
+            d = _haversine_m(a["stop_lat"], a["stop_lon"], b["stop_lat"], b["stop_lon"])
+            if d <= 400.0:
+                legs.append((a["stop_id"], b["stop_id"], d, _store(walk_time_curve(d))))
+
+    def _syn(x0, x1):
+        return _store(Curve([float(x0), float(x1)], [0.0, 1.0]))
+
+    arrivals = [
+        (r["trip_id"], r["stop_id"], _syn(r["arrival_time"] - 60, r["arrival_time"] + 120))
+        for _, r in st.iterrows()
+    ]
+    departures = [
+        (r["trip_id"], r["stop_id"], _syn(r["departure_time"], r["departure_time"] + 180))
+        for _, r in st.iterrows()
+    ]
+    dep_by_stop: dict[str, list] = {}
+    for trip, stop, curve in departures:
+        dep_by_stop.setdefault(stop, []).append((trip, curve))
+
+    out = []
+    for arr_trip, from_stop, arr_curve in arrivals:
+        for leg_from, to_stop, dist, walk in legs:
+            if leg_from != from_stop:
+                continue
+            reach = _store(convolve_cdfs(arr_curve, walk))
+            for dep_trip, dep_curve in dep_by_stop.get(to_stop, []):
+                if dep_trip == arr_trip:
+                    continue
+                p = transfer_probability(reach, dep_curve)
+                out.append(
+                    {
+                        "arr_trip": arr_trip,
+                        "from_stop": from_stop,
+                        "dep_trip": dep_trip,
+                        "to_stop": to_stop,
+                        "distance_m": round(dist, 3),
+                        "transfer_probability": round(float(p), 6),
+                    }
+                )
+    return pd.DataFrame(out).sort_values(
+        ["arr_trip", "from_stop", "dep_trip", "to_stop"], ignore_index=True
+    )
