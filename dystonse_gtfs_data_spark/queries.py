@@ -35,6 +35,8 @@ from .operators.dedup import (
 )
 from .operators.gapfill import forward_fill
 from .operators.similarity import allpairs_cosine, cosine_topk, lsh_topk
+from .sources.demo_oracle import demo_table_sql as _dt
+from .sources.demo_oracle_pipeline import CORPUS_FINGERPRINT_SQL as _CORPUS_FP_SQL
 from .sources.tables import load_table
 
 
@@ -1040,7 +1042,14 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lsh_topk",
-    None,  # approximate ANN — no SQL oracle; recall vs brute force checked in tests/
+    # differential oracle: bit-exact single-node LSH replica, selected by an
+    # integer fingerprint of the live embeddings view (per-SF expected rows)
+    f"""
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM {_dt("expected_lsh_topk")}
+    WHERE corpus_fp = {_CORPUS_FP_SQL}
+    ORDER BY query_id, rank
+    """,
     covers="LSH-bucketed approximate nearest neighbor (scale path for cosine_topk)",
 )
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1051,7 +1060,11 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivf_topk",
-    None,  # approximate ANN — recall vs brute force checked in tests/
+    # rows-only BY DESIGN: the k-means codebook trains with distributed
+    # avg() whose float summation order is nondeterministic at the ulp
+    # level, so no external oracle can reproduce assignments bit-exactly;
+    # recall vs brute force is pinned in tests/test_dedup_similarity.py
+    None,
     covers="IVF-bucketed approximate nearest neighbor: k-means codebook + "
     "inverted-list probe (the other scale path the pipeline brief names)",
 )
@@ -1208,7 +1221,6 @@ def q_stored_curve_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Demo-fixture oracles: the GTFS domain queries' inputs are materialized
 # to parquet by sources/demo_oracle.py (triggered in oracle_sql()), and
 # the twins below read them with read_parquet — same rows both engines.
-from .sources.demo_oracle import demo_table_sql as _dt
 
 # NULL-guarded: DuckDB's split_part maps NULL input to '' (not NULL)
 _GTFS_TIME_SQL = (

@@ -151,6 +151,22 @@ def ensure_demo_oracle_dir() -> str:
         pa.Table.from_pandas(expected_journey_transfers(), preserve_index=False),
         os.path.join(DEMO_ORACLE_DIR, "expected_journey_transfers.parquet"),
     )
+    # per-SF LSH expected output, keyed by an integer corpus fingerprint
+    # the oracle SQL recomputes from the live embeddings view
+    import pandas as pd
+
+    from .demo_oracle_pipeline import expected_lsh_topk
+
+    frames = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = os.path.join("/root/testdata", sf)
+        if os.path.exists(os.path.join(d, "embeddings.parquet")):
+            frames.append(expected_lsh_topk(d))
+    if frames:
+        pq.write_table(
+            pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False),
+            os.path.join(DEMO_ORACLE_DIR, "expected_lsh_topk.parquet"),
+        )
     with open(_SENTINEL, "w") as fh:
         fh.write("ok")
     return DEMO_ORACLE_DIR

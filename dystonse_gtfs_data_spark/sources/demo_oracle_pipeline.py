@@ -791,3 +791,83 @@ def expected_journey_transfers() -> pd.DataFrame:
     return pd.DataFrame(out).sort_values(
         ["arr_trip", "from_stop", "dep_trip", "to_stop"], ignore_index=True
     )
+
+
+def corpus_fingerprint(ids, vecs) -> int:
+    """Integer fingerprint of an embeddings table, computable identically
+    in SQL: sum((vec_id+1) * floor(first_component * 1e6)).  float32
+    components promote to float64 exactly in both engines, so the floor
+    is deterministic and the arithmetic all-integer afterwards."""
+    import math
+
+    return sum(
+        (int(vid) + 1) * int(math.floor(float(v[0]) * 1000000.0))
+        for vid, v in zip(ids, vecs)
+    )
+
+
+CORPUS_FINGERPRINT_SQL = (
+    "(SELECT CAST(sum((vec_id + 1) * CAST(floor(CAST(embedding[1] AS DOUBLE)"
+    " * 1000000) AS BIGINT)) AS BIGINT) FROM embeddings)"
+)
+
+
+def expected_lsh_topk(sf_dir: str, k: int = 5, n_planes: int = 8, n_tables: int = 4) -> pd.DataFrame:
+    """Bit-exact single-node replica of operators/similarity.lsh_topk for
+    the catalog query (queries = vec_id < 5): same LCG hyperplanes, and
+    dot products as float64 left-folds matching the JVM aggregate()."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ..operators.similarity import _hyperplanes
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = [int(i) for i in t["vec_id"]]
+    vecs = [[float(x) for x in v] for v in t["embedding"]]
+    fp = corpus_fingerprint(ids, vecs)
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    buckets = []
+    for ti in range(n_tables):
+        planes = _hyperplanes(len(vecs[0]), n_planes, seed=7 + ti)
+        bt = {}
+        for i, v in zip(ids, vecs):
+            b = 0
+            for pi, p in enumerate(planes):
+                if fold_dot(v, p) >= 0:
+                    b |= 1 << pi
+            bt[i] = b
+        buckets.append(bt)
+    norms = {i: math.sqrt(fold_dot(v, v)) for i, v in zip(ids, vecs)}
+    vec_by_id = dict(zip(ids, vecs))
+
+    out = []
+    for q in (i for i in ids if i < 5):
+        cands = set()
+        for bt in buckets:
+            bq = bt[q]
+            cands |= {i for i in ids if i != q and bt[i] == bq}
+        scored = sorted(
+            (
+                (q, c, fold_dot(vec_by_id[q], vec_by_id[c]) / (norms[q] * norms[c]))
+                for c in cands
+            ),
+            key=lambda r: (-r[2], r[1]),
+        )
+        for rank, (qq, cc, cos) in enumerate(scored[:k], 1):
+            out.append(
+                {
+                    "corpus_fp": fp,
+                    "query_id": qq,
+                    "neighbor_id": cc,
+                    "cosine": cos,
+                    "rank": rank,
+                }
+            )
+    return pd.DataFrame(out)
