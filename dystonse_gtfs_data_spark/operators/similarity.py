@@ -241,34 +241,46 @@ def ivf_assign(
     ).select(id_col, vec_col, F.col("_c.cid").alias("centroid_id"))
 
 
+def kmeans_codebook(
+    sample_vectors, k: int, iterations: int
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means on an in-memory sample: seed with the
+    first k vectors, assign by cosine (normalized dot), recenter with a
+    sorted-order numpy mean.  Pure numpy, no Spark — callable from the
+    engine AND from a single-node oracle, producing identical floats."""
+    import numpy as np
+
+    x = np.asarray(sample_vectors, dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cents = x[:k].copy()
+    for _ in range(iterations):
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = np.argmax(xn @ cn.T, axis=1)
+        for ci in range(k):
+            members = x[assign == ci]
+            if len(members):
+                cents[ci] = members.mean(axis=0)
+    return cents.tolist()
+
+
 def train_centroids(
     vectors: DataFrame,
     k: int = 16,
     vec_col: str = "embedding",
     iterations: int = 3,
-    sample_fraction: float = 1.0,
+    sample_size: int = 4096,
 ) -> list[list[float]]:
-    """Deterministic mini k-means for the IVF codebook: seed with the
-    first k vectors (by id order), refine with Lloyd iterations over a
-    sample aggregated distributedly (sum/count per assigned centroid)."""
-    import numpy as np
-
-    seed_rows = vectors.orderBy("vec_id").limit(k).collect()
-    cents = np.array([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
-    sample = vectors.sample(False, sample_fraction, seed=7) if sample_fraction < 1.0 else vectors
-    for _ in range(iterations):
-        assigned = ivf_assign(sample, cents.tolist(), vec_col=vec_col, n_probe=1)
-        # component-wise mean via posexplode + groupBy: map-side combinable,
-        # returns only k × dim rows to the driver
-        means = (
-            assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "val"))
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
-            .collect()
-        )
-        for row in means:
-            cents[row["centroid_id"], row["pos"]] = row["mean"]
-    return cents.tolist()
+    """IVF codebook training on a bounded deterministic sample: the first
+    ``sample_size`` vectors by id order come to the driver (k × dim and
+    sample × dim are both tiny next to the corpus), then pure-numpy
+    Lloyd iterations.  Sample-based codebook training is the standard
+    IVF practice at scale — a 16-centroid codebook does not need a full
+    pass over 100 TB — and keeps training fully deterministic (a
+    distributed avg() would be ulp-nondeterministic in its summation
+    order, making results irreproducible run to run)."""
+    sample_rows = vectors.orderBy("vec_id").limit(sample_size).collect()
+    sample = [list(r[vec_col]) for r in sample_rows]
+    return kmeans_codebook(sample, k, iterations)
 
 
 def ivf_topk(

@@ -1060,11 +1060,15 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivf_topk",
-    # rows-only BY DESIGN: the k-means codebook trains with distributed
-    # avg() whose float summation order is nondeterministic at the ulp
-    # level, so no external oracle can reproduce assignments bit-exactly;
-    # recall vs brute force is pinned in tests/test_dedup_similarity.py
-    None,
+    # differential oracle: bit-exact single-node IVF replica (the codebook
+    # trains deterministically on a bounded driver-side sample — standard
+    # IVF practice at scale), selected by the embeddings fingerprint
+    f"""
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM {_dt("expected_ivf_topk")}
+    WHERE corpus_fp = {_CORPUS_FP_SQL}
+    ORDER BY query_id, rank
+    """,
     covers="IVF-bucketed approximate nearest neighbor: k-means codebook + "
     "inverted-list probe (the other scale path the pipeline brief names)",
 )

@@ -157,15 +157,22 @@ def ensure_demo_oracle_dir() -> str:
 
     from .demo_oracle_pipeline import expected_lsh_topk
 
-    frames = []
+    from .demo_oracle_pipeline import expected_ivf_topk
+
+    lsh_frames, ivf_frames = [], []
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         d = os.path.join("/root/testdata", sf)
         if os.path.exists(os.path.join(d, "embeddings.parquet")):
-            frames.append(expected_lsh_topk(d))
-    if frames:
+            lsh_frames.append(expected_lsh_topk(d))
+            ivf_frames.append(expected_ivf_topk(d))
+    if lsh_frames:
         pq.write_table(
-            pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False),
+            pa.Table.from_pandas(pd.concat(lsh_frames, ignore_index=True), preserve_index=False),
             os.path.join(DEMO_ORACLE_DIR, "expected_lsh_topk.parquet"),
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pd.concat(ivf_frames, ignore_index=True), preserve_index=False),
+            os.path.join(DEMO_ORACLE_DIR, "expected_ivf_topk.parquet"),
         )
     with open(_SENTINEL, "w") as fh:
         fh.write("ok")

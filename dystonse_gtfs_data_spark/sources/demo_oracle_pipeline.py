@@ -871,3 +871,74 @@ def expected_lsh_topk(sf_dir: str, k: int = 5, n_planes: int = 8, n_tables: int 
                 }
             )
     return pd.DataFrame(out)
+
+
+def expected_ivf_topk(
+    sf_dir: str, k_codebook: int = 8, iterations: int = 2, k: int = 5, n_probe: int = 3
+) -> pd.DataFrame:
+    """Bit-exact single-node replica of operators/similarity.ivf_topk for
+    the catalog query: same numpy codebook (kmeans_codebook is shared and
+    deterministic), JVM-fold dot products, array_sort/reverse probe
+    order, and BigDecimal HALF_UP rounding."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    from ..operators.similarity import kmeans_codebook
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = [int(i) for i in t["vec_id"]]
+    vecs = [[float(x) for x in v] for v in t["embedding"]]
+    fp = corpus_fingerprint(ids, vecs)
+    order = np.argsort(ids, kind="stable")
+    sample = [vecs[i] for i in order[:4096]]
+    cents = np.asarray(kmeans_codebook(sample, k_codebook, iterations), dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cent_lists = [[float(v) for v in c] for c in cents]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    norms = {i: math.sqrt(fold_dot(v, v)) for i, v in zip(ids, vecs)}
+
+    def probes(v, nid, n):
+        scored = sorted(
+            ((fold_dot(v, c) / norms[nid], ci) for ci, c in enumerate(cent_lists))
+        )
+        return [ci for _s, ci in reversed(scored)][:n]
+
+    corpus_list: dict[int, list[int]] = {}
+    for i, v in zip(ids, vecs):
+        corpus_list.setdefault(probes(v, i, 1)[0], []).append(i)
+
+    vec_by_id = dict(zip(ids, vecs))
+    out = []
+    for q in (i for i in ids if i < 5):
+        cands = set()
+        for ci in probes(vec_by_id[q], q, n_probe):
+            cands |= {c for c in corpus_list.get(ci, []) if c != q}
+        scored = sorted(
+            (
+                (q, c, fold_dot(vec_by_id[q], vec_by_id[c]) / (norms[q] * norms[c]))
+                for c in cands
+            ),
+            key=lambda r: (-r[2], r[1]),
+        )
+        for rank, (qq, cc, cos) in enumerate(scored[:k], 1):
+            rounded = float(
+                Decimal(cos).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+            )
+            out.append(
+                {
+                    "corpus_fp": fp,
+                    "query_id": qq,
+                    "neighbor_id": cc,
+                    "cosine": rounded,
+                    "rank": rank,
+                }
+            )
+    return pd.DataFrame(out)
