@@ -21,10 +21,31 @@ DEMO_ORACLE_DIR = os.path.join(tempfile.gettempdir(), "dystonse_demo_oracle_v1")
 _SENTINEL = os.path.join(DEMO_ORACLE_DIR, "_SUCCESS")
 
 
+def _source_digest() -> str:
+    """Digest of the modules that define the fixture and the expected
+    outputs — a stale cache from an older code version must be rebuilt,
+    not silently served."""
+    import hashlib
+
+    h = hashlib.sha256()
+    base = os.path.dirname(os.path.abspath(__file__))
+    for mod in ("demo.py", "demo_oracle.py", "demo_oracle_pipeline.py"):
+        with open(os.path.join(base, mod), "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
+
 def ensure_demo_oracle_dir() -> str:
-    """Write the fixture parquet files once per machine; idempotent."""
+    """Write the fixture parquet files once per machine; idempotent.
+    Rebuilds whenever the generating source changes."""
+    digest = _source_digest()
     if os.path.exists(_SENTINEL):
-        return DEMO_ORACLE_DIR
+        with open(_SENTINEL) as fh:
+            if fh.read().strip() == digest:
+                return DEMO_ORACLE_DIR
+        import shutil
+
+        shutil.rmtree(DEMO_ORACLE_DIR, ignore_errors=True)
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -175,7 +196,7 @@ def ensure_demo_oracle_dir() -> str:
             os.path.join(DEMO_ORACLE_DIR, "expected_ivf_topk.parquet"),
         )
     with open(_SENTINEL, "w") as fh:
-        fh.write("ok")
+        fh.write(digest)
     return DEMO_ORACLE_DIR
 
 
