@@ -31,9 +31,26 @@ MAX_ESTIMATED_TRIP_DURATION_H = 12  # src/importer/mod.rs:26-28
 
 def stream_rt_updates(spark: SparkSession, rt_dir: str) -> DataFrame:
     """File-source stream of flattened rt updates (parquet landing zone).
-    For wire protobuf feeds, land binaryFile + decode_feed_messages in
-    the batch function instead."""
+    For wire protobuf feeds use :func:`stream_wire_feeds` instead."""
     return spark.readStream.schema(S.RT_UPDATES).parquet(rt_dir)
+
+
+def stream_wire_feeds(spark: SparkSession, rt_dir: str) -> DataFrame:
+    """S2 as a stream: binaryFile file-source over raw GTFS-rt protobuf
+    FeedMessages, decoded per micro-batch by the same pure-Python wire
+    decoder the batch path uses (sources/rt.wire_decoder) — checkpointed
+    exactly-once per file (T2), header timestamps from filenames (C4)."""
+    from ..sources.rt import decode_feed_messages
+
+    files = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's fixed schema, required explicitly for streams
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .load(rt_dir)
+    )
+    return decode_feed_messages(files)
 
 
 def start_records_stream(

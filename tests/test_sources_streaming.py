@@ -329,3 +329,73 @@ class TestWireCodec:
         decoded = decode_feed_messages(files)
         failed = failed_feed_files(files, decoded).collect()
         assert [os.path.basename(r["path"]) for r in failed] == [bad.name]
+
+
+class TestWireStreaming:
+    def test_wire_feed_stream_matches_batch_decode(self, spark, tmp_path):
+        """S2×T1/T2: streaming the binary feeds through the wire decoder
+        (availableNow drain) produces exactly the batch decode rows."""
+        from dystonse_gtfs_data_spark.sources.demo import write_rt_feed_files
+        from dystonse_gtfs_data_spark.sources.rt import decode_feed_messages
+        from dystonse_gtfs_data_spark.streaming.pipeline import stream_wire_feeds
+
+        feed_dir = tmp_path / "feeds"
+        feed_dir.mkdir()
+        write_rt_feed_files(str(feed_dir))
+
+        collected = []
+
+        def sink(df, epoch_id):
+            collected.extend(df.collect())
+
+        q = (
+            stream_wire_feeds(spark, str(feed_dir))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        batch = decode_feed_messages(
+            spark.read.format("binaryFile").load(str(feed_dir))
+        ).collect()
+        key = lambda r: (r["trip_id"], r["stop_sequence"], r["header_timestamp"])
+        assert sorted(map(key, collected)) == sorted(map(key, batch))
+        assert len(collected) == 8
+
+
+class TestWireCodecProperties:
+    def test_roundtrip_property(self):
+        """Encode→decode is the identity for arbitrary well-formed update
+        rows (hypothesis): unicode ids, negative/large delays, missing
+        optionals, large stop sequences."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from dystonse_gtfs_data_spark.sources.rt import (
+            encode_feed_message,
+            wire_decoder,
+        )
+
+        text = st.text(min_size=1, max_size=20).filter(lambda s: s.strip())
+        opt_text = st.none() | text
+        row = st.fixed_dictionaries(
+            {
+                "trip_id": text,
+                "start_date": opt_text,
+                "start_time": opt_text,
+                "route_id": opt_text,
+                "stop_id": opt_text,
+                "stop_sequence": st.none() | st.integers(0, 2**31 - 1),
+                "arrival_delay": st.none() | st.integers(-(2**31), 2**31 - 1),
+                "departure_delay": st.none() | st.integers(-(2**31), 2**31 - 1),
+            }
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(row, min_size=0, max_size=8))
+        def roundtrip(rows):
+            assert wire_decoder(encode_feed_message(rows)) == rows
+
+        roundtrip()
