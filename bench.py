@@ -42,6 +42,12 @@ BENCH_QUERIES = [
     "simhash_near_dups",
     "cosine_topk",
     "embedding_near_dups",
+    # round-2 additions (sf-scaled paths added this round)
+    "extended_stops",       # grid-cell geo equi-join (J8 scale path)
+    "walk_time_bounds",     # same join + walk-curve UDF (C9/C10)
+    "stored_curve_quantiles",  # stored-CDF x_at_y quantile extraction (A13/C11)
+    "lsh_topk",             # hyperplane-LSH ANN
+    "ivf_topk",             # IVF ANN (sample-trained codebook)
 ]
 
 
