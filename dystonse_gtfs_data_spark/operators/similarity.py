@@ -88,12 +88,46 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
 
 
 def lsh_bucket(vec, planes: list[list[float]]):
-    """Sign-bucket id from random hyperplanes, as one JVM-side expression."""
+    """Sign-bucket id from random hyperplanes, as one JVM-side expression.
+    (Kept for single-table uses; multi-table pipelines use
+    :func:`lsh_bucket_table_udf` — the nested fold expressions here fall
+    back to interpreted evaluation, which dominates wall time when
+    every corpus row computes tables × planes of them.)"""
     bits = []
     for i, p in enumerate(planes):
         arr = F.array(*[F.lit(float(v)) for v in p])
         bits.append(F.when(_dot(vec, arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
     return sum(bits[1:], bits[0])
+
+
+def lsh_bucket_table_udf(all_planes: list[list[list[float]]]):
+    """Arrow-vectorized bucket computation for ALL hash tables in one
+    pass: returns an ``array<long>`` of bucket ids (one per table).
+
+    Dot products use ``cumsum`` along the dim axis — numpy's cumsum is a
+    sequential left-to-right accumulation, so every dot is bit-identical
+    to the JVM ``aggregate()`` fold in :func:`_dot` (and to the
+    single-node oracle's replica): swapping this in changes the plan,
+    not one bucket bit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes_np = [np.asarray(p, dtype=np.float64) for p in all_planes]
+
+    # no annotations: with `from __future__ import annotations` they are
+    # strings pandas_udf cannot resolve against local imports
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vec):
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        out = np.zeros((len(x), len(planes_np)), dtype=np.int64)
+        for ti, table in enumerate(planes_np):
+            for pi in range(table.shape[0]):
+                dots = np.cumsum(x * table[pi][None, :], axis=1)[:, -1]
+                out[:, ti] |= np.where(dots >= 0, 1 << pi, 0)
+        return pd.Series(list(out))
+
+    return buckets
 
 
 def lsh_topk(
@@ -108,25 +142,22 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: compare only within matching sign-buckets across
     ``n_tables`` independent hyperplane tables.  Shuffle is O(rows ×
-    tables); each bucket join is an equi-join Catalyst can hash."""
-    tagged_c = None
-    tagged_q = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=7 + t)
-        cq = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.lit(t).alias("table_id"),
-            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    tables); each bucket join is an equi-join Catalyst can hash.  All
+    tables' buckets come from ONE vectorized Arrow pass over each side
+    (one scan, one UDF call per batch), then posexplode to
+    (table_id, bucket) rows."""
+    all_planes = [_hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)]
+    bucket_udf = lsh_bucket_table_udf(all_planes)
+
+    def tag(df, id_alias, vec_alias):
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.posexplode(bucket_udf(F.col(vec_col))).alias("table_id", "bucket"),
         )
-        cc = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            F.lit(t).alias("table_id"),
-            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-        )
-        tagged_q = cq if tagged_q is None else tagged_q.unionByName(cq)
-        tagged_c = cc if tagged_c is None else tagged_c.unionByName(cc)
+
+    tagged_q = tag(queries, "query_id", "q_vec")
+    tagged_c = tag(corpus, "neighbor_id", "c_vec")
     scored = (
         tagged_c.join(tagged_q, ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -331,16 +362,13 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold)
     via multi-table hyperplane LSH candidate generation + exact rescore."""
-    tagged = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=101 + t)
-        cc = vectors.select(
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("vec"),
-            F.lit(t).alias("table_id"),
-            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-        )
-        tagged = cc if tagged is None else tagged.unionByName(cc)
+    all_planes = [_hyperplanes(dim, n_planes, seed=101 + t) for t in range(n_tables)]
+    bucket_udf = lsh_bucket_table_udf(all_planes)
+    tagged = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(bucket_udf(F.col(vec_col))).alias("table_id", "bucket"),
+    )
     a, b = tagged.alias("a"), tagged.alias("b")
     return (
         a.join(b, ["table_id", "bucket"])
