@@ -116,3 +116,16 @@ def test_minhash_signature_single_aggregation(spark, sf_dir):
     sigs = minhash_signatures(docs, num_hashes=64)
     # 64 hash functions must NOT multiply shuffles: one explode + one agg
     assert shuffle_count(sigs) <= 2, formatted_plan(sigs)
+
+
+def test_jaccard_verify_prunes_corpus_scan(spark, sf_dir):
+    # the exact-Jaccard verify stage must semi-join the corpus down to
+    # candidate ids BEFORE shingling — at 100 TB only the near-dup
+    # subset's shingle arrays may traverse the payload joins
+    from dystonse_gtfs_data_spark.operators.dedup import minhash_near_duplicates
+    from dystonse_gtfs_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = minhash_near_duplicates(docs, threshold=0.5)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
