@@ -751,8 +751,12 @@ def q_fallback_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             -- CAST: DuckDB's windowed sum() returns HUGEINT (int128), which
+             -- pandas renders as float64 and breaks the exact value hash
+             -- against Spark's BIGINT session_id.
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -1161,11 +1165,33 @@ _PROBS_SQL = "probs(p) AS (VALUES " + ", ".join(
     f"(CAST({p} AS DOUBLE))" for p in _QUANTILE_PS
 ) + ")"
 
+# Stored curves are CAPPED to a bounded knot count before any per-group
+# collection, mirroring the reference's own stored-curve size bound
+# (serialize_compact_limited(120), src/importer/per_schedule_importer.rs:362;
+# simplify(eps) before storage, src/analyser/specific_curves.rs:363).
+# Without this, collect_list over every distinct ECDF x is an unbounded
+# per-task array at 100x data.  The cap is a deterministic stride over the
+# rank of each knot — first + last always kept — expressed in dialect-portable
+# SQL so the DuckDB oracle reproduces the exact same knot subset.
+_CURVE_KNOT_CAP = 240
+_CAPPED_KNOTS_SQL = (
+    """
+    SELECT event_type, x, y FROM (
+      SELECT k.event_type, k.x, k.y,
+             row_number() OVER (PARTITION BY k.event_type ORDER BY k.x) AS krn,
+             count(*) OVER (PARTITION BY k.event_type) AS knd
+      FROM ({knots}) k
+    ) capped
+    WHERE krn = 1 OR krn = knd
+       OR (krn - 1) % CAST(floor((knd + """
+    + f"{_CURVE_KNOT_CAP - 1}.0) / {_CURVE_KNOT_CAP}) AS BIGINT) = 0"
+)
+
 
 @register(
     "stored_curve_quantiles",
     f"""
-    WITH knots AS ({_ECDF_KNOTS_SQL.format(events='events')}),
+    WITH knots AS ({_CAPPED_KNOTS_SQL.format(knots=_ECDF_KNOTS_SQL.format(events='events'))}),
     {_PROBS_SQL},
     segs AS (
       SELECT event_type, x AS x0, y AS y0,
@@ -1193,14 +1219,19 @@ _PROBS_SQL = "probs(p) AS (VALUES " + ", ".join(
     """,
     covers="A13/C11 stored-CDF quantile extraction: curve_x_at_y linear "
     "interpolation on array<struct> curves vs a relational SQL twin "
-    "(src/monitor/mod.rs:1455-1472, src/types/prediction_result.rs:34-48)",
+    "(src/monitor/mod.rs:1455-1472, src/types/prediction_result.rs:34-48); "
+    "stored curves knot-capped per per_schedule_importer.rs:362",
 )
 def q_stored_curve_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .curves.udfs import curve_x_at_y
 
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("__scq_events")
-    knots = spark.sql(_ECDF_KNOTS_SQL.format(events="__scq_events"))
+    # Bounded stored curve: the stride cap guarantees the collected array
+    # holds at most ~_CURVE_KNOT_CAP+1 knots per group at ANY data scale.
+    knots = spark.sql(
+        _CAPPED_KNOTS_SQL.format(knots=_ECDF_KNOTS_SQL.format(events="__scq_events"))
+    )
     curves = knots.groupBy("event_type").agg(
         F.sort_array(F.collect_list(F.struct("x", "y"))).alias("curve")
     )

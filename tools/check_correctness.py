@@ -50,6 +50,18 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
         return False, f"columns {list(a.columns)} vs {list(b.columns)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Driver-faithful dtype check: the driver hashes raw values, so an
+        # integral column on one side and float on the other (e.g. DuckDB
+        # HUGEINT → pandas float64) is a guaranteed hash mismatch even when
+        # the numbers are equal. Never route int-vs-float through the
+        # tolerant path.
+        if (av.dtype.kind in "iu") != (bv.dtype.kind in "iu") and (
+            av.dtype.kind in "iuf" and bv.dtype.kind in "iuf"
+        ):
+            return False, (
+                f"col {c}: dtype drift {av.dtype} vs {bv.dtype} "
+                "(int-vs-float breaks the driver's exact hash)"
+            )
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av_f = av.astype(float)
             bv_f = bv.astype(float)
