@@ -47,11 +47,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet; with nanosAsLong it arrives
+        # events.ts as TIMESTAMP(NANOS) parquet; with nanosAsLong it arrives
         # as epoch-ns long → truncate to µs (DuckDB's native TIMESTAMP unit,
         # so oracle comparisons CAST(ts AS TIMESTAMP) agree bit-for-bit)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Pandas-written timestamp[us] parquet has isAdjustedToUTC=false, which
+    # Spark reads as TIMESTAMP_NTZ.  Normalize to TIMESTAMP_LTZ: the session
+    # is UTC-pinned above, so the cast reinterprets the same wall-clock as
+    # the same instant and every epoch/interval expression (unix_micros,
+    # cast-to-double deltas) keeps the exact semantics DuckDB applies to its
+    # tz-less native TIMESTAMP.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
