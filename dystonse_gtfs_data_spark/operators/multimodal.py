@@ -128,6 +128,12 @@ def video_decode_stub(blob: bytes):  # pragma: no cover - explicit stub
     )
 
 
+# Catalyst reports defaultSizeInBytes (Long.MaxValue) for non-file-backed
+# plans and join-multiplied products far beyond any real table; estimates in
+# that territory are garbage, not data.
+_SUSPECT_SIZE_BYTES = 1 << 60
+
+
 def with_binary_partitioning(
     assets: DataFrame,
     target_rows_per_partition: int = 1024,
@@ -138,17 +144,93 @@ def with_binary_partitioning(
     when blobs are MBs (100 TB path: size partitions by bytes, not rows).
 
     Partition count comes from ``expected_rows`` (caller-known cardinality)
-    or, for parquet-backed frames, Catalyst's row-count statistics — never
-    from a ``.count()`` action, which would add a full extra scan of a
-    blob table just to pick a number."""
-    if expected_rows is None:
-        stats = assets._jdf.queryExecution().optimizedPlan().stats()
-        row_stat = stats.rowCount()
-        expected_rows = (
-            int(str(row_stat.get())) if row_stat.isDefined()
-            # fall back to sizeInBytes assuming ~1 MiB blobs: conservative
-            # (over-partitioning is cheap, OOM is not)
-            else max(1, int(str(stats.sizeInBytes())) // (1 << 20))
-        )
-    n = max(1, expected_rows // target_rows_per_partition)
+    or, for parquet-backed frames, Catalyst's row-count statistics.  A
+    byte-size estimate is only trusted when it is plausibly file-backed
+    (< 2^60) and the derived partition count is clamped to a small multiple
+    of the cluster parallelism; otherwise we pay one exact ``.count()`` —
+    an extra scan beats a repartition(2 billion)."""
+    n: int | None = None
+    if expected_rows is not None:
+        n = max(1, expected_rows // target_rows_per_partition)
+    else:
+        try:
+            stats = assets._jdf.queryExecution().optimizedPlan().stats()
+            row_stat = stats.rowCount()
+            if row_stat.isDefined():
+                n = max(1, int(str(row_stat.get())) // target_rows_per_partition)
+            else:
+                size = int(str(stats.sizeInBytes()))
+                if 0 < size < _SUSPECT_SIZE_BYTES:
+                    # assume ~1 MiB blobs: conservative (over-partitioning is
+                    # cheap, OOM is not) — but clamped, because a size-only
+                    # guess is an order-of-magnitude estimate at best
+                    n = max(1, (size // (1 << 20)) // target_rows_per_partition)
+                    cap = assets.sparkSession.sparkContext.defaultParallelism * 32
+                    n = min(n, max(1, cap))
+        except Exception:
+            n = None
+        if n is None:
+            n = max(1, assets.count() // target_rows_per_partition)
     return assets.repartition(n, "asset_id")
+
+
+# ---------------------------------------------------------------------------
+# Synthetic assets: deterministic blobs for driver-gated correctness
+# ---------------------------------------------------------------------------
+#
+# The fake decode kernels are pure byte math, so their outputs are
+# recomputable by an independent SQL oracle IF the blob bytes themselves
+# come from a closed-form formula.  These builders construct such blobs
+# JVM-side (sequence → transform → hex → unhex: no Python in the plan),
+# one per documents row, so the whole decode path — blob construction,
+# Arrow batch transfer, mapInPandas kernel — is exercised under the
+# driver's value-hash gate.
+
+
+def synthetic_image_assets(documents: DataFrame, n_bytes: int = 192) -> DataFrame:
+    """One 192-byte blob per doc_id with byte[i] = (doc_id*31 + i*7) % 256
+    — exactly the 8×8×3 frame `fake_image_decode` consumes."""
+    blob = F.unhex(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bytes - 1)),
+                lambda i: F.lpad(
+                    F.hex((F.col("doc_id") * 31 + i * 7) % 256), 2, "0"
+                ),
+            ),
+        )
+    )
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        blob.alias("content"),
+        F.struct(
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit("fake").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def synthetic_audio_assets(documents: DataFrame, n_bytes: int = 320) -> DataFrame:
+    """One 320-byte blob per doc_id with byte[i] ∈ {0, 255} by
+    (doc_id*7 + i*13) % 3 == 0.  Restricting bytes to {0, 255} makes the
+    float32 frame values exactly {0.0, 1.0}, so frame RMS is
+    sqrt(k/160) for an integer k — reproducible bit-for-bit by a SQL
+    oracle (quantization validated exhaustively for k ∈ [0, 160] in
+    tests)."""
+    blob = F.unhex(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bytes - 1)),
+                lambda i: F.when(
+                    ((F.col("doc_id") * 7 + i * 13) % 3) == 0, F.lit("ff")
+                ).otherwise(F.lit("00")),
+            ),
+        )
+    )
+    return documents.select(
+        F.col("doc_id").alias("asset_id"), blob.alias("content")
+    )

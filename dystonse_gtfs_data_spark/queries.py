@@ -876,6 +876,79 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal (binary columns → mapInPandas decode kernels)
+# ---------------------------------------------------------------------------
+#
+# The synthetic blobs come from a closed-form byte formula
+# (operators/multimodal.py synthetic_*_assets), so the oracle recomputes
+# the expected decode-kernel outputs from the formula alone — it shares
+# no code with the Spark path, which really builds the bytes JVM-side,
+# ships them through Arrow, and decodes them in the mapInPandas kernel.
+
+
+@register(
+    "image_stats",
+    """
+    SELECT d.doc_id AS asset_id, 8 AS width, 8 AS height,
+           sum((d.doc_id * 31 + r.i * 7) % 256) / 192.0 AS mean_intensity
+    FROM documents d CROSS JOIN range(0, 192) r(i)
+    GROUP BY d.doc_id
+    """,
+    covers="Multimodal image path: binary column → Arrow batch → decode + "
+    "featurize kernel (deterministic fake; swap for Pillow in production). "
+    "Oracle recomputes mean intensity from the blob-generating formula.",
+)
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (
+        decode_and_featurize_images,
+        synthetic_image_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_and_featurize_images(synthetic_image_assets(docs))
+    return feats.select("asset_id", "width", "height", "mean_intensity")
+
+
+@register(
+    "audio_rms",
+    """
+    WITH counts AS (
+      SELECT d.doc_id AS asset_id, CAST(r.i // 160 AS INTEGER) AS frame_idx,
+             count(*) FILTER (WHERE (d.doc_id * 7 + r.i * 13) % 3 = 0) AS k
+      FROM documents d CROSS JOIN range(0, 320) r(i)
+      GROUP BY 1, 2
+    )
+    -- frame values are exactly {0.0, 1.0} (bytes restricted to {0, 255}),
+    -- so RMS = sqrt(k/160); the float32-kernel vs double-SQL paths are
+    -- quantized at 1e4, validated bit-exact for every k in [0, 160]
+    -- (tests/test_sources_streaming.py).
+    SELECT asset_id, 2 AS n_frames, frame_idx,
+           CAST(round(CAST(sqrt(k / 160.0) AS REAL) * 10000) AS BIGINT) AS rms_q
+    FROM counts
+    """,
+    covers="Multimodal audio path: binary column → frame decode → per-frame "
+    "RMS energy (deterministic fake kernel; swap for torchaudio in "
+    "production). Oracle recomputes from the blob formula.",
+)
+def q_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (
+        sample_audio_features,
+        synthetic_audio_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = sample_audio_features(synthetic_audio_assets(docs))
+    return feats.select(
+        "asset_id", "n_frames", F.posexplode("rms").alias("frame_idx", "rms")
+    ).select(
+        "asset_id",
+        "n_frames",
+        "frame_idx",
+        F.round(F.col("rms").cast("double") * 10000).cast("bigint").alias("rms_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Similarity search / near-dup (embedding ops)
 # ---------------------------------------------------------------------------
 

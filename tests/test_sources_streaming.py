@@ -235,6 +235,51 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             video_decode_stub(b"")
 
+    def test_synthetic_image_blob_matches_formula(self, spark):
+        from dystonse_gtfs_data_spark.operators.multimodal import (
+            synthetic_image_assets,
+        )
+
+        docs = spark.createDataFrame([(0,), (7,), (499,)], "doc_id long")
+        rows = {r["asset_id"]: r for r in synthetic_image_assets(docs).collect()}
+        for doc_id in (0, 7, 499):
+            blob = bytes(rows[doc_id]["content"])
+            assert len(blob) == 192
+            assert blob == bytes((doc_id * 31 + i * 7) % 256 for i in range(192))
+
+    def test_synthetic_audio_blob_matches_formula(self, spark):
+        from dystonse_gtfs_data_spark.operators.multimodal import (
+            synthetic_audio_assets,
+        )
+
+        docs = spark.createDataFrame([(3,), (42,)], "doc_id long")
+        rows = {r["asset_id"]: r for r in synthetic_audio_assets(docs).collect()}
+        for doc_id in (3, 42):
+            blob = bytes(rows[doc_id]["content"])
+            assert len(blob) == 320
+            assert blob == bytes(
+                255 if (doc_id * 7 + i * 13) % 3 == 0 else 0 for i in range(320)
+            )
+
+    def test_audio_rms_quantization_bit_exact_for_all_k(self):
+        """The audio_rms catalog oracle claims round(rms*1e4) agrees between
+        the float32 numpy kernel and DuckDB's double sqrt for every possible
+        ones-count k in a 160-sample frame.  Prove it exhaustively."""
+        import duckdb
+
+        ks = list(range(161))
+        db = dict(
+            duckdb.sql(
+                "SELECT i, CAST(round(CAST(sqrt(i / 160.0) AS REAL) * 10000) "
+                "AS BIGINT) FROM range(0, 161) t(i)"
+            ).fetchall()
+        )
+        for k in ks:
+            frame = np.zeros(160, dtype=np.float32)
+            frame[:k] = 1.0
+            rms32 = np.sqrt((frame**2).mean())  # float32 end-to-end
+            assert int(np.round(np.float64(rms32) * 10000)) == db[k], k
+
 
 class TestWireCodec:
     """S2: the dependency-free GTFS-rt protobuf wire decoder, exercised on
