@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     "stored_curve_quantiles",  # stored-CDF x_at_y quantile extraction (A13/C11)
     "lsh_topk",             # hyperplane-LSH ANN
     "ivf_topk",             # IVF ANN (sample-trained codebook)
+    # round-3 additions
+    "minhash_near_dups_xxhash",  # production hash family (md5 fold is oracle-only)
+    "simhash_near_dups_xxhash",
+    "image_stats",          # multimodal blob decode via mapInPandas
+    "audio_rms",
 ]
 
 

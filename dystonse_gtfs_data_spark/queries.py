@@ -1117,6 +1117,36 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The md5-fold base hash above exists so a full-pipeline DuckDB twin is
+# possible; production uses xxhash64 (JVM intrinsic, no hex fold).  These
+# variants keep the hot path visible in the bench — rows-only driver check
+# (the hash family is Spark-private, so no portable SQL oracle exists).
+
+
+@register(
+    "minhash_near_dups_xxhash",
+    None,
+    covers="MinHash+LSH near-dup, production xxhash64 hash family (bench hot path)",
+)
+def q_minhash_near_dups_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, threshold=0.5, base_hash="xxhash64").orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "simhash_near_dups_xxhash",
+    None,
+    covers="SimHash near-dup, production xxhash64 hash family (bench hot path)",
+)
+def q_simhash_near_dups_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=3, base_hash="xxhash64").orderBy(
+        "id_a", "id_b"
+    )
+
+
 @register(
     "lsh_topk",
     # differential oracle: bit-exact single-node LSH replica, selected by an
