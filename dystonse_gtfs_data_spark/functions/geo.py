@@ -40,6 +40,12 @@ def haversine_m_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     )
 
 
+# Latitudes within this of a pole get the brute-force cap path: at
+# 89.99° a longitude degree is ~19 m, so cell-index arithmetic stops
+# being a useful prune there (and every real transit stop is far away).
+_POLAR_LAT_DEG = 89.99
+
+
 def grid_cell_sizes_deg(radius_m: float, max_abs_lat_deg: float = 60.0) -> tuple[float, float]:
     """(Δlat°, Δlon°) for square-ish grid cells at least ``radius_m`` on a
     side anywhere up to ``max_abs_lat_deg`` latitude.  Longitude cells are
@@ -47,9 +53,9 @@ def grid_cell_sizes_deg(radius_m: float, max_abs_lat_deg: float = 60.0) -> tuple
     covers the radius — oversized cells only add candidates, never drop
     pairs (the exact haversine filter afterwards restores precision)."""
     dlat = radius_m / _MIN_M_PER_DEG_LAT
-    lat = min(89.0, abs(max_abs_lat_deg))
+    lat = min(_POLAR_LAT_DEG, abs(max_abs_lat_deg))
     dlon = radius_m / (_M_PER_DEG_LON_EQUATOR * math.cos(math.radians(lat)))
-    return dlat, dlon
+    return dlat, min(dlon, 360.0)
 
 
 def grid_proximity_pairs(
@@ -58,10 +64,10 @@ def grid_proximity_pairs(
     lat_col: str,
     lon_col: str,
     radius_m: float,
-    max_abs_lat_deg: float = 60.0,
+    max_abs_lat_deg: float | None = None,
 ) -> DataFrame:
     """J8 at scale: all point pairs within ``radius_m`` via a grid-cell
-    EQUI-join instead of an O(n²) cross join.
+    EQUI-join instead of an O(n²) cross join — exact at ANY latitude.
 
     Each point gets an integer cell id; one side keeps its exact cell,
     the other explodes to its 3×3 neighbor cells; the join on
@@ -73,26 +79,54 @@ def grid_proximity_pairs(
     the |points|² candidate space of the naive join (reference
     scans all stops per stop: src/monitor/journey_data.rs:241-263).
 
-    ``max_abs_lat_deg`` bounds the operating latitudes (default ±60°);
-    cells are sized conservatively for that band, so no pair within the
-    radius is ever missed below it.
+    Exactness guarantees (matching the reference's all-pairs scan):
+
+    - **Longitude cells are sized from the data**: by default one cheap
+      column-pruned ``max(abs(lat))`` agg picks the worst-case latitude,
+      so a Helsinki/Tromsø/Anchorage feed gets wider cells instead of
+      silently losing near-radius pairs.  Pass ``max_abs_lat_deg`` to
+      skip the agg when the bound is known (cells are then sized for
+      that band — the stated contract of the override).
+    - **Antimeridian wrap**: longitude cell indices are modular
+      (``ncells = ceil(360/Δlon)``), so a pair straddling ±180° lands
+      in adjacent cells instead of opposite ends of the index space.
+    - **Polar caps**: points above ±89.99° (where a longitude degree is
+      ~19 m) fall back to a tiny brute-force cross join of the cap
+      subset; the grid handles everything below, disjointly.
 
     Output: ``<id>_a``…, lat_a, lon_a, ``<id>_b``…, lat_b, lon_b, dist_m.
     """
-    dlat, dlon = grid_cell_sizes_deg(radius_m, max_abs_lat_deg)
+    if max_abs_lat_deg is None:
+        row = points.agg(F.max(F.abs(F.col(lat_col)))).first()
+        lam = float(row[0]) if row is not None and row[0] is not None else 0.0
+    else:
+        lam = abs(max_abs_lat_deg)
+    dlat, dlon = grid_cell_sizes_deg(radius_m, lam)
+    ncells_lon = max(1, math.ceil(360.0 / dlon))
+
     base = points.select(*id_cols, lat_col, lon_col)
+
+    def cell_lat(col: Column) -> Column:
+        return F.floor(col / F.lit(dlat))
+
+    def cell_lon(col: Column) -> Column:
+        # shift to [0, 360) then wrap so ±180° are the same/adjacent cells
+        return F.pmod(F.floor((col + 180.0) / F.lit(dlon)), F.lit(ncells_lon))
+
     a = base.select(
         *[F.col(c).alias(f"{c}_a") for c in id_cols],
         F.col(lat_col).alias("lat_a"),
         F.col(lon_col).alias("lon_a"),
-        F.floor(F.col(lat_col) / F.lit(dlat)).alias("_cell_lat"),
-        F.floor(F.col(lon_col) / F.lit(dlon)).alias("_cell_lon"),
+        cell_lat(F.col(lat_col)).alias("_cell_lat"),
+        cell_lon(F.col(lon_col)).alias("_cell_lon"),
     )
     neighbor_cells = F.array(
         *[
             F.struct(
-                (F.floor(F.col(lat_col) / F.lit(dlat)) + i).alias("cell_lat"),
-                (F.floor(F.col(lon_col) / F.lit(dlon)) + j).alias("cell_lon"),
+                (cell_lat(F.col(lat_col)) + i).alias("cell_lat"),
+                F.pmod(cell_lon(F.col(lon_col)) + j, F.lit(ncells_lon)).alias(
+                    "cell_lon"
+                ),
             )
             for i in (-1, 0, 1)
             for j in (-1, 0, 1)
@@ -109,7 +143,7 @@ def grid_proximity_pairs(
         .withColumn("_cell_lon", F.col("_nb.cell_lon"))
         .drop("_nb")
     )
-    return (
+    pairs = (
         a.join(b, ["_cell_lat", "_cell_lon"])
         .withColumn(
             "dist_m",
@@ -118,3 +152,35 @@ def grid_proximity_pairs(
         .filter(F.col("dist_m") <= radius_m)
         .drop("_cell_lat", "_cell_lon")
     )
+
+    if lam <= _POLAR_LAT_DEG:
+        return pairs
+
+    # Polar cap: pairs with EITHER endpoint above the threshold go through
+    # an exact brute-force join of the (physically tiny) cap subset; the
+    # grid result keeps only pairs with BOTH endpoints below — disjoint
+    # and complete.  The cap margin (one Δlat) catches cross-boundary
+    # partners.
+    theta = _POLAR_LAT_DEG
+    in_cap = F.abs(F.col(lat_col)) >= theta - dlat
+    cap = base.filter(in_cap)
+    cap_a = cap.select(
+        *[F.col(c).alias(f"{c}_a") for c in id_cols],
+        F.col(lat_col).alias("lat_a"),
+        F.col(lon_col).alias("lon_a"),
+    )
+    cap_b = cap.select(
+        *[F.col(c).alias(f"{c}_b") for c in id_cols],
+        F.col(lat_col).alias("lat_b"),
+        F.col(lon_col).alias("lon_b"),
+    )
+    either_polar = (F.abs(F.col("lat_a")) >= theta) | (F.abs(F.col("lat_b")) >= theta)
+    brute = (
+        cap_a.crossJoin(F.broadcast(cap_b))
+        .withColumn(
+            "dist_m",
+            haversine_m(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")),
+        )
+        .filter((F.col("dist_m") <= radius_m) & either_polar)
+    )
+    return pairs.filter(~either_polar).unionByName(brute)

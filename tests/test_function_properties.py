@@ -128,3 +128,71 @@ def test_grid_proximity_matches_brute_force(spark):
     }
     assert grid == brute
     assert len(grid) > len(rows)  # sanity: clusters produced real pairs
+
+
+def test_grid_proximity_exact_at_extreme_latitudes(spark):
+    """Round-3 ADVICE fix: the grid join must match brute force above the
+    old ±60° band — arctic cities, the antimeridian seam, and points
+    within metres of the pole (reference scans all pairs at any latitude,
+    src/monitor/journey_data.rs:241-263)."""
+    import random
+
+    from dystonse_gtfs_data_spark.functions.geo import (
+        grid_proximity_pairs,
+        haversine_m,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    clusters = [
+        (60.17, 24.94),     # Helsinki — just above the old band
+        (69.65, 18.96),     # Tromsø
+        (78.22, 15.64),     # Svalbard
+        (65.0, 179.999),    # antimeridian seam, east side
+        (65.0, -179.999),   # antimeridian seam, west side
+        (89.995, 10.0),     # polar cap (lon degrees ≈ 19 m here)
+        (89.996, -170.0),   # polar cap, "far" in longitude but metres away
+    ]
+    for i, (clat, clon) in enumerate(clusters):
+        for j in range(12):
+            lat = min(89.999, clat + rng.uniform(-0.005, 0.005))
+            lon = clon + rng.uniform(-0.01, 0.01)
+            if lon > 180.0:
+                lon -= 360.0
+            if lon < -180.0:
+                lon += 360.0
+            rows.append((f"p{i}_{j}", lat, lon))
+    pts = spark.createDataFrame(
+        rows, "stop_id string, stop_lat double, stop_lon double"
+    )
+    radius = 500.0
+    grid = {
+        (r["stop_id_a"], r["stop_id_b"])
+        for r in grid_proximity_pairs(
+            pts, ["stop_id"], "stop_lat", "stop_lon", radius
+        ).collect()
+    }
+    a = pts.select(
+        F.col("stop_id").alias("ida"),
+        F.col("stop_lat").alias("la"),
+        F.col("stop_lon").alias("lo"),
+    )
+    b = pts.select(
+        F.col("stop_id").alias("idb"),
+        F.col("stop_lat").alias("lb"),
+        F.col("stop_lon").alias("lb2"),
+    )
+    brute = {
+        (r["ida"], r["idb"])
+        for r in a.crossJoin(b)
+        .withColumn(
+            "d", haversine_m(F.col("la"), F.col("lo"), F.col("lb"), F.col("lb2"))
+        )
+        .filter(F.col("d") <= radius)
+        .collect()
+    }
+    assert grid == brute
+    # the seam clusters MUST pair across ±180 (regression for the wrap)
+    assert any(x.startswith("p3") and y.startswith("p4") for x, y in grid)
+    # the polar clusters found their neighbors
+    assert any(x.startswith("p5") and y.startswith("p5") and x != y for x, y in grid)
