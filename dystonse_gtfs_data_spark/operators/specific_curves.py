@@ -24,6 +24,7 @@ from ..curves.core import build_curve_set, make_curve, simplify
 from ..curves.udfs import curve_to_rows
 from ..functions.delays import CURVE_DELAY_BOUND, DELAY_ROUND_STEP
 from ..functions.time import service_day_timestamp, time_slot_id
+from ..sources.tables import maybe_broadcast
 from ..schemas import (
     DELAY_CURVES,
     EVENT_ARRIVAL,
@@ -61,7 +62,7 @@ def enrich_records(records: DataFrame, stop_times_idx: DataFrame) -> DataFrame:
     matched by stop_sequence, not stop_id (its own TODO at
     src/analyser/specific_curves.rs:287-289 asks for exactly this).
     """
-    st = F.broadcast(
+    st = maybe_broadcast(
         stop_times_idx.select(
             "trip_id", "stop_sequence", "stop_index", "stop_count",
             "arrival_time", "departure_time",
@@ -86,7 +87,7 @@ def project_missing_delays(records: DataFrame, stop_times: DataFrame) -> DataFra
     observation).  Scheduled stops after a vehicle's last report are not
     synthesized.
     """
-    st = F.broadcast(stop_times.select("trip_id", "stop_sequence", "stop_id"))
+    st = maybe_broadcast(stop_times.select("trip_id", "stop_sequence", "stop_id"))
     vehicles = records.select(
         "source", "route_id", "route_variant", "schedule_file_name", *VEHICLE_KEY
     ).distinct()

@@ -68,6 +68,33 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
+# Ceiling for a *forced* broadcast hint.  Schedule-sized dims (stop_times
+# for one feed) fit comfortably; a country-scale merged feed (tens of
+# millions of stop_times rows, multi-GB) must NOT be pinned to every
+# executor — above this the planner keeps its own strategy (shuffle join,
+# the bucketed zero-Exchange path, or an AQE runtime broadcast if the
+# filtered side turns out small).
+BROADCAST_HINT_MAX_BYTES = 512 << 20
+
+
+def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
+    """Broadcast hint only when Catalyst's optimized-plan size estimate is
+    known and under ``max_bytes`` (default :data:`BROADCAST_HINT_MAX_BYTES`,
+    read at call time so tests can shrink it).  Unknown/garbage estimates
+    (Long.MaxValue for non-file-backed plans) fall through unhinted."""
+    if max_bytes is None:
+        max_bytes = BROADCAST_HINT_MAX_BYTES
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return df
+    if 0 < size <= max_bytes:
+        return F.broadcast(df)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for the SQL API."""
     for name, df in load_tables(spark, sf_dir).items():

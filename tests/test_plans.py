@@ -129,3 +129,36 @@ def test_jaccard_verify_prunes_corpus_scan(spark, sf_dir):
     df = minhash_near_duplicates(docs, threshold=0.5)
     plan = formatted_plan(df)
     assert "LeftSemi" in plan, plan
+
+
+def test_enrich_records_broadcast_is_size_guarded(spark, monkeypatch, tmp_path):
+    # stop_times is schedule-sized for one feed but multi-GB for a
+    # country-scale merge: the hint must disappear above the size
+    # threshold and let the planner pick a shuffle/bucketed join.
+    from dystonse_gtfs_data_spark.operators.specific_curves import (
+        enrich_records,
+        stop_indexed,
+    )
+    from dystonse_gtfs_data_spark.sources import tables as tables_mod
+    from dystonse_gtfs_data_spark.sources.demo import build_records, build_schedule
+
+    sched = build_schedule(spark)
+    records = build_records(spark)
+    # file-backed dim: Catalyst's size estimate is real (in-memory demo
+    # frames report defaultSizeInBytes, which maybe_broadcast distrusts)
+    p = str(tmp_path / "stop_times")
+    sched["stop_times"].write.mode("overwrite").parquet(p)
+    sti = stop_indexed(spark.read.parquet(p))
+
+    with no_auto_broadcast(spark):
+        # default threshold: schedule-sized dim → forced broadcast
+        df_small = enrich_records(records, sti)
+        assert broadcast_join_count(df_small) >= 1, formatted_plan(df_small)
+
+        # shrink the threshold to simulate a dim whose Catalyst size
+        # estimate exceeds the ceiling → no forced broadcast anywhere
+        monkeypatch.setattr(tables_mod, "BROADCAST_HINT_MAX_BYTES", 1)
+        df_big = enrich_records(records, sti)
+        plan = formatted_plan(df_big)
+        assert broadcast_join_count(df_big) == 0, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
