@@ -18,13 +18,18 @@ import tempfile
 # are (re)written by ensure_demo_oracle_dir() before any oracle runs.
 DEMO_ORACLE_DIR = os.path.join(tempfile.gettempdir(), "dystonse_demo_oracle_v1")
 
+# Where the driver's synthetic tables live; overridable for environments
+# that stage testdata elsewhere.
+TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+
 _SENTINEL = os.path.join(DEMO_ORACLE_DIR, "_SUCCESS")
 
 
 def _source_digest() -> str:
     """Digest of the modules that define the fixture and the expected
-    outputs — a stale cache from an older code version must be rebuilt,
-    not silently served."""
+    outputs, plus the embeddings testdata the ANN expecteds derive from —
+    a stale cache from an older code version OR a regenerated testdata
+    drop must be rebuilt, not silently served."""
     import hashlib
 
     h = hashlib.sha256()
@@ -32,30 +37,39 @@ def _source_digest() -> str:
     for mod in ("demo.py", "demo_oracle.py", "demo_oracle_pipeline.py"):
         with open(os.path.join(base, mod), "rb") as fh:
             h.update(fh.read())
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = os.path.join(TESTDATA_ROOT, sf, "embeddings.parquet")
+        if os.path.exists(p):
+            h.update(sf.encode())
+            with open(p, "rb") as fh:
+                h.update(fh.read())
     return h.hexdigest()
 
 
 def ensure_demo_oracle_dir() -> str:
     """Write the fixture parquet files once per machine; idempotent.
-    Rebuilds whenever the generating source changes."""
+    Rebuilds whenever the generating source (or the embeddings testdata)
+    changes.  The build goes into a temp sibling directory renamed into
+    place, so concurrent readers never observe a half-written cache."""
+    import shutil
+
     digest = _source_digest()
     if os.path.exists(_SENTINEL):
         with open(_SENTINEL) as fh:
             if fh.read().strip() == digest:
                 return DEMO_ORACLE_DIR
-        import shutil
-
-        shutil.rmtree(DEMO_ORACLE_DIR, ignore_errors=True)
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from .demo import _rt_update_rows, records_rows, schedule_rows
 
-    os.makedirs(DEMO_ORACLE_DIR, exist_ok=True)
+    build_dir = f"{DEMO_ORACLE_DIR}.build-{os.getpid()}"
+    shutil.rmtree(build_dir, ignore_errors=True)
+    os.makedirs(build_dir)
     sched = schedule_rows()
 
     def write(name: str, cols: dict) -> None:
-        pq.write_table(pa.table(cols), os.path.join(DEMO_ORACLE_DIR, f"{name}.parquet"))
+        pq.write_table(pa.table(cols), os.path.join(build_dir, f"{name}.parquet"))
 
     def col(rows, i):
         return [r[i] for r in rows]
@@ -146,12 +160,12 @@ def ensure_demo_oracle_dir() -> str:
     stats = expected_gtfs_statistics()
     pq.write_table(
         pa.Table.from_pandas(stats, preserve_index=False),
-        os.path.join(DEMO_ORACLE_DIR, "expected_gtfs_statistics.parquet"),
+        os.path.join(build_dir, "expected_gtfs_statistics.parquet"),
     )
     preds = expected_realtime_predictions()
     pq.write_table(
         pa.Table.from_pandas(preds, preserve_index=False),
-        os.path.join(DEMO_ORACLE_DIR, "expected_gtfs_predictions.parquet"),
+        os.path.join(build_dir, "expected_gtfs_predictions.parquet"),
     )
     from .demo_oracle_pipeline import (
         expected_departure_board,
@@ -160,43 +174,71 @@ def ensure_demo_oracle_dir() -> str:
 
     pq.write_table(
         pa.Table.from_pandas(expected_departure_board(), preserve_index=False),
-        os.path.join(DEMO_ORACLE_DIR, "expected_departure_board.parquet"),
+        os.path.join(build_dir, "expected_departure_board.parquet"),
     )
     pq.write_table(
         pa.Table.from_pandas(expected_scheduled_predictions(), preserve_index=False),
-        os.path.join(DEMO_ORACLE_DIR, "expected_scheduled_predictions.parquet"),
+        os.path.join(build_dir, "expected_scheduled_predictions.parquet"),
     )
     from .demo_oracle_pipeline import expected_journey_transfers
 
     pq.write_table(
         pa.Table.from_pandas(expected_journey_transfers(), preserve_index=False),
-        os.path.join(DEMO_ORACLE_DIR, "expected_journey_transfers.parquet"),
+        os.path.join(build_dir, "expected_journey_transfers.parquet"),
     )
     # per-SF LSH expected output, keyed by an integer corpus fingerprint
-    # the oracle SQL recomputes from the live embeddings view
+    # the oracle SQL recomputes from the live embeddings view.  Written
+    # UNCONDITIONALLY (empty frame with the right schema when no testdata
+    # is staged) so the oracle SQL can always read the file — a missing
+    # corpus just selects zero rows via the fingerprint key.
     import pandas as pd
 
-    from .demo_oracle_pipeline import expected_lsh_topk
+    from .demo_oracle_pipeline import expected_ivf_topk, expected_lsh_topk
 
-    from .demo_oracle_pipeline import expected_ivf_topk
-
+    _ANN_EMPTY = pd.DataFrame(
+        {
+            "corpus_fp": pd.Series(dtype="int64"),
+            "query_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+            "rank": pd.Series(dtype="int64"),
+        }
+    )
     lsh_frames, ivf_frames = [], []
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        d = os.path.join("/root/testdata", sf)
+        d = os.path.join(TESTDATA_ROOT, sf)
         if os.path.exists(os.path.join(d, "embeddings.parquet")):
             lsh_frames.append(expected_lsh_topk(d))
             ivf_frames.append(expected_ivf_topk(d))
-    if lsh_frames:
-        pq.write_table(
-            pa.Table.from_pandas(pd.concat(lsh_frames, ignore_index=True), preserve_index=False),
-            os.path.join(DEMO_ORACLE_DIR, "expected_lsh_topk.parquet"),
-        )
-        pq.write_table(
-            pa.Table.from_pandas(pd.concat(ivf_frames, ignore_index=True), preserve_index=False),
-            os.path.join(DEMO_ORACLE_DIR, "expected_ivf_topk.parquet"),
-        )
-    with open(_SENTINEL, "w") as fh:
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat([_ANN_EMPTY, *lsh_frames], ignore_index=True),
+            preserve_index=False,
+        ),
+        os.path.join(build_dir, "expected_lsh_topk.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat([_ANN_EMPTY, *ivf_frames], ignore_index=True),
+            preserve_index=False,
+        ),
+        os.path.join(build_dir, "expected_ivf_topk.parquet"),
+    )
+    with open(os.path.join(build_dir, "_SUCCESS"), "w") as fh:
         fh.write(digest)
+
+    # atomic-ish swap: rename the old cache aside, move the build into
+    # place, clean up.  If a concurrent builder won the race, our rename
+    # fails — accept their (same-digest) cache and discard ours.
+    old_dir = f"{DEMO_ORACLE_DIR}.old-{os.getpid()}"
+    try:
+        if os.path.exists(DEMO_ORACLE_DIR):
+            os.rename(DEMO_ORACLE_DIR, old_dir)
+        os.rename(build_dir, DEMO_ORACLE_DIR)
+    except OSError:
+        shutil.rmtree(build_dir, ignore_errors=True)
+    finally:
+        shutil.rmtree(old_dir, ignore_errors=True)
     return DEMO_ORACLE_DIR
 
 
