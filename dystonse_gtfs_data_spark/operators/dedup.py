@@ -162,6 +162,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    eager_checkpoint: bool = False,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard similarity.
 
@@ -169,11 +170,17 @@ def ngram_jaccard_pairs(
     in a candidate pair (left-semi join on the id set) BEFORE the two
     payload joins — at corpus scale only the near-dup subset's shingles
     ever traverse a shuffle, not every document's.  The (small) candidate
-    list is materialized once via an eager localCheckpoint so the
-    expensive LSH subtree feeding it is NOT re-evaluated for the
-    semi-join branch (two branches of one DAG otherwise recompute their
-    shared subtree)."""
-    candidates = candidates.localCheckpoint(eager=True)
+    list is persist()ed so the expensive LSH subtree feeding it is
+    computed once and shared by the semi-join branch and the payload
+    joins — and, unlike a localCheckpoint, stays RECOMPUTABLE from
+    lineage if an executor (and its cached blocks) is lost mid-job.
+    ``eager_checkpoint=True`` opts into the old behavior (truncated
+    lineage, a build-time job, unreplicated blocks) for interactive
+    sessions that re-run the verify stage many times."""
+    if eager_checkpoint:
+        candidates = candidates.localCheckpoint(eager=True)
+    else:
+        candidates = candidates.persist()
     cand_ids = candidates.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()

@@ -38,6 +38,12 @@ def build_session(
         # the driver's events table stores TIMESTAMP(NANOS); Spark has no
         # ns timestamp — read as long and convert to µs in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed domain tables hash on trip_id; joins key on supersets
+        # (trip_id + stop_sequence, the vehicle key).  Accepting the
+        # subset co-partitioning is REQUIRED for the zero-Exchange
+        # bucketed joins (sources/bucketed.py) and is set once here,
+        # session-wide, rather than mutated mid-query.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -43,8 +43,24 @@ TRIP_BUCKET_COLS = ["trip_id"]
 def _allow_subset_copartition(spark: SparkSession) -> None:
     """Joins key on supersets of the bucket columns (trip_id + seq, the
     vehicle key…); hashing both sides by the trip_id subset is a valid
-    co-partitioning, but Spark only accepts it with this conf off."""
-    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    co-partitioning, but Spark only accepts it with
+    ``spark.sql.requireAllClusterKeysForCoPartition=false``.
+
+    ``session.build_session`` sets that conf once at session setup (it is
+    consulted at physical-planning time, so a set/restore around plan
+    *construction* would silently lose it).  For caller-provided sessions
+    that still require all cluster keys, warn that we are flipping a
+    session-wide conf instead of doing it silently."""
+    if spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition", "true") != "false":
+        import warnings
+
+        warnings.warn(
+            "bucketed joins require spark.sql.requireAllClusterKeysForCoPartition"
+            "=false; setting it for THE WHOLE SESSION (plan shapes of other "
+            "queries may change). Set it at session build time to silence.",
+            stacklevel=3,
+        )
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
 
 
 def write_domain_tables_bucketed(
