@@ -81,11 +81,35 @@ def time_slot_id_sql(ts_col: str) -> str:
     return f"(CASE\n      {whens}\n      ELSE {DEFAULT_TIME_SLOT_ID} END)"
 
 
-def service_day_timestamp(service_date: Column, seconds: Column) -> Column:
+def service_day_timestamp(
+    service_date: Column, seconds: Column, tz: str | None = None
+) -> Column:
     """C1/C2: service day + seconds-from-midnight (may be < 0 or ≥ 86400)
-    → UTC timestamp with day carry (src/main.rs:421-442)."""
+    → UTC timestamp with day carry (src/main.rs:421-442).
+
+    ``tz=None`` (default): the engine's UTC-pinned semantics — plain
+    seconds arithmetic from the service date at 00:00 UTC.  Deterministic
+    and DST-free; the right default per SURVEY §7.1.
+
+    ``tz="Europe/Berlin"`` (etc.): the reference's noon-anchored local
+    semantics (GtfsDateTime, src/types/gtfs_time.rs:53-56) — the instant
+    is local noon of the service day minus 12 h plus ``seconds``, so a
+    26:30:00 trip crossing a DST switch lands on the correct local
+    wall-clock (e.g. 03:30 CEST on the spring-forward night, because
+    02:30 does not exist).  The returned column is still an absolute
+    instant (UTC timestamp)."""
+    if tz is None:
+        return F.timestamp_seconds(
+            F.unix_timestamp(service_date.cast("timestamp")) + seconds.cast("long")
+        )
+    noon_local = F.to_utc_timestamp(
+        F.concat(
+            service_date.cast("date").cast("string"), F.lit(" 12:00:00")
+        ).cast("timestamp"),
+        tz,
+    )
     return F.timestamp_seconds(
-        F.unix_timestamp(service_date.cast("timestamp")) + seconds.cast("long")
+        F.unix_timestamp(noon_local) - 43200 + seconds.cast("long")
     )
 
 

@@ -130,6 +130,61 @@ def test_grid_proximity_matches_brute_force(spark):
     assert len(grid) > len(rows)  # sanity: clusters produced real pairs
 
 
+def test_service_day_timestamp_dst_crossing(spark):
+    """C1/C2 local-TZ mode: the reference anchors at service-day noon −12 h
+    LOCAL time (gtfs_time.rs:53-56), so a 26:30:00 trip crossing a
+    Europe/Berlin DST switch lands on the right wall-clock instant.
+
+    Hand-derived expectations (26:30:00 = 95 400 s):
+    - spring forward 2026-03-29 02:00→03:00 CEST, service day 03-28:
+        UTC mode:    2026-03-28T00:00Z + 95 400 s = 2026-03-29T02:30Z
+        Berlin mode: noon 03-28 CET = 11:00Z; −12 h = 03-27T23:00Z;
+                     +95 400 s = 2026-03-29T01:30Z (= 03:30 CEST —
+                     02:30 local does not exist that night)
+    - fall back 2026-10-25 03:00→02:00 CET, service day 10-24:
+        UTC mode:    2026-10-25T02:30Z
+        Berlin mode: noon 10-24 CEST = 10:00Z; −12 h = 10-23T22:00Z;
+                     +95 400 s = 2026-10-25T00:30Z (= 02:30 CEST, the
+                     FIRST occurrence of that repeated wall-clock)
+    """
+    import datetime as dt
+
+    from dystonse_gtfs_data_spark.functions.time import service_day_timestamp
+
+    df = spark.createDataFrame(
+        [
+            (dt.date(2026, 3, 28), 95400),
+            (dt.date(2026, 10, 24), 95400),
+        ],
+        "service_date date, secs int",
+    )
+    out = (
+        df.select(
+            "service_date",
+            service_day_timestamp(F.col("service_date"), F.col("secs")).alias("utc"),
+            service_day_timestamp(
+                F.col("service_date"), F.col("secs"), tz="Europe/Berlin"
+            ).alias("berlin"),
+        )
+        .orderBy("service_date")
+        .collect()
+    )
+    # session tz is UTC, so collected naive datetimes ARE the UTC instants
+    spring, fall = out
+    assert spring["utc"] == dt.datetime(2026, 3, 29, 2, 30)
+    assert spring["berlin"] == dt.datetime(2026, 3, 29, 1, 30)
+    assert fall["utc"] == dt.datetime(2026, 10, 25, 2, 30)
+    assert fall["berlin"] == dt.datetime(2026, 10, 25, 0, 30)
+    # cross-check the Berlin instants against zoneinfo
+    from zoneinfo import ZoneInfo
+
+    utc, berlin = ZoneInfo("UTC"), ZoneInfo("Europe/Berlin")
+    for row, service_day in ((spring, dt.date(2026, 3, 28)), (fall, dt.date(2026, 10, 24))):
+        anchor = dt.datetime.combine(service_day, dt.time(12)).replace(tzinfo=berlin)
+        expect = anchor.astimezone(utc) - dt.timedelta(hours=12) + dt.timedelta(seconds=95400)
+        assert row["berlin"].replace(tzinfo=utc) == expect
+
+
 def test_grid_proximity_exact_at_extreme_latitudes(spark):
     """Round-3 ADVICE fix: the grid join must match brute force above the
     old ±60° band — arctic cities, the antimeridian seam, and points
