@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "simhash_near_dups_xxhash",
     "image_stats",          # multimodal blob decode via mapInPandas
     "audio_rms",
+    "ngram_jaccard_dedup",  # exact Jaccard via shingle inverted index
+    "winnow_fingerprints",  # MOSS rolling-hash fingerprints (JVM HOFs)
 ]
 
 

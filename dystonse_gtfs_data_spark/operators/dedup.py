@@ -56,6 +56,19 @@ def _base_hash_col(col, base_hash: str):
     raise ValueError(f"unknown base_hash {base_hash!r} (use 'xxhash64' or 'md5')")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Per-row digest work (md5 of every shingle / k-gram) is CPU-bound;
+    a small parquet input arrives as a single split and would pin ONE
+    core for the whole corpus.  Round-robin repartition up to cluster
+    parallelism before the heavy projection — at real scale the file
+    splits already exceed it and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens(text_col: str = "text"):
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
@@ -103,7 +116,7 @@ def minhash_signatures(
     over a single groupBy — signature width never multiplies the shuffle.
     """
     fam = _hash_family(num_hashes)
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
     ).withColumn("h", _base_hash_col(F.col("shingle"), base_hash))
     aggs = [
@@ -203,6 +216,115 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_jaccard_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard near-dup — no LSH recall loss.
+
+    Candidate generation is a shingle inverted-index self-join: docs
+    meet only on shingles they SHARE, so the shuffle is O(total shingle
+    occurrences), never the O(n²) pair space; pairs with zero shared
+    shingles (jaccard 0) are never materialized.  At corpus scale the
+    skew risk is ultra-common shingles (stop-phrase hot keys):
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    documents — an explicit, documented recall trade (a shingle shared
+    by thousands of docs contributes almost nothing to a >= 0.5 Jaccard
+    pair anyway).  Default None = exact.
+
+    Output: (id_a < id_b, jaccard) with jaccard >= threshold.
+    """
+    sets = _spread(docs).select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("sh")
+    )
+    sizes = sets.select(F.col(id_col), F.size("sh").alias("n"))
+    ex = sets.select(F.col(id_col), F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        keep = (
+            ex.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("s")
+        )
+        ex = ex.join(keep, "s")
+    a = ex.select(F.col(id_col).alias("id_a"), "s")
+    b = ex.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard", F.col("ni") / (F.col("n_a") + F.col("n_b") - F.col("ni"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kgram: int = 8,
+    window: int = 16,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003, the MOSS algorithm — public): hash every character
+    k-gram of the normalized text with the portable md5 fold, then keep
+    the minimum hash of each ``window``-length run of consecutive
+    k-gram hashes.  Guarantee: any substring match of length >=
+    kgram + window - 1 between two documents yields at least one shared
+    fingerprint, while only ~2/window of all k-gram hashes are kept.
+
+    Entirely JVM-side higher-order functions (sequence → transform →
+    slice → array_min): no shuffle at all until the caller aggregates,
+    and the hash is reproducible in any SQL engine for verification.
+
+    Output: one (id, fp) row per distinct fingerprint per document.
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    n = F.length(t)
+    kgrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - kgram + 1, F.lit(1))),
+        lambda i: F.substring(t, i, kgram),
+    )
+    # Materialize the hash array in its OWN projection: the window stage
+    # references it (m - window + 1) times via slice(), and Spark does no
+    # common-subexpression elimination across HOF lambdas — inlined, each
+    # slice would recompute EVERY md5 (O(m²·w) digests per row; observed
+    # as a single-core hang at 500 docs).  A separate select makes it an
+    # attribute reference, hashed once per row.
+    hashed = _spread(docs).select(
+        F.col(id_col), F.transform(kgrams, portable_base_hash).alias("_h")
+    )
+    h = F.col("_h")
+    m = F.size(h)
+    wins = F.when(m <= window, F.array(F.array_min(h))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), m - window + 1),
+            lambda j: F.array_min(F.slice(h, j, window)),
+        )
+    )
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",
@@ -235,7 +357,7 @@ def simhash(
     the affine family (bit_i = h_i(tok) mod 2) instead of xxhash64's raw
     bits — an equally valid ±1 hash family that a SQL oracle can
     recompute exactly."""
-    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tok = _spread(docs).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     if base_hash == "md5":
         fam = _hash_family(bits)
         h = tok.withColumn(

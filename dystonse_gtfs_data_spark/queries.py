@@ -30,8 +30,10 @@ from .operators.dedup import (
     MERSENNE_P,
     _hash_family,
     minhash_near_duplicates,
+    ngram_jaccard_near_duplicates,
     portable_base_hash_sql,
     simhash_near_duplicates,
+    winnow_fingerprints,
 )
 from .operators.gapfill import forward_fill
 from .operators.similarity import allpairs_cosine, cosine_topk, lsh_topk
@@ -1144,6 +1146,91 @@ def q_simhash_near_dups_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return simhash_near_duplicates(d, max_hamming=3, base_hash="xxhash64").orderBy(
         "id_a", "id_b"
+    )
+
+
+@register(
+    "ngram_jaccard_dedup",
+    """
+    WITH tokd AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 2, 1))) AS i
+      FROM tokd
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+                  ELSE array_to_string(toks[i + 1 : i + 3], ' ') END AS shingle
+      FROM pos
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS ni
+      FROM sh sa JOIN sh sb
+        ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.ni AS DOUBLE) / (za.n + zb.n - i.ni) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE CAST(i.ni AS DOUBLE) / (za.n + zb.n - i.ni) >= 0.5
+    ORDER BY i.id_a, i.id_b
+    """,
+    covers="EXACT n-gram Jaccard near-dup via shingle inverted-index "
+    "self-join (no LSH recall loss; pairs meet only on shared shingles)",
+)
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_near_duplicates(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+_WINNOW_K, _WINNOW_W = 8, 16
+
+@register(
+    "winnow_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
+    pos AS (
+      SELECT doc_id, txt,
+             unnest(range(1, greatest(length(txt) - {_WINNOW_K} + 1, 1) + 1)) AS i
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id, i, ({portable_base_hash_sql('hx')}) AS hv
+      FROM (
+        SELECT doc_id, i,
+               substr(md5(substr(txt, CAST(i AS INTEGER), {_WINNOW_K})), 1, 15) AS hx
+        FROM pos
+      )
+    ),
+    wm AS (
+      SELECT doc_id, i,
+             min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW
+                           AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS nk
+      FROM h
+    )
+    SELECT DISTINCT doc_id, fp
+    FROM wm
+    WHERE i <= greatest(nk - {_WINNOW_W} + 1, 1)
+    ORDER BY doc_id, fp
+    """,
+    covers="Winnowing rolling-hash document fingerprints (MOSS, "
+    "Schleimer/Wilkerson/Aiken SIGMOD'03): min-hash of each window of "
+    "consecutive character k-gram hashes, all JVM-side HOFs",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, kgram=_WINNOW_K, window=_WINNOW_W).orderBy(
+        "doc_id", "fp"
     )
 
 

@@ -173,3 +173,72 @@ def test_embedding_near_duplicates_finds_planted_pair(vec_corpus):
     cm = _cos_matrix(base.astype(np.float64))
     for r in out:
         assert r["cosine"] == pytest.approx(cm[r["id_a"], r["id_b"]], abs=1e-6)
+
+
+def test_ngram_jaccard_exact_vs_brute_force(spark):
+    """The inverted-index join must find EXACTLY the pairs a brute-force
+    per-pair Jaccard computation finds (threshold 0.3 keeps several)."""
+    from dystonse_gtfs_data_spark.operators.dedup import (
+        ngram_jaccard_near_duplicates,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over a lazy dog",       # near-dup of 0
+        "pack my box with five dozen liquor jugs",
+        "pack my box with five dozen brandy jugs today",   # near-dup of 2
+        "completely unrelated text about spark catalyst",
+        "the quick brown fox jumps over the lazy dog",     # exact dup of 0
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_near_duplicates(docs, threshold=0.3).collect()
+    }
+
+    def sh_set(t, k=3):
+        toks = t.lower().split()
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = sh_set(texts[i]), sh_set(texts[j])
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.3:
+                expect[(i, j)] = jac
+    assert set(got) == set(expect)
+    for pair, jac in expect.items():
+        assert got[pair] == pytest.approx(jac, abs=1e-12)
+    assert got[(0, 5)] == 1.0  # the exact duplicate
+
+
+def test_winnowing_guarantee_and_prune(spark):
+    """Schleimer et al.'s guarantee: documents sharing a substring of
+    length >= kgram + window - 1 share at least one fingerprint; and
+    winnowing keeps far fewer than all k-gram hashes."""
+    from dystonse_gtfs_data_spark.operators.dedup import winnow_fingerprints
+
+    shared = "an identical plagiarized passage threaded through both essays"
+    docs = spark.createDataFrame(
+        [
+            (0, "first document opens differently " + shared + " and then ends"),
+            (1, "second one starts another way " + shared + " closing remarks"),
+            (2, "third text shares absolutely nothing with the others at all"),
+        ],
+        "doc_id long, text string",
+    )
+    k, w = 8, 4
+    assert len(shared) >= k + w - 1
+    fps = winnow_fingerprints(docs, kgram=k, window=w).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared passage must share a fingerprint"
+    # density: winnowing keeps ~2/w of the k-gram hashes, never all
+    n0 = len("first document opens differently " + shared + " and then ends") - k + 1
+    assert len(by_doc[0]) < n0 / 2

@@ -43,7 +43,18 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert ok, f"{name}: {msg}"
 
 
+# Rows-only by design: the production xxhash64 hash family is
+# Spark-private, so no portable SQL twin can exist.  The SAME pipelines
+# are hash-verified end-to-end through their md5-fold twins
+# (minhash_near_dups / simhash_near_dups); these variants exist to keep
+# the hot path visible in the bench.
+ROWS_ONLY_BY_DESIGN = {"minhash_near_dups_xxhash", "simhash_near_dups_xxhash"}
+
+
 def test_every_query_has_an_oracle():
-    # round-2 milestone: the rows-only set is EMPTY — every catalog query
-    # carries a DuckDB twin or a single-node differential oracle
-    assert sorted(set(Q.REGISTRY) - set(ORACLE_QUERIES)) == []
+    # round-2 milestone, kept tight: every catalog query carries a DuckDB
+    # twin or a single-node differential oracle, except the explicitly
+    # documented rows-only set — which must not silently grow.
+    assert sorted(set(Q.REGISTRY) - set(ORACLE_QUERIES)) == sorted(
+        ROWS_ONLY_BY_DESIGN
+    )
