@@ -830,7 +830,11 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers="document quality scoring (length/punct/stopword heuristics)",
 )
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from .operators.dedup import _spread
+
+    # regex-heavy row-wise scoring on a one-split table pins a core;
+    # round-robin to cluster parallelism first (no-op at real scale)
+    d = _spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         "lang",
