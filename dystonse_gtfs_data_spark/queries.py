@@ -791,6 +791,74 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "windowed_counts_stream",
+    """
+    SELECT epoch_us(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 14400)
+                                  AS BIGINT) * 14400)) AS window_start_us,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    covers="T1/T7 executed as a REAL Structured Streaming job: file-source "
+    "stream over the events parquet, event-time 4h tumbling window with a "
+    "1h watermark, availableNow trigger draining to a memory sink — the "
+    "batch SQL twin proves stream/batch result parity "
+    "(streaming/aggregations.py windowed_event_counts shape)",
+)
+def q_windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    # batch load first: applies session confs and tells us the physical
+    # timestamp encoding (legacy epoch-ns long vs timestamp[us] NTZ)
+    load_table(spark, sf_dir, "events")
+    path = _os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file source wants a directory: stream the sf dir filtered down
+    # to the events file (exactly how a production job would tail a
+    # landing directory of parquet drops)
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(src.schema["ts"].dataType, T.LongType):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(src.schema["ts"].dataType, T.TimestampNTZType):
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "4 hours").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(_dec(F.col("value"))).cast("double") / F.count("*")).alias(
+                "avg_value"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+    sink = f"winstream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data ops)
 # ---------------------------------------------------------------------------
