@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "audio_rms",
     "ngram_jaccard_dedup",  # exact Jaccard via shingle inverted index
     "winnow_fingerprints",  # MOSS rolling-hash fingerprints (JVM HOFs)
+    "windowed_counts_stream",  # true Structured Streaming execution
+    "video_frame_stats",    # frame-sampled video decode via mapInPandas
 ]
 
 

@@ -121,11 +121,59 @@ def sample_audio_features(
 
 
 def video_decode_stub(blob: bytes):  # pragma: no cover - explicit stub
-    """Video frame sampling needs pyav/ffmpeg — not in this container."""
+    """Video frame decoding needs pyav/ffmpeg — not in this container."""
     raise NotImplementedError(
         "video decode requires pyav/ffmpeg; install and pass a kernel with "
         "signature bytes -> ndarray[frames, h, w, c]"
     )
+
+
+def fake_video_decode(blob: bytes) -> np.ndarray:
+    """FAKE video decode: every 192-byte block of the blob is one 8×8×3
+    uint8 frame (same layout as :func:`fake_image_decode`).  Production:
+    replace with a pyav kernel — same signature, same pipeline."""
+    n_frames = max(1, len(blob) // 192)
+    raw = np.frombuffer(
+        blob[: n_frames * 192].ljust(n_frames * 192, b"\0"), dtype=np.uint8
+    )
+    return raw.reshape(n_frames, 8, 8, 3)
+
+
+def sample_video_frames(
+    assets: DataFrame,
+    decode: Callable[[bytes], np.ndarray] = fake_video_decode,
+    stride: int = 2,
+) -> DataFrame:
+    """binary video → frame-sampled per-frame stats: every ``stride``-th
+    frame's index and mean intensity, plus the clip's frame count.  The
+    decode kernel is pluggable (pyav in production); the Spark shape —
+    Arrow batches in, one output row per SAMPLED frame — is the real
+    100 TB plumbing (frame sampling before any expensive model stage)."""
+    out_schema = (
+        "asset_id long, n_frames int, frame_idx int, mean_intensity double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["content"]):
+                if blob is None:
+                    continue
+                frames = decode(bytes(blob))
+                nf = int(frames.shape[0])
+                for idx in range(0, nf, stride):
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "n_frames": nf,
+                            "frame_idx": idx,
+                            "mean_intensity": float(frames[idx].mean()),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(run, out_schema)
 
 
 # Catalyst reports defaultSizeInBytes (Long.MaxValue) for non-file-backed
@@ -210,6 +258,15 @@ def synthetic_image_assets(documents: DataFrame, n_bytes: int = 192) -> DataFram
             F.lit(3).alias("channels"),
             F.lit("fake").alias("format"),
         ).alias("meta"),
+    )
+
+
+def synthetic_video_assets(documents: DataFrame, n_frames: int = 4) -> DataFrame:
+    """One ``n_frames``-frame blob per doc_id using the image byte
+    formula over the concatenated frames — what `fake_video_decode`
+    splits back into 8×8×3 frames."""
+    return synthetic_image_assets(documents, n_bytes=192 * n_frames).select(
+        "asset_id", "content"
     )
 
 

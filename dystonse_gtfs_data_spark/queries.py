@@ -984,6 +984,33 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "video_frame_stats",
+    """
+    SELECT d.doc_id AS asset_id, 4 AS n_frames, f.f_idx AS frame_idx,
+           sum((d.doc_id * 31 + (f.f_idx * 192 + r.i) * 7) % 256) / 192.0
+             AS mean_intensity
+    FROM documents d
+    CROSS JOIN (VALUES (0), (2)) f(f_idx)
+    CROSS JOIN range(0, 192) r(i)
+    GROUP BY d.doc_id, f.f_idx
+    """,
+    covers="Multimodal video path: binary column → frame decode → stride-2 "
+    "frame sampling → per-frame stats (deterministic fake kernel; swap for "
+    "pyav in production). Oracle recomputes from the blob formula.",
+)
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (
+        sample_video_frames,
+        synthetic_video_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_video_frames(synthetic_video_assets(docs), stride=2).select(
+        "asset_id", "n_frames", "frame_idx", "mean_intensity"
+    )
+
+
+@register(
     "audio_rms",
     """
     WITH counts AS (

@@ -235,6 +235,29 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             video_decode_stub(b"")
 
+    def test_video_frame_sampling(self, spark):
+        from dystonse_gtfs_data_spark.operators.multimodal import (
+            sample_video_frames,
+        )
+
+        # 5 frames (960 bytes) and 1 frame (short blob padded)
+        assets = spark.createDataFrame(
+            [(1, bytes(range(256)) * 4), (2, bytes(range(10)))],
+            "asset_id long, content binary",
+        )
+        rows = sample_video_frames(assets, stride=2).collect()
+        by_asset = {}
+        for r in rows:
+            by_asset.setdefault(r["asset_id"], []).append(r)
+        # 1024 bytes → 5 frames → sampled frame_idx 0, 2, 4
+        assert sorted(r["frame_idx"] for r in by_asset[1]) == [0, 2, 4]
+        assert all(r["n_frames"] == 5 for r in by_asset[1])
+        # short blob → one zero-padded frame
+        assert [r["frame_idx"] for r in by_asset[2]] == [0]
+        assert by_asset[2][0]["mean_intensity"] == pytest.approx(
+            sum(range(10)) / 192.0
+        )
+
     def test_synthetic_image_blob_matches_formula(self, spark):
         from dystonse_gtfs_data_spark.operators.multimodal import (
             synthetic_image_assets,
