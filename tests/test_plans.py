@@ -131,6 +131,35 @@ def test_jaccard_verify_prunes_corpus_scan(spark, sf_dir):
     assert "LeftSemi" in plan, plan
 
 
+def test_ngram_jaccard_is_inverted_index_equi_join(spark, sf_dir):
+    # exact Jaccard must plan as an equi-join on the shingle key (pairs
+    # meet only on shared shingles) — never a cartesian pair space
+    from dystonse_gtfs_data_spark.operators.dedup import (
+        ngram_jaccard_near_duplicates,
+    )
+    from dystonse_gtfs_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = ngram_jaccard_near_duplicates(docs, threshold=0.5)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_winnow_fingerprints_stays_jvm_side(spark, sf_dir):
+    # the rolling-hash fingerprint pipeline is pure higher-order
+    # functions: no Python evaluation, and no shuffle beyond the
+    # CPU-spread round-robin of the one-split input
+    from dystonse_gtfs_data_spark.operators.dedup import winnow_fingerprints
+    from dystonse_gtfs_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = winnow_fingerprints(docs)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert shuffle_count(df) <= 1, plan
+
+
 def test_enrich_records_broadcast_is_size_guarded(spark, monkeypatch, tmp_path):
     # stop_times is schedule-sized for one feed but multi-GB for a
     # country-scale merge: the hint must disappear above the size
