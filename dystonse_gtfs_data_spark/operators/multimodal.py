@@ -238,6 +238,9 @@ def with_binary_partitioning(
 def synthetic_image_assets(documents: DataFrame, n_bytes: int = 192) -> DataFrame:
     """One 192-byte blob per doc_id with byte[i] = (doc_id*31 + i*7) % 256
     — exactly the 8×8×3 frame `fake_image_decode` consumes."""
+    from .dedup import _spread
+
+    documents = _spread(documents)
     blob = F.unhex(
         F.concat_ws(
             "",
@@ -277,6 +280,9 @@ def synthetic_audio_assets(documents: DataFrame, n_bytes: int = 320) -> DataFram
     sqrt(k/160) for an integer k — reproducible bit-for-bit by a SQL
     oracle (quantization validated exhaustively for k ∈ [0, 160] in
     tests)."""
+    from .dedup import _spread
+
+    documents = _spread(documents)
     blob = F.unhex(
         F.concat_ws(
             "",

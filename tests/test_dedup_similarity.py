@@ -242,3 +242,53 @@ def test_winnowing_guarantee_and_prune(spark):
     # density: winnowing keeps ~2/w of the k-gram hashes, never all
     n0 = len("first document opens differently " + shared + " and then ends") - k + 1
     assert len(by_doc[0]) < n0 / 2
+
+
+def test_winnow_matches_reference_implementation_on_random_text(spark):
+    """Property: the Spark HOF pipeline equals an independent pure-Python
+    winnowing implementation on random ASCII corpora (hypothesis drives
+    the text; one Spark round-trip over the whole batch)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dystonse_gtfs_data_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 5, 3
+
+    def py_winnow(text: str) -> set[int]:
+        t = text.strip().lower()
+        grams = (
+            [t[i : i + k] for i in range(max(len(t) - k + 1, 1))]
+            if len(t) > k
+            else [t]
+        )
+        def h(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+        hs = [h(g) for g in grams]
+        if len(hs) <= w:
+            return {min(hs)}
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+    texts = st.lists(
+        st.text(
+            alphabet="abcdefghij Z0123456789", min_size=1, max_size=60
+        ).filter(lambda s: s.strip()),
+        min_size=1,
+        max_size=8,
+    )
+
+    @given(texts)
+    @settings(max_examples=12, deadline=None)
+    def check(batch):
+        docs = spark.createDataFrame(
+            list(enumerate(batch)), "doc_id long, text string"
+        )
+        got = {}
+        for r in winnow_fingerprints(docs, kgram=k, window=w).collect():
+            got.setdefault(r["doc_id"], set()).add(r["fp"])
+        for i, t in enumerate(batch):
+            assert got[i] == py_winnow(t), (i, t)
+
+    check()
