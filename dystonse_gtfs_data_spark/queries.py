@@ -1425,6 +1425,119 @@ def q_make_curve_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("y", F.round("y", 9))
 
 
+@register(
+    "average_curves_groups",
+    """
+    WITH e AS (
+      SELECT event_type, user_id % 3 AS curve_id, value FROM events
+    ),
+    g AS (
+      SELECT event_type, curve_id, value AS x, count(*) AS c
+      FROM e GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT event_type, curve_id, x, c,
+             sum(c) OVER (PARTITION BY event_type, curve_id ORDER BY x) AS cum,
+             sum(c) OVER (PARTITION BY event_type, curve_id) AS total,
+             row_number() OVER (PARTITION BY event_type, curve_id ORDER BY x) AS rn,
+             count(*) OVER (PARTITION BY event_type, curve_id) AS nd,
+             first_value(x) OVER (PARTITION BY event_type, curve_id ORDER BY x)
+               AS first_x
+      FROM g
+    ),
+    knots AS (
+      SELECT event_type, curve_id, x,
+             CASE WHEN rn = (CASE WHEN first_x = 0.0 THEN 2 ELSE 1 END) THEN 0.0
+                  WHEN rn = nd THEN 1.0
+                  ELSE (cum - c + 1.0) / total END AS y
+      FROM w
+      WHERE NOT (rn = 1 AND x = 0.0)
+    ),
+    valid AS (
+      SELECT event_type, curve_id FROM knots GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    k AS (
+      SELECT kn.* FROM knots kn JOIN valid v
+        ON kn.event_type = v.event_type AND kn.curve_id = v.curve_id
+    ),
+    grid AS (SELECT DISTINCT event_type, x FROM k),
+    segs AS (
+      SELECT event_type, curve_id, x AS x0, y AS y0,
+             lead(x) OVER (PARTITION BY event_type, curve_id ORDER BY x) AS x1,
+             lead(y) OVER (PARTITION BY event_type, curve_id ORDER BY x) AS y1,
+             min(x) OVER (PARTITION BY event_type, curve_id) AS min_x,
+             max(x) OVER (PARTITION BY event_type, curve_id) AS max_x
+      FROM k
+    ),
+    -- each curve evaluated at each union-grid x, np.interp semantics
+    -- (left=0, right=1 on pinned curves; slope*(x-x0)+y0 association)
+    ys AS (
+      SELECT g.event_type, g.x, c.curve_id,
+             CASE WHEN g.x < c.min_x THEN 0.0 ELSE 1.0 END AS y
+      FROM grid g JOIN (
+        SELECT DISTINCT event_type, curve_id, min_x, max_x FROM segs
+      ) c ON g.event_type = c.event_type
+      WHERE g.x < c.min_x OR g.x >= c.max_x
+      UNION ALL
+      SELECT s.event_type, g.x, s.curve_id,
+             ((s.y1 - s.y0) / (s.x1 - s.x0)) * (g.x - s.x0) + s.y0 AS y
+      FROM grid g JOIN segs s
+        ON g.event_type = s.event_type AND s.x0 <= g.x AND g.x < s.x1
+    ),
+    avgd AS (
+      SELECT event_type, x, sum(y) / count(*) AS ym
+      FROM ys GROUP BY 1, 2
+    )
+    SELECT event_type, x,
+           round(CASE WHEN rn = 1 THEN 0.0 WHEN rn = n THEN 1.0 ELSE ym END, 9)
+             AS y
+    FROM (
+      SELECT event_type, x, ym,
+             row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM avgd
+    )
+    ORDER BY event_type, x
+    """,
+    covers="A5 curve averaging (CurveData averaging, "
+    "src/types/curve_data.rs:21-42): pointwise mean of per-subgroup ECDFs "
+    "on the union x grid, vs a fully relational SQL twin (upgrades A5 from "
+    "differential-only to independent-oracle coverage)",
+)
+def q_average_curves_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .curves.core import average_curves, make_curve
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(3)).alias("curve_id"),
+        "value",
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        curves = []
+        for _, sub in pdf.groupby("curve_id"):
+            made = make_curve(sub["value"].to_numpy(dtype=float))
+            if made is not None:
+                curves.append(made[0])
+        if not curves:
+            return pd.DataFrame(columns=["event_type", "x", "y"])
+        avg = average_curves(curves)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "x": avg.xs,
+                "y": np.round(avg.ys, 9),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        build, "event_type string, x double, y double"
+    )
+
+
 # ECDF knots shared between the Spark query and the DuckDB oracle of
 # stored_curve_quantiles: IDENTICAL SQL text runs on both engines, so
 # the knot doubles agree bit-for-bit and the comparison isolates the
