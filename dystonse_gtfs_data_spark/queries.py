@@ -1425,6 +1425,119 @@ def q_make_curve_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("y", F.round("y", 9))
 
 
+# ECDF knots shared between the Spark queries and the DuckDB oracles of
+# simplify_curves / stored_curve_quantiles: IDENTICAL SQL text runs on
+# both engines, so the knot doubles agree bit-for-bit and each
+# comparison isolates the operation under test (A4 simplify, A13/C11
+# x_at_y interpolation).
+_ECDF_KNOTS_SQL = """
+    WITH g AS (
+      SELECT event_type, value AS x, count(*) AS c FROM {events} GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, x, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY x) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS total,
+             row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd,
+             first_value(x) OVER (PARTITION BY event_type ORDER BY x) AS first_x
+      FROM g
+    )
+    SELECT event_type, x,
+           CASE WHEN rn = (CASE WHEN first_x = 0.0 THEN 2 ELSE 1 END) THEN 0.0
+                WHEN rn = nd THEN 1.0
+                ELSE (cum - c + 1.0) / total END AS y
+    FROM w
+    WHERE NOT (rn = 1 AND x = 0.0)
+"""
+
+_SIMPLIFY_EPS = 0.05
+
+
+@register(
+    "simplify_curves",
+    f"""
+    WITH RECURSIVE knots0 AS ({_ECDF_KNOTS_SQL.format(events='events')}),
+    knots AS (
+      SELECT event_type, x, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM knots0
+    ),
+    seg AS (
+      SELECT event_type, CAST(1 AS BIGINT) AS lo, CAST(nd AS BIGINT) AS hi
+      FROM (SELECT DISTINCT event_type, nd FROM knots)
+      WHERE nd >= 2
+      UNION ALL
+      SELECT q.event_type,
+             CASE WHEN v.side = 0 THEN q.lo ELSE q.mid END AS lo,
+             CASE WHEN v.side = 0 THEN q.mid ELSE q.hi END AS hi
+      FROM (
+        SELECT inner_q.*,
+               row_number() OVER (PARTITION BY event_type, lo, hi
+                                  ORDER BY err DESC, mid ASC) AS r
+        FROM (
+          -- vertical distance to the (lo, hi) chord, numpy association:
+          -- ((y_hi - y_lo) * (x - x_lo)) / (x_hi - x_lo) + y_lo
+          SELECT s.event_type, s.lo, s.hi, k.rn AS mid,
+                 abs(k.y - (((khi.y - klo.y) * (k.x - klo.x))
+                            / (khi.x - klo.x) + klo.y)) AS err
+          FROM seg s
+          JOIN knots klo ON klo.event_type = s.event_type AND klo.rn = s.lo
+          JOIN knots khi ON khi.event_type = s.event_type AND khi.rn = s.hi
+          JOIN knots k
+            ON k.event_type = s.event_type AND k.rn > s.lo AND k.rn < s.hi
+        ) inner_q
+      ) q
+      JOIN (VALUES (0), (1)) v(side) ON true
+      WHERE q.r = 1 AND q.err > {_SIMPLIFY_EPS}
+    ),
+    kept AS (
+      -- explicit outer DISTINCT: inside a WITH RECURSIVE list DuckDB
+      -- treats a bare UNION between the arms as the recursive-union
+      -- form and does NOT dedup across them
+      SELECT DISTINCT event_type, rn FROM (
+        SELECT event_type, lo AS rn FROM seg
+        UNION ALL
+        SELECT event_type, hi AS rn FROM seg
+      )
+    )
+    SELECT k.event_type, k.x, round(k.y, 9) AS y
+    FROM knots k
+    JOIN kept ON kept.event_type = k.event_type AND kept.rn = k.rn
+    ORDER BY 1, 2
+    """,
+    covers="A4 curve simplify(eps): Ramer-Douglas-Peucker with vertical "
+    "tolerance on ECDF curves (curve.simplify(eps) call sites, "
+    "src/analyser/specific_curves.rs:363, default_curves.rs:148-234) vs an "
+    "independent recursive-CTE RDP in DuckDB — upgrades A4 from "
+    "numpy-test-only to driver-gated independent-oracle coverage",
+)
+def q_simplify_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .curves.core import make_curve, simplify
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        made = make_curve(pdf["value"].to_numpy(dtype=float))
+        if made is None:
+            return pd.DataFrame(columns=["event_type", "x", "y"])
+        c = simplify(made[0], _SIMPLIFY_EPS)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "x": c.xs,
+                "y": np.round(c.ys, 9),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        build, "event_type string, x double, y double"
+    )
+
+
 @register(
     "average_curves_groups",
     """
@@ -1537,30 +1650,6 @@ def q_average_curves_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         build, "event_type string, x double, y double"
     )
 
-
-# ECDF knots shared between the Spark query and the DuckDB oracle of
-# stored_curve_quantiles: IDENTICAL SQL text runs on both engines, so
-# the knot doubles agree bit-for-bit and the comparison isolates the
-# x_at_y interpolation semantics (A13/C11).
-_ECDF_KNOTS_SQL = """
-    WITH g AS (
-      SELECT event_type, value AS x, count(*) AS c FROM {events} GROUP BY 1, 2
-    ), w AS (
-      SELECT event_type, x, c,
-             sum(c) OVER (PARTITION BY event_type ORDER BY x) AS cum,
-             sum(c) OVER (PARTITION BY event_type) AS total,
-             row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
-             count(*) OVER (PARTITION BY event_type) AS nd,
-             first_value(x) OVER (PARTITION BY event_type ORDER BY x) AS first_x
-      FROM g
-    )
-    SELECT event_type, x,
-           CASE WHEN rn = (CASE WHEN first_x = 0.0 THEN 2 ELSE 1 END) THEN 0.0
-                WHEN rn = nd THEN 1.0
-                ELSE (cum - c + 1.0) / total END AS y
-    FROM w
-    WHERE NOT (rn = 1 AND x = 0.0)
-"""
 
 _QUANTILE_PS = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
 _PROBS_SQL = "probs(p) AS (VALUES " + ", ".join(
