@@ -1450,6 +1450,28 @@ _ECDF_KNOTS_SQL = """
     WHERE NOT (rn = 1 AND x = 0.0)
 """
 
+# Stored curves are CAPPED to a bounded knot count before any per-group
+# collection, mirroring the reference's own stored-curve size bound
+# (serialize_compact_limited(120), src/importer/per_schedule_importer.rs:362;
+# simplify(eps) before storage, src/analyser/specific_curves.rs:363).
+# Without this, collect_list over every distinct ECDF x is an unbounded
+# per-task array at 100x data.  The cap is a deterministic stride over the
+# rank of each knot — first + last always kept — expressed in dialect-portable
+# SQL so the DuckDB oracle reproduces the exact same knot subset.
+_CURVE_KNOT_CAP = 240
+_CAPPED_KNOTS_SQL = (
+    """
+    SELECT event_type, x, y FROM (
+      SELECT k.event_type, k.x, k.y,
+             row_number() OVER (PARTITION BY k.event_type ORDER BY k.x) AS krn,
+             count(*) OVER (PARTITION BY k.event_type) AS knd
+      FROM ({knots}) k
+    ) capped
+    WHERE krn = 1 OR krn = knd
+       OR (krn - 1) % CAST(floor((knd + """
+    + f"{_CURVE_KNOT_CAP - 1}.0) / {_CURVE_KNOT_CAP}) AS BIGINT) = 0"
+)
+
 _SIMPLIFY_EPS = 0.05
 
 
@@ -1535,6 +1557,101 @@ def q_simplify_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ev.groupBy("event_type").applyInPandas(
         build, "event_type string, x double, y double"
+    )
+
+
+@register(
+    "transfer_probability_matrix",
+    f"""
+    WITH knots AS ({_CAPPED_KNOTS_SQL.format(knots=_ECDF_KNOTS_SQL.format(events='events'))}),
+    ps AS (SELECT CAST(i AS DOUBLE) / 100 AS p FROM range(0, 100) t(i)),
+    segsy AS (
+      SELECT event_type, x AS x0, y AS y0,
+             lead(x) OVER (PARTITION BY event_type ORDER BY y) AS x1,
+             lead(y) OVER (PARTITION BY event_type ORDER BY y) AS y1
+      FROM knots
+    ),
+    bounds AS (
+      SELECT event_type, arg_min(x, y) AS first_x, min(y) AS first_y,
+             arg_max(x, y) AS last_x, max(y) AS last_y
+      FROM knots GROUP BY 1
+    ),
+    -- arrival.x_at_y(p): np.interp(p, ys, xs) with endpoint clamping
+    arr_t AS (
+      SELECT b.event_type, p.p,
+             CASE WHEN p.p <= b.first_y THEN b.first_x
+                  WHEN p.p >= b.last_y THEN b.last_x
+                  ELSE i.xq END AS t
+      FROM bounds b CROSS JOIN ps p
+      LEFT JOIN (
+        SELECT s.event_type, p2.p,
+               ((s.x1 - s.x0) / (s.y1 - s.y0)) * (p2.p - s.y0) + s.x0 AS xq
+        FROM segsy s JOIN ps p2 ON s.y0 <= p2.p AND p2.p < s.y1
+      ) i ON i.event_type = b.event_type AND i.p = p.p
+    ),
+    segsx AS (
+      SELECT event_type, x AS x0, y AS y0,
+             lead(x) OVER (PARTITION BY event_type ORDER BY x) AS x1,
+             lead(y) OVER (PARTITION BY event_type ORDER BY x) AS y1,
+             min(x) OVER (PARTITION BY event_type) AS min_x,
+             max(x) OVER (PARTITION BY event_type) AS max_x
+      FROM knots
+    ),
+    -- departure.y_at_x(t): np.interp left=0 / right=1 edge semantics
+    evald AS (
+      SELECT a.event_type AS arrival_type, db.event_type AS departure_type,
+             a.p, CASE WHEN a.t < db.min_x THEN 0.0 ELSE 1.0 END AS y
+      FROM arr_t a JOIN (
+        SELECT DISTINCT event_type, min_x, max_x FROM segsx
+      ) db ON a.event_type <> db.event_type
+      WHERE a.t < db.min_x OR a.t >= db.max_x
+      UNION ALL
+      SELECT a.event_type, s.event_type, a.p,
+             ((s.y1 - s.y0) / (s.x1 - s.x0)) * (a.t - s.x0) + s.y0 AS y
+      FROM arr_t a JOIN segsx s
+        ON a.event_type <> s.event_type AND s.x0 <= a.t AND a.t < s.x1
+    )
+    SELECT arrival_type, departure_type,
+           round(1.0 - sum(y) / count(*), 9) AS p_transfer
+    FROM evald
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    covers="C14 transfer probability (1 - mean over 100 arrival "
+    "percentiles of P(departure before arrival), "
+    "src/monitor/time_curve.rs:18-32) on stored knot-capped CDFs, vs a "
+    "fully relational x_at_y/y_at_x twin — upgrades C14 from "
+    "differential-only to independent-oracle coverage",
+)
+def q_transfer_probability_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curves.udfs import curve_transfer_probability
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__tpm_events")
+    knots = spark.sql(
+        _CAPPED_KNOTS_SQL.format(
+            knots=_ECDF_KNOTS_SQL.format(events="__tpm_events")
+        )
+    )
+    curves = knots.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("x", "y"))).alias("pts")
+    )
+    a = curves.select(
+        F.col("event_type").alias("arrival_type"), F.col("pts").alias("arr")
+    )
+    b = curves.select(
+        F.col("event_type").alias("departure_type"), F.col("pts").alias("dep")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("arrival_type") != F.col("departure_type"))
+        .select(
+            "arrival_type",
+            "departure_type",
+            F.round(
+                curve_transfer_probability(F.col("arr"), F.col("dep")), 9
+            ).alias("p_transfer"),
+        )
     )
 
 
@@ -1655,28 +1772,6 @@ _QUANTILE_PS = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
 _PROBS_SQL = "probs(p) AS (VALUES " + ", ".join(
     f"(CAST({p} AS DOUBLE))" for p in _QUANTILE_PS
 ) + ")"
-
-# Stored curves are CAPPED to a bounded knot count before any per-group
-# collection, mirroring the reference's own stored-curve size bound
-# (serialize_compact_limited(120), src/importer/per_schedule_importer.rs:362;
-# simplify(eps) before storage, src/analyser/specific_curves.rs:363).
-# Without this, collect_list over every distinct ECDF x is an unbounded
-# per-task array at 100x data.  The cap is a deterministic stride over the
-# rank of each knot — first + last always kept — expressed in dialect-portable
-# SQL so the DuckDB oracle reproduces the exact same knot subset.
-_CURVE_KNOT_CAP = 240
-_CAPPED_KNOTS_SQL = (
-    """
-    SELECT event_type, x, y FROM (
-      SELECT k.event_type, k.x, k.y,
-             row_number() OVER (PARTITION BY k.event_type ORDER BY k.x) AS krn,
-             count(*) OVER (PARTITION BY k.event_type) AS knd
-      FROM ({knots}) k
-    ) capped
-    WHERE krn = 1 OR krn = knd
-       OR (krn - 1) % CAST(floor((knd + """
-    + f"{_CURVE_KNOT_CAP - 1}.0) / {_CURVE_KNOT_CAP}) AS BIGINT) = 0"
-)
 
 
 @register(
