@@ -1852,10 +1852,11 @@ _GTFS_TIME_SQL = (
 )
 
 
-@register(
-    "gtfs_records",
-    f"""
-    WITH upd AS (SELECT * FROM {_dt('rt_updates')}),
+# Shared relational twin of build_records + merge_records (decode → J1/J2
+# schedule joins → F7 null-skip → W1 latest-wins), reused by every oracle
+# that consumes merged records.  Ends with a `merged` CTE.
+_MERGED_RECORDS_CTE = f"""
+    upd AS (SELECT * FROM {_dt('rt_updates')}),
     tr AS (SELECT trip_id, route_id, route_variant FROM {_dt('trips')}),
     st AS (SELECT trip_id, stop_sequence, stop_id FROM {_dt('stop_times')}),
     fd AS (
@@ -1884,18 +1885,18 @@ _GTFS_TIME_SQL = (
                      trip_start_date, trip_start_time, stop_sequence
         ORDER BY time_of_recording_us DESC) AS rn
       FROM rec
-    )
-    SELECT source, route_id, route_variant, trip_id, trip_start_date,
-           trip_start_time, stop_sequence, stop_id, time_of_recording_us,
-           delay_arrival, delay_departure, feed_name
-    FROM dedup WHERE rn = 1
-    ORDER BY trip_id, stop_sequence
-    """,
-    covers="S2 protobuf wire decode (gtfs-realtime FeedMessage, pure-Python "
-    "parser) + J1/J2 schedule joins + F7 null-skip + W1 latest-wins merge "
-    "(src/importer/per_schedule_importer.rs:96-117, 151-456)",
-)
-def q_gtfs_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ),
+    merged AS (
+      SELECT source, route_id, route_variant, trip_id, trip_start_date,
+             trip_start_time, stop_sequence, stop_id, time_of_recording_us,
+             delay_arrival, delay_departure, feed_name
+      FROM dedup WHERE rn = 1
+    )"""
+
+
+def _demo_merged_records(spark: SparkSession):
+    """Demo feed bytes → decoded updates → merged records, plus the
+    schedule frames.  The Spark half of `_MERGED_RECORDS_CTE`."""
     from .operators.records import build_records, merge_records
     from .schemas import RECORDS_KEY
     from .sources.demo import build_schedule, rt_feed_files_dir
@@ -1906,14 +1907,155 @@ def q_gtfs_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = decode_feed_messages(feed_files)  # default: wire_decoder on real bytes
     rec = build_records(updates, sched["trips"], sched["stop_times"], source="demo")
     merged = merge_records(rec.limit(0), rec, key=RECORDS_KEY)
+    return sched, updates, merged
+
+
+def _feed_name():
+    return F.regexp_extract("schedule_file_name", r"([^/]+)\.pb$", 1)
+
+
+@register(
+    "gtfs_records",
+    f"""
+    WITH {_MERGED_RECORDS_CTE}
+    SELECT * FROM merged
+    ORDER BY trip_id, stop_sequence
+    """,
+    covers="S2 protobuf wire decode (gtfs-realtime FeedMessage, pure-Python "
+    "parser) + J1/J2 schedule joins + F7 null-skip + W1 latest-wins merge "
+    "(src/importer/per_schedule_importer.rs:96-117, 151-456)",
+)
+def q_gtfs_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, merged = _demo_merged_records(spark)
     return merged.select(
         "source", "route_id", "route_variant", "trip_id",
         F.col("trip_start_date").cast("string").alias("trip_start_date"),
         "trip_start_time", "stop_sequence", "stop_id",
         F.unix_micros("time_of_recording").alias("time_of_recording_us"),
         "delay_arrival", "delay_departure",
-        F.regexp_extract("schedule_file_name", r"([^/]+)\.pb$", 1).alias("feed_name"),
+        _feed_name().alias("feed_name"),
     ).orderBy("trip_id", "stop_sequence")
+
+
+@register(
+    "gap_fill_records",
+    f"""
+    WITH {_MERGED_RECORDS_CTE},
+    veh AS (
+      SELECT DISTINCT source, route_id, route_variant, feed_name,
+             trip_id, trip_start_date, trip_start_time
+      FROM merged
+    ),
+    grid AS (
+      SELECT v.*, s.stop_sequence, s.stop_id
+      FROM veh v JOIN st s ON s.trip_id = v.trip_id
+    ),
+    g AS (
+      SELECT grid.*,
+             CASE WHEN m.trip_id IS NULL THEN NULL ELSE
+               struct_pack(a := m.delay_arrival, d := m.delay_departure,
+                           t := m.time_of_recording_us) END AS obs
+      FROM grid LEFT JOIN merged m
+        ON m.trip_id = grid.trip_id
+       AND m.trip_start_date = grid.trip_start_date
+       AND m.trip_start_time = grid.trip_start_time
+       AND m.stop_sequence = grid.stop_sequence
+    ),
+    filled AS (
+      SELECT *, first_value(obs IGNORE NULLS) OVER (
+        PARTITION BY trip_id, trip_start_date, trip_start_time
+        ORDER BY stop_sequence
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+      FROM g
+    )
+    SELECT source, route_id, route_variant, trip_id, trip_start_date,
+           trip_start_time, stop_sequence, stop_id,
+           nxt.t AS time_of_recording_us,
+           nxt.a AS delay_arrival, nxt.d AS delay_departure, feed_name
+    FROM filled WHERE nxt IS NOT NULL
+    ORDER BY trip_id, trip_start_date, trip_start_time, stop_sequence, feed_name
+    """,
+    covers="J6 schedule gap-fill: synthesize records for scheduled stops the "
+    "vehicle never reported, copying the next reported stop's delays backward "
+    "(src/analyser/specific_curves.rs:157-252); independent relational twin "
+    "via first_value(... IGNORE NULLS) over the forward frame",
+)
+def q_gap_fill_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.specific_curves import project_missing_delays
+
+    sched, _, merged = _demo_merged_records(spark)
+    filled = project_missing_delays(merged, sched["stop_times"])
+    return filled.select(
+        "source", "route_id", "route_variant", "trip_id",
+        F.col("trip_start_date").cast("string").alias("trip_start_date"),
+        "trip_start_time", "stop_sequence", "stop_id",
+        F.unix_micros("time_of_recording").alias("time_of_recording_us"),
+        "delay_arrival", "delay_departure",
+        _feed_name().alias("feed_name"),
+    ).orderBy(
+        "trip_id", "trip_start_date", "trip_start_time", "stop_sequence",
+        "feed_name",
+    )
+
+
+@register(
+    "realtime_basis",
+    f"""
+    WITH {_MERGED_RECORDS_CTE},
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY trip_id, trip_start_date, trip_start_time
+        ORDER BY time_of_recording_us DESC, stop_sequence DESC) AS rn2
+      FROM merged WHERE delay_departure IS NOT NULL
+    )
+    SELECT source, route_id, route_variant, trip_id, trip_start_date,
+           trip_start_time, stop_sequence AS basis_stop_sequence,
+           delay_departure AS initial_delay, feed_name
+    FROM ranked WHERE rn2 = 1
+    ORDER BY trip_id, trip_start_date, trip_start_time
+    """,
+    covers="J11/W4/T3 realtime prediction basis: per vehicle, the latest "
+    "observation carrying a departure delay "
+    "(src/predictor/real_time.rs:31-107, "
+    "src/importer/per_schedule_importer.rs:266-313)",
+)
+def q_realtime_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.predict import realtime_bases
+
+    _, _, merged = _demo_merged_records(spark)
+    bases = realtime_bases(merged)
+    return bases.select(
+        "source", "route_id", "route_variant", "trip_id",
+        F.col("trip_start_date").cast("string").alias("trip_start_date"),
+        "trip_start_time", "basis_stop_sequence", "initial_delay",
+        _feed_name().alias("feed_name"),
+    ).orderBy("trip_id", "trip_start_date", "trip_start_time")
+
+
+@register(
+    "skipped_updates",
+    f"""
+    SELECT u.feed_name, u.trip_id, u.stop_sequence,
+           u.arrival_delay, u.departure_delay
+    FROM {_dt('rt_updates')} u
+    LEFT JOIN (SELECT DISTINCT trip_id FROM {_dt('trips')}) t
+      ON t.trip_id = u.trip_id
+    WHERE t.trip_id IS NULL
+    ORDER BY u.feed_name, u.trip_id, u.stop_sequence
+    """,
+    covers="A12/J1 anti side: updates whose trip is absent from the schedule "
+    "('Did not find trip ... in schedule. Skipping.', reference errors.log); "
+    "left-anti join + skip accounting",
+)
+def q_skipped_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.records import skipped_trip_updates
+
+    sched, updates, _ = _demo_merged_records(spark)
+    sk = skipped_trip_updates(updates, sched["trips"])
+    return sk.select(
+        F.regexp_extract("feed_file", r"([^/]+)\.pb$", 1).alias("feed_name"),
+        "trip_id", "stop_sequence", "arrival_delay", "departure_delay",
+    ).orderBy("feed_name", "trip_id", "stop_sequence")
 
 
 @register(
