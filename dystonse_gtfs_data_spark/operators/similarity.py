@@ -87,6 +87,60 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return planes
 
 
+# Fixed-point scale for the portable plane family: embedding components
+# are floored to integers at this scale, so bucket bits come from EXACT
+# int64 arithmetic that any SQL engine reproduces bit-for-bit (no
+# summation-order float drift can flip a sign).
+PORTABLE_QUANT = 1 << 20
+
+
+def portable_hyperplanes(dim: int, n_planes: int, table: int) -> list[list[int]]:
+    """Integer hyperplanes derived from the portable md5 fold (same
+    60-bit family as dedup.portable_base_hash): component (t, p, d) is
+    ``md5_fold('lsh:t:p:d') % 2001 - 1000`` — uniform in [-1000, 1000].
+    A SQL oracle regenerates the identical planes from the literal
+    formula; nothing engine-private enters the bucket computation."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"lsh:{table}:{p}:{d}".encode()).hexdigest()[:15], 16
+            )
+            row.append(h % 2001 - 1000)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_table_udf_int(all_planes: list[list[list[int]]]):
+    """Arrow-vectorized bucket computation for the portable integer
+    plane family: floor-quantize components to int64, then exact integer
+    matmul per table — summation order is irrelevant for integers, so
+    buckets match any SQL twin bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes_np = [np.asarray(p, dtype=np.int64) for p in all_planes]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vec):
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        xi = np.floor(x * PORTABLE_QUANT).astype(np.int64)
+        out = np.zeros((len(xi), len(planes_np)), dtype=np.int64)
+        for ti, table in enumerate(planes_np):
+            dots = xi @ table.T  # (n, n_planes) int64, exact
+            bits = (dots >= 0).astype(np.int64) << np.arange(
+                table.shape[0], dtype=np.int64
+            )
+            out[:, ti] = bits.sum(axis=1)
+        return pd.Series(list(out))
+
+    return buckets
+
+
 def lsh_bucket(vec, planes: list[list[float]]):
     """Sign-bucket id from random hyperplanes, as one JVM-side expression.
     (Kept for single-table uses; multi-table pipelines use
@@ -139,15 +193,30 @@ def lsh_topk(
     dim: int = 64,
     n_planes: int = 8,
     n_tables: int = 4,
+    plane_family: str = "lcg",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: compare only within matching sign-buckets across
     ``n_tables`` independent hyperplane tables.  Shuffle is O(rows ×
     tables); each bucket join is an equi-join Catalyst can hash.  All
     tables' buckets come from ONE vectorized Arrow pass over each side
     (one scan, one UDF call per batch), then posexplode to
-    (table_id, bucket) rows."""
-    all_planes = [_hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)]
-    bucket_udf = lsh_bucket_table_udf(all_planes)
+    (table_id, bucket) rows.
+
+    ``plane_family='portable'`` switches to md5-derived INTEGER planes
+    with floor-quantized components (:func:`portable_hyperplanes`):
+    bucket bits come from exact int64 arithmetic, so an independent SQL
+    twin regenerates identical candidate sets.  ``round_digits`` rounds
+    the cosine before ranking (cross-engine float agreement, same
+    convention as :func:`cosine_topk`)."""
+    if plane_family == "portable":
+        all_planes = [
+            portable_hyperplanes(dim, n_planes, table=t) for t in range(n_tables)
+        ]
+        bucket_udf = lsh_bucket_table_udf_int(all_planes)
+    else:
+        all_planes = [_hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)]
+        bucket_udf = lsh_bucket_table_udf(all_planes)
 
     def tag(df, id_alias, vec_alias):
         return df.select(
@@ -168,6 +237,8 @@ def lsh_topk(
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    if round_digits is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_digits))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1335,20 +1335,67 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lsh_topk",
-    # differential oracle: bit-exact single-node LSH replica, selected by an
-    # integer fingerprint of the live embeddings view (per-SF expected rows)
+    # FULL-pipeline independent twin: the portable plane family derives
+    # integer hyperplane components from the md5 fold and floor-quantizes
+    # embedding components, so bucket bits are exact int64 arithmetic both
+    # engines compute identically; cosines are rounded to 4 digits before
+    # ranking (same cross-engine convention as cosine_topk).
     f"""
-    SELECT query_id, neighbor_id, cosine, rank
-    FROM {_dt("expected_lsh_topk")}
-    WHERE corpus_fp = {_CORPUS_FP_SQL}
+    WITH planes AS (
+      SELECT tt.t, pp.p, dd.d,
+             (({portable_base_hash_sql(
+                 "substr(md5('lsh:' || tt.t || ':' || pp.p || ':' || dd.d), 1, 15)"
+             )}) % 2001) - 1000 AS w
+      FROM range(4) tt(t), range(8) pp(p), range(64) dd(d)
+    ),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    comps AS (
+      SELECT e.vec_id, dd.d,
+             CAST(floor(e.v[dd.d + 1] * 1048576) AS BIGINT) AS vi
+      FROM emb e, range(64) dd(d)
+    ),
+    dots AS (
+      SELECT c.vec_id, pl.t, pl.p, sum(c.vi * pl.w) AS dot
+      FROM comps c JOIN planes pl ON pl.d = c.d
+      GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+      SELECT vec_id, t,
+             sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+               AS bucket
+      FROM dots GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q
+      JOIN buckets c ON c.t = q.t AND c.bucket = q.bucket
+                    AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    ),
+    scored AS (
+      SELECT p.query_id, p.neighbor_id,
+             round(list_cosine_similarity(eq.v, ec.v), 4) AS cosine
+      FROM pairs p
+      JOIN emb eq ON eq.vec_id = p.query_id
+      JOIN emb ec ON ec.vec_id = p.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
     ORDER BY query_id, rank
     """,
-    covers="LSH-bucketed approximate nearest neighbor (scale path for cosine_topk)",
+    covers="LSH-bucketed approximate nearest neighbor (scale path for "
+    "cosine_topk); portable integer plane family makes the whole pipeline "
+    "(planes -> buckets -> candidates -> rescore) SQL-reproducible",
 )
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(q, emb, k=5)
+    return lsh_topk(q, emb, k=5, plane_family="portable", round_digits=4).orderBy(
+        "query_id", "rank"
+    )
 
 
 @register(

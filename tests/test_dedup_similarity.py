@@ -144,6 +144,16 @@ def test_lsh_topk_recall(vec_corpus):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5  # approximate, but must be far better than random
+    # the portable integer plane family (SQL-reproducible buckets) must be
+    # an equally valid LSH family, not just a hash gimmick
+    portable = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(
+            df.filter(F.col("vec_id") < 5), df, k=3, dim=16, n_planes=3,
+            n_tables=8, plane_family="portable",
+        ).collect()
+    }
+    assert len(exact & portable) / len(exact) >= 0.5
 
 
 def test_ivf_topk_recall(vec_corpus):
