@@ -191,3 +191,31 @@ def test_enrich_records_broadcast_is_size_guarded(spark, monkeypatch, tmp_path):
         plan = formatted_plan(df_big)
         assert broadcast_join_count(df_big) == 0, plan
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_gap_fill_is_window_not_cartesian(spark, sf_dir):
+    # J6 gap projection: the vehicle x schedule grid is an equi-join on
+    # trip_id and the backward fill is ONE window pass per vehicle —
+    # never a pair-space join, never Python evaluation
+    df = Q.q_gap_fill_records(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_lsh_topk_portable_single_udf_pass_per_side(spark, sf_dir):
+    # the portable plane family must keep the round-2 shape: ALL tables'
+    # buckets from one Arrow UDF evaluation per side (query + corpus),
+    # not one evaluation per table
+    from dystonse_gtfs_data_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(Q.F.col("vec_id") < 5)
+    from dystonse_gtfs_data_spark.operators.similarity import lsh_topk
+
+    df = lsh_topk(q, emb, k=5, plane_family="portable")
+    plan = formatted_plan(df)
+    # formatted plans list each node twice (tree + detail section)
+    assert plan.count("+- ArrowEvalPython") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
