@@ -2080,6 +2080,100 @@ def q_realtime_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "basis_stream",
+    # Independent relational twin of the STREAMING stateful basis
+    # tracker: pure latest-wins over the raw updates (no schedule join —
+    # the stream tracks every vehicle it sees, matching the reference's
+    # importer-side map).
+    f"""
+    WITH u AS (
+      SELECT u.trip_id, u.start_date,
+             CAST(coalesce({_GTFS_TIME_SQL}, 0) AS INT) AS trip_start_time,
+             u.stop_sequence, u.departure_delay,
+             epoch_us(u.header_timestamp) AS tor_us
+      FROM {_dt('rt_updates')} u
+      WHERE u.departure_delay IS NOT NULL
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY trip_id, start_date, trip_start_time
+        ORDER BY tor_us DESC, stop_sequence DESC) AS rn
+      FROM u
+    )
+    SELECT trip_id,
+           CAST(CAST(strptime(start_date, '%Y%m%d') AS DATE) AS VARCHAR)
+             AS trip_start_date,
+           trip_start_time,
+           stop_sequence AS basis_stop_sequence,
+           departure_delay AS initial_delay
+    FROM ranked WHERE rn = 1
+    ORDER BY trip_id, trip_start_date, trip_start_time
+    """,
+    covers="T3 stateful streaming basis (applyInPandasWithState, "
+    "GroupState per vehicle) executed as a REAL multi-micro-batch "
+    "Structured Streaming job (one feed file per trigger): final basis "
+    "per vehicle must equal the batch latest-wins result regardless of "
+    "arrival order (src/importer/per_schedule_importer.rs:266-313)",
+)
+def q_basis_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from .schemas import RT_UPDATES
+    from .streaming.aggregations import stateful_basis_stream
+
+    _, updates, _ = _demo_merged_records(spark)
+    # stage one landing file per feed file (test-fixture staging only —
+    # production tails a real landing directory), so availableNow +
+    # maxFilesPerTrigger=1 replays the feed as one micro-batch per file
+    land = _tf.mkdtemp(prefix="basis_land_")
+    feeds = [
+        r[0]
+        for r in updates.select("feed_file").distinct().orderBy("feed_file").collect()
+    ]
+    for i, f in enumerate(feeds):
+        updates.filter(F.col("feed_file") == f).coalesce(1).write.parquet(
+            _os.path.join(land, f"b{i:03d}")
+        )
+    stream = (
+        spark.readStream.schema(RT_UPDATES)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land + "/*")
+    )
+    out = stateful_basis_stream(stream)
+    sink = f"basisstream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(sink)
+    # state advances monotonically in (tor, stop_sequence), so the
+    # latest emitted row per vehicle IS the final retained basis
+    w = Window.partitionBy("trip_id", "trip_start_date", "trip_start_time").orderBy(
+        F.desc("time_of_recording_us"), F.desc("stop_sequence")
+    )
+    return (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "trip_id",
+            F.date_format(
+                F.to_date("trip_start_date", "yyyyMMdd"), "yyyy-MM-dd"
+            ).alias("trip_start_date"),
+            "trip_start_time",
+            F.col("stop_sequence").alias("basis_stop_sequence"),
+            F.col("delay_departure").alias("initial_delay"),
+        )
+        .orderBy("trip_id", "trip_start_date", "trip_start_time")
+    )
+
+
+@register(
     "skipped_updates",
     f"""
     SELECT u.feed_name, u.trip_id, u.stop_sequence,

@@ -40,10 +40,10 @@ def windowed_event_counts(
     )
 
 
-_BASIS_STATE_SCHEMA = "stop_sequence int, delay_departure int"
+_BASIS_STATE_SCHEMA = "stop_sequence int, delay_departure int, tor_us long"
 _BASIS_OUTPUT_SCHEMA = (
     "trip_id string, trip_start_date string, trip_start_time int, "
-    "stop_sequence int, delay_departure int"
+    "stop_sequence int, delay_departure int, time_of_recording_us long"
 )
 
 
@@ -52,16 +52,26 @@ def _basis_fn(
 ) -> Iterator[pd.DataFrame]:
     """Emit a row only when the vehicle's (stop_sequence, delay) basis
     changed — the incremental-skip the reference implements with a
-    mutex-guarded map (src/importer/per_schedule_importer.rs:266-313)."""
+    mutex-guarded map (src/importer/per_schedule_importer.rs:266-313).
+
+    The retained basis is the GLOBAL latest observation by
+    (time_of_recording, stop_sequence) — state only advances in that
+    order, so a late-arriving micro-batch of stale data can never
+    clobber a newer basis, and the stream's final basis per vehicle is
+    exactly the batch `realtime_bases` latest-wins result regardless of
+    file arrival order."""
     prev = state.get if state.exists else None
     batch = pd.concat(list(pdfs), ignore_index=True).dropna(subset=["delay_departure"])
     if batch.empty:
         return
     last = batch.sort_values(["time_of_recording", "stop_sequence"]).iloc[-1]
-    best = (int(last["stop_sequence"]), int(last["delay_departure"]))
-    if prev is not None and (prev[0], prev[1]) == best:
-        return  # unchanged basis → no output, no re-prediction
+    tor_us = int(pd.Timestamp(last["time_of_recording"]).value // 1_000)
+    best = (int(last["stop_sequence"]), int(last["delay_departure"]), tor_us)
+    if prev is not None and (best[2], best[0]) <= (prev[2], prev[0]):
+        return  # stale (late) data → keep the newer retained basis
     state.update(best)
+    if prev is not None and (prev[0], prev[1]) == (best[0], best[1]):
+        return  # unchanged basis → no output, no re-prediction
     trip_id, start_date, start_time = key
     yield pd.DataFrame(
         [
@@ -71,6 +81,7 @@ def _basis_fn(
                 "trip_start_time": int(start_time),
                 "stop_sequence": best[0],
                 "delay_departure": best[1],
+                "time_of_recording_us": best[2],
             }
         ]
     )

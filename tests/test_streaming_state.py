@@ -100,3 +100,39 @@ class TestStatefulBasis:
             assert sorted(tally["t2"]) == [(2, 12), (4, 48)]
         finally:
             q.stop()
+
+    def test_late_batch_cannot_clobber_newer_basis(self, spark, tmp_path):
+        # a micro-batch of STALE data (older header timestamp) must not
+        # replace the retained basis: state advances only in
+        # (time_of_recording, stop_sequence) order, so the stream's final
+        # basis equals batch latest-wins regardless of arrival order
+        hdr = dt.datetime(2024, 1, 1, 8, 0, 0)
+        fresh = [("f2", hdr + dt.timedelta(minutes=10), "t1", "20240101",
+                  "08:00:00", "r1", "s5", 5, None, 90)]
+        stale = [("f1", hdr, "t1", "20240101", "08:00:00", "r1", "s2", 2,
+                  None, 30)]
+        land = tmp_path / "land"
+        land.mkdir()
+        self._mk_updates(spark, fresh).write.parquet(str(land / "b1"))
+        stream = spark.readStream.schema(S.RT_UPDATES).parquet(str(land) + "/*")
+        out = stateful_basis_stream(stream)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("bases_late")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            self._mk_updates(spark, stale).write.parquet(str(land / "b2"))
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT stop_sequence, delay_departure FROM bases_late"
+            ).collect()
+            # only the fresh basis was ever emitted; the stale batch was
+            # swallowed without output or state change
+            assert [(r[0], r[1]) for r in rows] == [(5, 90)]
+        finally:
+            q.stop()
