@@ -227,6 +227,42 @@ def test_ngram_jaccard_exact_vs_brute_force(spark):
     assert got[(0, 5)] == 1.0  # the exact duplicate
 
 
+def test_ngram_jaccard_shingle_df_cap_prunes_hot_keys(spark):
+    """max_shingle_df is the documented skew valve: shingles shared by
+    more than df documents stop generating candidate pairs.  Docs whose
+    ONLY overlap is an ultra-common shingle lose that pair; genuinely
+    near-duplicate pairs (many private shared shingles) survive."""
+    from dystonse_gtfs_data_spark.operators.dedup import (
+        ngram_jaccard_near_duplicates,
+    )
+
+    boiler = "terms of service apply here"
+    texts = [
+        f"alpha beta gamma delta {boiler}",
+        f"alpha beta gamma delta epsilon {boiler}",  # true near-dup of 0
+        f"one two three four five six {boiler}",     # only boilerplate shared
+        f"seven eight nine ten eleven {boiler}",     # only boilerplate shared
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_near_duplicates(docs, threshold=0.05).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_near_duplicates(
+            docs, threshold=0.05, max_shingle_df=2
+        ).collect()
+    }
+    # every doc pair overlaps via the boilerplate → all 6 pairs uncapped
+    assert uncapped == {(i, j) for i in range(4) for j in range(i + 1, 4)}
+    # cap at df<=2: the 4-doc boilerplate shingles stop pairing docs, so
+    # only the genuine near-dup (private shared shingles) remains
+    assert capped == {(0, 1)}
+
+
 def test_winnowing_guarantee_and_prune(spark):
     """Schleimer et al.'s guarantee: documents sharing a substring of
     length >= kgram + window - 1 share at least one fingerprint; and
