@@ -137,6 +137,49 @@ class TestProjection:
         # synthesized rows carry the schedule's stop_id
         assert got[2]["stop_id"] == "s1"
 
+    def test_random_patterns_match_pure_python_reference(self, spark):
+        # randomized observation patterns vs an independent pure-Python
+        # backward-fill: every grid stop at-or-before the last observed
+        # stop carries the NEXT observed stop's (arr, dep, tor) triple
+        import random
+
+        rng = random.Random(20260813)
+        st_rows, rec_rows, expect = [], [], {}
+        for v in range(30):
+            trip = f"tr{v}"
+            n_stops = rng.randint(3, 10)
+            for seq in range(1, n_stops + 1):
+                st_rows.append((trip, seq, f"s{seq}"))
+            observed = sorted(
+                rng.sample(range(1, n_stops + 1), rng.randint(1, n_stops))
+            )
+            obs = {}
+            for seq in observed:
+                arr = rng.choice([None, rng.randint(-300, 900)])
+                dep = rng.randint(-300, 900) if arr is None else rng.choice(
+                    [None, rng.randint(-300, 900)]
+                )
+                tor = dt.datetime(2024, 1, 1, 8, 0, seq)
+                obs[seq] = (arr, dep, tor)
+                rec_rows.append(
+                    ("test", "r1", 101, trip, MONDAY, 28800, seq, f"s{seq}",
+                     tor, arr, dep, "f")
+                )
+            for seq in range(1, max(observed) + 1):
+                nxt = min(s for s in observed if s >= seq)
+                expect[(trip, seq)] = obs[nxt]
+        st = spark.createDataFrame(
+            st_rows, "trip_id string, stop_sequence int, stop_id string"
+        )
+        rec = spark.createDataFrame(rec_rows, S.RECORDS)
+        got = {
+            (r["trip_id"], r["stop_sequence"]): (
+                r["delay_arrival"], r["delay_departure"], r["time_of_recording"]
+            )
+            for r in project_missing_delays(rec, st).collect()
+        }
+        assert got == expect
+
 
 class TestSpecificCurves:
     def test_general_delay_matches_numpy_oracle(self, statistics, records):
