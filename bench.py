@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "winnow_fingerprints",  # MOSS rolling-hash fingerprints (JVM HOFs)
     "windowed_counts_stream",  # true Structured Streaming execution
     "video_frame_stats",    # frame-sampled video decode via mapInPandas
+    "duration_parse",       # C6 duration grammar, JVM HOFs
+    "percent_encoding",     # C8 byte-wise percent encode/decode, JVM HOFs
+    "curve_codec_roundtrip",  # S10 compact binary curve codec
 ]
 
 

@@ -196,6 +196,142 @@ def route_type_label_sql(route_type: str) -> str:
     return f"(CASE {route_type} {whens} ELSE 'Unbekannt' END)"
 
 
+# C6: duration-string parsing (the reference parses its `--interval` CLI
+# arg with the parse_duration crate, src/analyser/count.rs:30-37).  Grammar
+# accepted here: whitespace-or-concatenated terms `<int><unit>` with unit in
+# {w, d, h, min, m, s, ms, us}; a bare integer means seconds (the crate's
+# default).  Result is total MICROSECONDS as BIGINT (integer-exact on both
+# engines); NULL when no term matches.
+_DURATION_TERM_RE = r"\d+\s*[a-z]*"
+_DURATION_UNIT_US: list[tuple[str, int]] = [
+    ("w", 7 * 86400 * 1_000_000),
+    ("d", 86400 * 1_000_000),
+    ("h", 3600 * 1_000_000),
+    ("min", 60 * 1_000_000),
+    ("m", 60 * 1_000_000),
+    ("s", 1_000_000),
+    ("ms", 1_000),
+    ("us", 1),
+    ("", 1_000_000),  # bare number -> seconds
+]
+
+
+def parse_duration_us(text: Column) -> Column:
+    """Total microseconds for a parse_duration-style string ('1h 30min',
+    '90m', '2d4h', '300') — pure JVM higher-order functions, no Python."""
+    terms = F.regexp_extract_all(F.lower(text), F.lit(_DURATION_TERM_RE), 0)
+
+    def term_us(t: Column) -> Column:
+        n = F.regexp_extract(t, r"(\d+)", 1).cast("long")
+        u = F.regexp_extract(t, r"([a-z]+)", 1)
+        mult = None
+        for unit, us in _DURATION_UNIT_US:
+            cond = u == unit
+            mult = F.when(cond, us) if mult is None else mult.when(cond, us)
+        return n * mult.otherwise(F.lit(None).cast("long"))
+
+    total = F.aggregate(
+        terms, F.lit(0).cast("long"), lambda acc, t: acc + term_us(t)
+    )
+    return F.when(F.size(terms) > 0, total)
+
+
+def parse_duration_us_sql(text: str) -> str:
+    cases = " ".join(
+        f"WHEN '{unit}' THEN {us}" for unit, us in _DURATION_UNIT_US
+    )
+    term = (
+        "CAST(regexp_extract(t, '(\\d+)', 1) AS BIGINT) * "
+        f"(CASE regexp_extract(t, '([a-z]+)', 1) {cases} "
+        "ELSE CAST(NULL AS BIGINT) END)"
+    )
+    terms = f"regexp_extract_all(lower({text}), '{_DURATION_TERM_RE}')"
+    # outer CAST: DuckDB's list_sum widens to HUGEINT, which pandas renders
+    # as float64 and breaks the driver's exact value hash vs Spark's BIGINT
+    return (
+        f"(CASE WHEN len({terms}) > 0 THEN "
+        f"CAST(list_sum(list_transform({terms}, t -> {term})) AS BIGINT) END)"
+    )
+
+
+# C8: percent-encoding of URL path elements (PATH_ELEMENT_ESCAPE =
+# CONTROLS + '/' + '?' + '\"' + '`', src/monitor/mod.rs:25-27; applied via
+# utf8_percent_encode at src/monitor/mod.rs:1214-1262).  Per the
+# percent-encoding crate's contract, non-ASCII bytes are ALWAYS escaped and
+# the AsciiSet only governs ASCII bytes.  Implemented byte-wise over the
+# UTF-8 hex expansion so the whole thing stays in JVM expressions:
+# a hex pair is escaped iff its first digit is 0/1 (C0 controls) or >= 8
+# (non-ASCII byte), or it is exactly 7F (DEL control) / 2F '/' / 3F '?' /
+# 22 '\"' / 60 '`'.
+_ESCAPE_FIRST_DIGITS = ("0", "1", "8", "9", "A", "B", "C", "D", "E", "F")
+_ESCAPE_EXACT_PAIRS = ("7F", "2F", "3F", "22", "60")
+
+
+def percent_encode_path(text: Column) -> Column:
+    pairs = F.regexp_extract_all(F.hex(F.encode(text, "UTF-8")), F.lit(".."), 0)
+
+    def enc(p: Column) -> Column:
+        first = F.substring(p, 1, 1)
+        escape = first.isin(*_ESCAPE_FIRST_DIGITS) | p.isin(
+            *_ESCAPE_EXACT_PAIRS
+        )
+        return F.when(escape, F.concat(F.lit("%"), p)).otherwise(
+            F.decode(F.unhex(p), "UTF-8")
+        )
+
+    return F.array_join(F.transform(pairs, enc), "")
+
+
+def percent_encode_path_sql(text: str) -> str:
+    firsts = ", ".join(f"'{d}'" for d in _ESCAPE_FIRST_DIGITS)
+    exacts = ", ".join(f"'{p}'" for p in _ESCAPE_EXACT_PAIRS)
+    enc = (
+        f"CASE WHEN substr(p, 1, 1) IN ({firsts}) OR p IN ({exacts}) "
+        "THEN '%' || p ELSE decode(from_hex(p)) END"
+    )
+    pairs = f"regexp_extract_all(hex(encode({text})), '..')"
+    return f"array_to_string(list_transform({pairs}, p -> {enc}), '')"
+
+
+def percent_decode_path(enc: Column) -> Column:
+    """Inverse of :func:`percent_encode_path` (percent_decode_str,
+    src/monitor/mod.rs:1229-1247): every ``%XX`` becomes its byte.  Rather
+    than decoding bytes one at a time (which would shred multi-byte UTF-8
+    sequences through per-byte `decode`), the whole string is rebuilt as one
+    hex expansion and un-hexed in a single step."""
+    parts = F.split(enc, "%")
+    head = F.hex(F.encode(F.element_at(parts, 1), "UTF-8"))
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def seg(e: Column) -> Column:
+        # a '%' NOT followed by two hex digits passes through verbatim —
+        # percent_decode_str's contract for invalid sequences
+        valid = e.rlike("^[0-9a-fA-F]{2}")
+        return F.when(
+            valid,
+            F.concat(
+                F.upper(F.substring(e, 1, 2)),
+                F.hex(F.encode(F.substring(e, 3, 1_000_000_000), "UTF-8")),
+            ),
+        ).otherwise(F.hex(F.encode(F.concat(F.lit("%"), e), "UTF-8")))
+
+    hexs = F.transform(tail, seg)
+    return F.decode(F.unhex(F.concat(head, F.array_join(hexs, ""))), "UTF-8")
+
+
+def percent_decode_path_sql(enc: str) -> str:
+    parts = f"string_split({enc}, '%')"
+    head = f"hex(encode(({parts})[1]))"
+    tail = f"list_slice({parts}, 2, len({parts}))"
+    seg = (
+        "CASE WHEN regexp_matches(e, '^[0-9a-fA-F]{2}') "
+        "THEN upper(substr(e, 1, 2)) || hex(encode(substr(e, 3, 1000000000))) "
+        "ELSE hex(encode('%' || e)) END"
+    )
+    hexs = f"list_transform({tail}, e -> {seg})"
+    return f"decode(from_hex({head} || array_to_string({hexs}, '')))"
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality score in [0,1]: rewards moderate word length,
     presence of stopwords, low punctuation density (heuristics in the

@@ -949,6 +949,104 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C6: the duration strings are synthesized deterministically from order
+# keys with IDENTICAL expressions on both engines, so the comparison
+# isolates the parser itself.
+_DURATION_STR_SQL = """
+    CASE o_orderkey % 5
+      WHEN 0 THEN concat(CAST(o_orderkey % 30 AS STRING), 'h ',
+                         CAST(o_orderkey % 60 AS STRING), 'min')
+      WHEN 1 THEN concat(CAST(o_orderkey % 90 AS STRING), 'm')
+      WHEN 2 THEN concat(CAST(o_orderkey % 7 AS STRING), 'd',
+                         CAST(o_orderkey % 24 AS STRING), 'h')
+      WHEN 3 THEN CAST(o_orderkey % 3600 AS STRING)
+      ELSE concat(CAST(o_orderkey % 1000 AS STRING), 'ms ',
+                  CAST(o_orderkey % 1000 AS STRING), 'us')
+    END
+"""
+
+
+@register(
+    "duration_parse",
+    f"""
+    SELECT o_orderkey, dur_str,
+           {Ft.parse_duration_us_sql('dur_str')} AS duration_us
+    FROM (SELECT o_orderkey, {_DURATION_STR_SQL} AS dur_str FROM orders)
+    """,
+    covers="C6 duration-string parsing (parse_duration on the count "
+    "interval arg, src/analyser/count.rs:30-37): '<int><unit>' terms to "
+    "total microseconds, pure JVM higher-order functions",
+)
+def q_duration_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__dp_orders")
+    durs = spark.sql(
+        f"SELECT o_orderkey, {_DURATION_STR_SQL} AS dur_str FROM __dp_orders"
+    )
+    return durs.select(
+        "o_orderkey",
+        "dur_str",
+        Ft.parse_duration_us(F.col("dur_str")).alias("duration_us"),
+    )
+
+
+@register(
+    "percent_encoding",
+    f"""
+    SELECT p_partkey, raw,
+           {Ft.percent_encode_path_sql('raw')} AS encoded,
+           {Ft.percent_decode_path_sql(Ft.percent_encode_path_sql('raw'))}
+             = raw AS roundtrip_ok
+    FROM (
+      SELECT p_partkey,
+             -- chr(9): DuckDB string literals do not process backslash
+             -- escapes, so the tab control byte is spliced explicitly
+             concat(p_name, '/', p_type, '?q="', p_brand,
+                    '`ü' || chr(9) || 'tail') AS raw
+      FROM part
+    )
+    """,
+    covers="C8 URL path-element percent-encoding (PATH_ELEMENT_ESCAPE, "
+    "src/monitor/mod.rs:25-27, applied at mod.rs:1214-1262) and its "
+    "percent_decode inverse — byte-wise over the UTF-8 hex expansion, "
+    "all JVM expressions",
+)
+def q_percent_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    raw = F.concat(
+        F.col("p_name"),
+        F.lit("/"),
+        F.col("p_type"),
+        F.lit('?q="'),
+        F.col("p_brand"),
+        F.lit("`ü\ttail"),
+    )
+    enc = Ft.percent_encode_path(F.col("raw"))
+    return (
+        p.select("p_partkey", raw.alias("raw"))
+        .withColumn("encoded", enc)
+        .withColumn(
+            "roundtrip_ok",
+            Ft.percent_decode_path(F.col("encoded")) == F.col("raw"),
+        )
+    )
+
+
+def _capped_knots_sql_for(knots_sql: str, cap: int) -> str:
+    """Rank-stride knot cap (first + last always kept) with a parametric
+    bound — the relational twin of curves.codec.cap_indices."""
+    stride = f"CAST(floor((knd + {cap - 1}.0) / {cap}) AS BIGINT)"
+    return f"""
+    SELECT event_type, x, y FROM (
+      SELECT k.event_type, k.x, k.y,
+             row_number() OVER (PARTITION BY k.event_type ORDER BY k.x) AS krn,
+             count(*) OVER (PARTITION BY k.event_type) AS knd
+      FROM ({knots_sql}) k
+    ) capped
+    WHERE krn = 1 OR krn = knd OR (krn - 1) % {stride} = 0
+    """
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (binary columns → mapInPandas decode kernels)
 # ---------------------------------------------------------------------------
@@ -1523,6 +1621,67 @@ _SIMPLIFY_EPS = 0.05
 
 
 @register(
+    "curve_codec_roundtrip",
+    # The oracle composes the SAME two caps the Spark path applies: a
+    # relational 240-knot pre-cap (bounds the per-group array before any
+    # collection) and the codec's own 120-knot cap — both instances of the
+    # identical rank-stride rule, so the surviving knot set is equal by
+    # construction.
+    f"""
+    WITH knots AS (
+      {_capped_knots_sql_for(
+          _capped_knots_sql_for(_ECDF_KNOTS_SQL.format(events='events'),
+                                _CURVE_KNOT_CAP),
+          120,
+      )}
+    )
+    SELECT event_type,
+           CAST(CAST(x AS FLOAT) AS DOUBLE) AS x,
+           CAST(floor(y * 255 + 0.5) AS BIGINT) AS y_q,
+           2 + 5 * count(*) OVER (PARTITION BY event_type) AS n_bytes
+    FROM knots
+    """,
+    covers="S10 compact curve codec (serialize_compact_limited(120) / "
+    "deserialize_compact, src/importer/per_schedule_importer.rs:362, "
+    "src/monitor/mod.rs:1495): bounded binary storage — u16 count + "
+    "float32 x + u8-quantized y, <= 602 bytes per curve.  The Spark side "
+    "genuinely packs and re-parses the bytes; the oracle recomputes the "
+    "quantization closed-form.",
+)
+def q_curve_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .curves.codec import decode_compact, encode_compact
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ccr_events")
+    # Pre-cap relationally so the collected group is bounded at any scale;
+    # encode_compact then applies its own (identical-rule) 120 cap.
+    knots = spark.sql(
+        _capped_knots_sql_for(
+            _ECDF_KNOTS_SQL.format(events="__ccr_events"), _CURVE_KNOT_CAP
+        )
+    )
+
+    def roundtrip(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("x")
+        blob = encode_compact(pdf["x"].to_numpy(), pdf["y"].to_numpy(), 120)
+        xs, yq = decode_compact(blob)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "x": xs.astype("float64"),
+                "y_q": yq.astype("int64"),
+                "n_bytes": len(blob),
+            }
+        )
+
+    return knots.groupBy("event_type").applyInPandas(
+        roundtrip, "event_type string, x double, y_q long, n_bytes long"
+    )
+
+
+@register(
     "simplify_curves",
     f"""
     WITH RECURSIVE knots0 AS ({_ECDF_KNOTS_SQL.format(events='events')}),
@@ -1912,7 +2071,7 @@ _MERGED_RECORDS_CTE = f"""
     ),
     rec AS (
       SELECT 'demo' AS source, tr.route_id, tr.route_variant, u.trip_id,
-             CAST(CAST(strptime(u.start_date, '%Y%m%d') AS DATE) AS VARCHAR)
+             CAST(CAST(strptime(u.start_date, '%Y%m%d') AS DATE) AS STRING)
                AS trip_start_date,
              CAST(coalesce({_GTFS_TIME_SQL}, fd.first_dep) AS INT) AS trip_start_time,
              u.stop_sequence, st.stop_id,
@@ -2101,7 +2260,7 @@ def q_realtime_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u
     )
     SELECT trip_id,
-           CAST(CAST(strptime(start_date, '%Y%m%d') AS DATE) AS VARCHAR)
+           CAST(CAST(strptime(start_date, '%Y%m%d') AS DATE) AS STRING)
              AS trip_start_date,
            trip_start_time,
            stop_sequence AS basis_stop_sequence,

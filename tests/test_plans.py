@@ -204,6 +204,27 @@ def test_gap_fill_is_window_not_cartesian(spark, sf_dir):
     assert "Window" in plan, plan
 
 
+def test_duration_and_percent_encoding_stay_jvm_side(spark, sf_dir):
+    # C6/C8: higher-order-function string pipelines must not plan any
+    # Python evaluation — a row-at-a-time UDF here would be the classic
+    # 10-100x slow path on a 100 TB text corpus
+    for q in (Q.q_duration_parse, Q.q_percent_encoding):
+        df = q(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+
+
+def test_curve_codec_group_is_pre_capped(spark, sf_dir):
+    # S10: the knot cap must run BEFORE the applyInPandas group collect
+    # (Window rank filter upstream of FlatMapGroupsInPandas), so the
+    # per-group array is bounded at any scale
+    df = Q.q_curve_codec_roundtrip(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Window" in plan, plan
+
+
 def test_lsh_topk_portable_single_udf_pass_per_side(spark, sf_dir):
     # the portable plane family must keep the round-2 shape: ALL tables'
     # buckets from one Arrow UDF evaluation per side (query + corpus),
