@@ -332,6 +332,80 @@ def percent_decode_path_sql(enc: str) -> str:
     return f"decode(from_hex({head} || array_to_string({hexs}, '')))"
 
 
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+#
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, \b, \d,
+# non-capturing groups.  No backreferences or lookaround.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b\d{2}-\d{3}-\d{3}-\d{4}\b"
+IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# redaction is ordered: emails first (their local parts can contain digit
+# runs that would otherwise be mangled by the phone/IP passes), then the
+# dash-separated phone grammar, then dotted quads
+_PII_REDACTIONS: list[tuple[str, str]] = [
+    (EMAIL_PATTERN, "<EMAIL>"),
+    (PHONE_PATTERN, "<PHONE>"),
+    (IPV4_PATTERN, "<IP>"),
+]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    return {
+        "email_count": F.regexp_count(text, F.lit(EMAIL_PATTERN)),
+        "phone_count": F.regexp_count(text, F.lit(PHONE_PATTERN)),
+        "ipv4_count": F.regexp_count(text, F.lit(IPV4_PATTERN)),
+    }
+
+
+def pii_counts_sql(text: str) -> dict[str, str]:
+    return {
+        "email_count": f"len(regexp_extract_all({text}, '{EMAIL_PATTERN}'))",
+        "phone_count": f"len(regexp_extract_all({text}, '{PHONE_PATTERN}'))",
+        "ipv4_count": f"len(regexp_extract_all({text}, '{IPV4_PATTERN}'))",
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    out = text
+    for pat, repl in _PII_REDACTIONS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_pii_sql(text: str) -> str:
+    out = text
+    for pat, repl in _PII_REDACTIONS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# URL extraction (boilerplate/domain analysis)
+# ---------------------------------------------------------------------------
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._/%+-]*)?"
+_DOMAIN_OF = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(URL_PATTERN), 0)
+
+
+def extract_urls_sql(text: str) -> str:
+    return f"regexp_extract_all({text}, '{URL_PATTERN}')"
+
+
+def url_domain(url: Column) -> Column:
+    return F.regexp_extract(url, _DOMAIN_OF, 1)
+
+
+def url_domain_sql(url: str) -> str:
+    return f"regexp_extract({url}, '{_DOMAIN_OF}', 1)"
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality score in [0,1]: rewards moderate word length,
     presence of stopwords, low punctuation density (heuristics in the

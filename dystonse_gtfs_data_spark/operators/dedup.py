@@ -325,6 +325,74 @@ def winnow_fingerprints(
     )
 
 
+def winnow_passage_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kgram: int = 8,
+    window: int = 16,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Passage-level duplicate detection: document pairs sharing >=
+    ``min_shared`` winnowing fingerprints (i.e. pairs containing a common
+    substring run of length >= kgram + window - 1, by the winnowing
+    guarantee).  This is MOSS's pair-scoring step on top of
+    :func:`winnow_fingerprints`.
+
+    Scale shape: fingerprint inverted-index equi-join — pairs meet only
+    on fingerprints they share, so the shuffle is O(total fingerprint
+    occurrences), never O(n²) pairs.  ``max_fp_df`` is the skew valve:
+    a fingerprint present in more than that many documents fans out to
+    df² pairs while carrying almost no passage signal (it is boilerplate
+    by definition) — drop it, exactly like ``max_shingle_df`` on the
+    Jaccard path.  Sizes (and the resemblance denominator) are computed
+    AFTER the cap so the metric is consistent with the candidate space.
+
+    Output: (id_a < id_b, shared_fps, resemblance) where resemblance is
+    |A∩B| / |A∪B| over (capped) fingerprint sets, rounded to 6 digits.
+    """
+    fps = winnow_fingerprints(docs, text_col, id_col, kgram, window)
+    if max_fp_df is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp")
+    sizes = fps.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_fps")),
+                6,
+            ).alias("resemblance"),
+        )
+    )
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",

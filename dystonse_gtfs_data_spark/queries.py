@@ -1390,9 +1390,9 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_K, _WINNOW_W = 8, 16
 
-@register(
-    "winnow_fingerprints",
-    f"""
+# shared CTE chain ending in `fps(doc_id, fp)` — the distinct winnowing
+# fingerprints per document; reused by the passage-overlap oracle
+_WINNOW_FPS_CTE = f"""
     WITH t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents),
     pos AS (
       SELECT doc_id, txt,
@@ -1414,10 +1414,19 @@ _WINNOW_K, _WINNOW_W = 8, 16
                            AND {_WINNOW_W - 1} FOLLOWING) AS fp,
              count(*) OVER (PARTITION BY doc_id) AS nk
       FROM h
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp
+      FROM wm
+      WHERE i <= greatest(nk - {_WINNOW_W} + 1, 1)
     )
-    SELECT DISTINCT doc_id, fp
-    FROM wm
-    WHERE i <= greatest(nk - {_WINNOW_W} + 1, 1)
+"""
+
+@register(
+    "winnow_fingerprints",
+    _WINNOW_FPS_CTE
+    + """
+    SELECT doc_id, fp FROM fps
     ORDER BY doc_id, fp
     """,
     covers="Winnowing rolling-hash document fingerprints (MOSS, "
@@ -2803,6 +2812,291 @@ def q_departure_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("precision_type").cast("int").alias("precision_type"),
         F.col("origin_type").cast("int").alias("origin_type"),
         F.unix_micros("median_time").alias("median_time_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data scrubbing / corpus analysis (round-3 additions)
+# ---------------------------------------------------------------------------
+#
+# The PII corpus is synthesized deterministically from customer columns
+# with IDENTICAL expressions on both engines (the percent_encoding /
+# duration_parse convention), so the comparison isolates the regex
+# detection + redaction semantics themselves.
+
+# the testdata customer table carries no phone/comment columns, so the
+# phone is synthesized from the key (each group strictly in-digit-range,
+# no padding needed): NN-NNN-NNN-NNNN
+_PII_PHONE_SQL = """
+    concat(CAST(10 + c_custkey % 90 AS VARCHAR), '-',
+           CAST(100 + c_custkey % 900 AS VARCHAR), '-',
+           CAST(100 + (c_custkey * 7) % 900 AS VARCHAR), '-',
+           CAST(1000 + (c_custkey * 13) % 9000 AS VARCHAR))
+"""
+
+_PII_RAW_SQL = f"""
+    concat('Reach ', c_name,
+           CASE WHEN c_custkey % 3 > 0
+                THEN concat(' <', lower(replace(c_name, '#', '')),
+                            '@example.com>')
+                ELSE '' END,
+           CASE WHEN c_custkey % 2 = 0 THEN concat(' or ', {_PII_PHONE_SQL})
+                ELSE '' END,
+           ' from 10.', CAST(c_custkey % 256 AS VARCHAR), '.0.',
+           CAST(c_nationkey AS VARCHAR), ' re: ', c_mktsegment)
+"""
+
+
+@register(
+    "pii_redaction",
+    f"""
+    SELECT c_custkey,
+           {Ft.pii_counts_sql('raw')['email_count']} AS email_count,
+           {Ft.pii_counts_sql('raw')['phone_count']} AS phone_count,
+           {Ft.pii_counts_sql('raw')['ipv4_count']} AS ipv4_count,
+           {Ft.redact_pii_sql('raw')} AS redacted
+    FROM (SELECT c_custkey, {_PII_RAW_SQL} AS raw FROM customer)
+    """,
+    covers="PII detection + redaction (email/phone/IPv4 regex scrubbing) "
+    "for training-data pipelines — JVM regexp only, patterns restricted to "
+    "Java-regex/RE2-identical syntax",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    email = F.concat(
+        F.lit(" <"),
+        F.lower(F.regexp_replace(F.col("c_name"), "#", "")),
+        F.lit("@example.com>"),
+    )
+    phone = F.concat(
+        (10 + k % 90).cast("string"),
+        F.lit("-"),
+        (100 + k % 900).cast("string"),
+        F.lit("-"),
+        (100 + (k * 7) % 900).cast("string"),
+        F.lit("-"),
+        (1000 + (k * 13) % 9000).cast("string"),
+    )
+    raw = F.concat(
+        F.lit("Reach "),
+        F.col("c_name"),
+        F.when(k % 3 > 0, email).otherwise(F.lit("")),
+        F.when(k % 2 == 0, F.concat(F.lit(" or "), phone)).otherwise(F.lit("")),
+        F.lit(" from 10."),
+        (k % 256).cast("string"),
+        F.lit(".0."),
+        F.col("c_nationkey").cast("string"),
+        F.lit(" re: "),
+        F.col("c_mktsegment"),
+    )
+    d = c.select("c_custkey", raw.alias("raw"))
+    counts = Ft.pii_counts(F.col("raw"))
+    return d.select(
+        "c_custkey",
+        counts["email_count"].alias("email_count"),
+        counts["phone_count"].alias("phone_count"),
+        counts["ipv4_count"].alias("ipv4_count"),
+        Ft.redact_pii(F.col("raw")).alias("redacted"),
+    )
+
+
+@register(
+    "repetition_signals",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents
+    ),
+    b0 AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      FROM w WHERE len(ws) >= 2
+    ),
+    b AS (
+      SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS bg
+      FROM b0
+    ),
+    c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           count(*) AS distinct_bigrams,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac,
+           round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                 / sum(c), 6) AS dup_bigram_frac
+    FROM c GROUP BY doc_id
+    """,
+    covers="Gopher-style repetition quality signals: most-common-bigram "
+    "fraction and duplicated-bigram fraction per document (explode → "
+    "two-level groupBy, map-side combinable — the distributed shape; no "
+    "per-row vocabulary maps)",
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("distinct_bigrams"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+@register(
+    "url_domains",
+    f"""
+    WITH raw AS (
+      SELECT doc_id,
+             concat(text, ' see https://', source, '.example.org/docs/',
+                    CAST(doc_id AS VARCHAR), ' and http://mirror-', lang,
+                    '.example.net') AS r
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, unnest({Ft.extract_urls_sql('r')}) AS url FROM raw
+    )
+    SELECT {Ft.url_domain_sql('url')} AS domain,
+           count(*) AS n_urls,
+           count(DISTINCT doc_id) AS n_docs
+    FROM u GROUP BY 1
+    """,
+    covers="URL extraction + per-domain corpus stats (boilerplate/domain "
+    "blocklist analysis) — regexp_extract_all + explode + groupBy",
+)
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" see https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" and http://mirror-"),
+        F.col("lang"),
+        F.lit(".example.net"),
+    )
+    urls = d.select(
+        "doc_id", F.explode(Ft.extract_urls(raw)).alias("url")
+    )
+    return (
+        urls.select("doc_id", Ft.url_domain(F.col("url")).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "tfidf_terms",
+    r"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+    dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             round(t.tf * ln(((SELECT count(*) FROM documents) + 1.0)
+                             / (d.df + 1.0)), 6) AS score
+      FROM tf t JOIN dfc d USING (term)
+    )
+    SELECT doc_id, term, tf, df, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    covers="TF-IDF keyword extraction: corpus document frequency (vocab "
+    "agg, broadcast back — vocab ≪ corpus at any scale) + per-doc top-5 "
+    "terms by score with deterministic tie-break",
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+_PASSAGE_MIN_SHARED, _PASSAGE_MAX_FP_DF = 2, 20
+
+
+@register(
+    "winnow_passage_overlap",
+    _WINNOW_FPS_CTE
+    + f""",
+    capped AS (
+      SELECT doc_id, fp FROM fps
+      QUALIFY count(*) OVER (PARTITION BY fp) <= {_PASSAGE_MAX_FP_DF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      FROM capped a JOIN capped b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.ni AS shared_fps,
+           round(CAST(i.ni AS DOUBLE) / (za.n + zb.n - i.ni), 6) AS resemblance
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE i.ni >= {_PASSAGE_MIN_SHARED}
+    """,
+    covers="Passage-level duplicate detection (MOSS pair scoring): doc "
+    "pairs sharing >= 2 winnowing fingerprints via fingerprint "
+    "inverted-index equi-join with a document-frequency skew valve",
+)
+def q_winnow_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import winnow_passage_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_passage_overlap(
+        d,
+        kgram=_WINNOW_K,
+        window=_WINNOW_W,
+        min_shared=_PASSAGE_MIN_SHARED,
+        max_fp_df=_PASSAGE_MAX_FP_DF,
     )
 
 

@@ -1,0 +1,130 @@
+"""Operator-level tests for the round-3 corpus-analysis additions:
+PII redaction, passage-level winnowing overlap, and plan-shape guards
+for the new catalog queries (oracle parity itself is covered by
+test_queries_oracle.py, which auto-picks up every registered entry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dystonse_gtfs_data_spark.functions import text as Ft
+from dystonse_gtfs_data_spark.operators.dedup import winnow_passage_overlap
+
+
+def test_pii_redaction_crafted(spark):
+    rows = [
+        (0, "mail Alice.Smith+dev@sub.example.co.uk now"),
+        (1, "call 12-345-678-9012 or visit 192.168.1.17 today"),
+        (2, "no pii here at all"),
+        (3, "two mails a@b.io c.d@e.org one quad 8.8.8.8"),
+        # phone-like but wrong grammar (3-3-3-4) must NOT match
+        (4, "not a phone 123-456-789-0123x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, raw string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            Ft.pii_counts(F.col("raw"))["email_count"].alias("e"),
+            Ft.pii_counts(F.col("raw"))["phone_count"].alias("p"),
+            Ft.pii_counts(F.col("raw"))["ipv4_count"].alias("i"),
+            Ft.redact_pii(F.col("raw")).alias("red"),
+        ).collect()
+    }
+    assert (out[0]["e"], out[0]["p"], out[0]["i"]) == (1, 0, 0)
+    assert out[0]["red"] == "mail <EMAIL> now"
+    assert (out[1]["e"], out[1]["p"], out[1]["i"]) == (0, 1, 1)
+    assert out[1]["red"] == "call <PHONE> or visit <IP> today"
+    assert (out[2]["e"], out[2]["p"], out[2]["i"]) == (0, 0, 0)
+    assert out[2]["red"] == "no pii here at all"
+    assert (out[3]["e"], out[3]["i"]) == (2, 1)
+    assert out[3]["red"] == "two mails <EMAIL> <EMAIL> one quad <IP>"
+    assert out[4]["p"] == 0
+
+
+def test_winnow_passage_overlap_detects_shared_passage(spark):
+    """Docs sharing a substring of length >= kgram + window - 1 form a
+    pair (the winnowing guarantee lifted to pair level); an unrelated doc
+    pairs with nobody."""
+    shared = "a verbatim boilerplate passage reused across both documents"
+    docs = spark.createDataFrame(
+        [
+            (0, "first opens one way " + shared + " then diverges entirely"),
+            (1, "second begins differently " + shared + " and wraps up"),
+            (2, "completely unrelated content with zero textual overlap xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in winnow_passage_overlap(
+            docs, kgram=8, window=4, min_shared=1
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(2 not in k for k in pairs)
+    r = pairs[(0, 1)]
+    assert r["shared_fps"] >= 1
+    assert 0.0 < r["resemblance"] <= 1.0
+
+
+def test_winnow_passage_overlap_df_cap_drops_boilerplate(spark):
+    """A fingerprint present in ALL docs (boilerplate) is the only link
+    between docs 0..3; capping df below the corpus size removes those
+    pairs while a genuinely shared private passage survives."""
+    boiler = "standard footer text appended to every single document here"
+    private = "secret shared paragraph that only these two docs contain"
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha body " + boiler + " " + private),
+            (1, "beta content " + boiler + " " + private),
+            (2, "gamma words " + boiler + " unrelated tail section"),
+            (3, "delta prose " + boiler + " another different ending"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_passage_overlap(
+            docs, kgram=8, window=4, min_shared=1
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_passage_overlap(
+            docs, kgram=8, window=4, min_shared=1, max_fp_df=3
+        ).collect()
+    }
+    # boilerplate links every pair uncapped
+    assert uncapped == {(i, j) for i in range(4) for j in range(i + 1, 4)}
+    # df cap at 3 kills the 4-doc boilerplate fingerprints; the private
+    # passage (df=2) still pairs docs 0 and 1
+    assert (0, 1) in capped
+    assert (2, 3) not in capped
+
+
+def test_new_catalog_queries_stay_jvm_side(spark, sf_dir):
+    """None of the round-3 corpus queries may fall back to row-at-a-time
+    Python evaluation — they are all built-in-expression pipelines."""
+    from dystonse_gtfs_data_spark import queries as Q
+
+    for name in (
+        "pii_redaction",
+        "repetition_signals",
+        "url_domains",
+        "tfidf_terms",
+        "winnow_passage_overlap",
+    ):
+        plan = Q.REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_tfidf_vocab_join_is_broadcast(spark, sf_dir):
+    """The df-per-term vocabulary must reach the tf table as a broadcast
+    (vocab ≪ corpus at any scale); the only shuffles are the two
+    aggregations and the per-doc ranking window."""
+    from dystonse_gtfs_data_spark import queries as Q
+
+    plan = Q.REGISTRY["tfidf_terms"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "BroadcastHashJoin" in plan
