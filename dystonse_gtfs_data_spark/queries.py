@@ -859,6 +859,76 @@ def q_windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+@register(
+    "session_window_stream",
+    """
+    WITH gaps AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP)) - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS session_end_us,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    covers="T7 sessionization executed NATIVELY in Structured Streaming: "
+    "session_window(gap) merge-on-overlap aggregation over a file-source "
+    "stream, availableNow trigger, memory sink.  Probed boundary semantics: "
+    "an exact-gap arrival MERGES (new session iff gap > 30 min), matching "
+    "the batch lag/cumsum twin's strict inequality; window end = last "
+    "event + gap.",
+)
+def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    load_table(spark, sf_dir, "events")
+    schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(src.schema["ts"].dataType, T.LongType):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(src.schema["ts"].dataType, T.TimestampNTZType):
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+    sink = f"sesswin_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data ops)
 # ---------------------------------------------------------------------------
