@@ -60,6 +60,14 @@ BENCH_QUERIES = [
     "duration_parse",       # C6 duration grammar, JVM HOFs
     "percent_encoding",     # C8 byte-wise percent encode/decode, JVM HOFs
     "curve_codec_roundtrip",  # S10 compact binary curve codec
+    # round-3 corpus-analysis additions
+    "pii_redaction",        # email/phone/IPv4 regex scrub
+    "repetition_signals",   # Gopher-style dup-bigram fractions
+    "url_domains",          # URL extraction + domain stats
+    "tfidf_terms",          # corpus df + broadcast vocab + top-5 ranking
+    "winnow_passage_overlap",  # MOSS pair scoring, inverted-index join
+    "session_window_stream",   # native streaming session windows
+    "stream_stream_join",      # watermarked stream-stream range join
 ]
 
 

@@ -860,6 +860,90 @@ def q_windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    """
+    SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+           epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))
+             AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 4 HOUR
+    """,
+    covers="Stream-stream event-time range join (view→purchase funnel "
+    "attribution) executed as a REAL Structured Streaming job: two "
+    "file-source streams, per-side watermarks bounding the range-join "
+    "state, append mode, availableNow trigger.  An inner stream-stream "
+    "join emits exactly the batch join's rows, which is what lets the "
+    "plain batch SQL act as the oracle.",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    load_table(spark, sf_dir, "events")
+    schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+
+    def mkstream():
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if isinstance(s.schema["ts"].dataType, T.LongType):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(s.schema["ts"].dataType, T.TimestampNTZType):
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return s
+
+    a = (
+        mkstream()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("u"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", "1 hour")
+    )
+    b = (
+        mkstream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("u2"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "1 hour")
+    )
+    j = a.join(
+        b,
+        (F.col("u") == F.col("u2"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 4 HOURS")),
+    )
+    out = j.select(
+        F.col("u").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
+    )
+    sink = f"ssjoin_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
     "session_window_stream",
     """
     WITH gaps AS (
@@ -2932,7 +3016,11 @@ _PII_RAW_SQL = f"""
     "Java-regex/RE2-identical syntax",
 )
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
+    from .operators.dedup import _spread
+
+    # six regex passes per row on a one-split table pins a core — round-
+    # robin to cluster parallelism first (no-op on a real multi-split scan)
+    c = _spread(load_table(spark, sf_dir, "customer"))
     k = F.col("c_custkey")
     email = F.concat(
         F.lit(" <"),
@@ -3001,19 +3089,28 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-row vocabulary maps)",
 )
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import _spread
+
     d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    # materialize the token array in its OWN projection: referenced from
+    # inside the transform lambda it would be re-split per element (no CSE
+    # across HOF lambdas — the winnow_fingerprints lesson); and _spread the
+    # one-split scan so the regex splitting parallelizes
+    wdf = _spread(d).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    )
+    ws = F.col("ws")
     bigrams = F.when(
-        F.size(words) >= 2,
+        F.size(ws) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
+            F.sequence(F.lit(1), F.size(ws) - 1),
             lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     counts = (
-        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        wdf.select("doc_id", F.explode(bigrams).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count("*").alias("c"))
     )
