@@ -9,7 +9,7 @@ is O(docs × shingles), never O(docs × shingles × hashes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # fixed, public hash family for minhash: h_i(x) = (a_i * x + b_i) mod p.
@@ -69,6 +69,25 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _explode_parallel(df: DataFrame, keep, col, alias: str) -> DataFrame:
+    """``explode_outer`` + post-filter instead of plain ``explode``.
+
+    Plain ``explode(expensive_expr)`` makes Catalyst synthesize
+    ``size(expensive_expr) > 0 AND isnotnull(expensive_expr)`` and push it
+    through the :func:`_spread` repartition onto the single-split scan —
+    re-serializing the entire shingle/k-gram pipeline onto ONE core as a
+    filter (observed: the "spread" ngram stage still ran as 1 task; a
+    non-deterministic barrier filter does not survive Spark 4's range
+    pruning).  ``explode_outer`` synthesizes no filter, and the null check
+    on the GENERATED column cannot be pushed below the Generate, so the
+    heavy projection stays above the round-robin exchange where it
+    parallelizes.  Semantics are identical: null/empty arrays contribute
+    no rows either way."""
+    return df.select(*keep, F.explode_outer(col).alias(alias)).where(
+        F.col(alias).isNotNull()
+    )
+
+
 def tokens(text_col: str = "text"):
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
@@ -116,8 +135,8 @@ def minhash_signatures(
     over a single groupBy — signature width never multiplies the shuffle.
     """
     fam = _hash_family(num_hashes)
-    sh = _spread(docs).select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    sh = _explode_parallel(
+        _spread(docs), [F.col(id_col)], shingles(text_col, shingle_k), "shingle"
     ).withColumn("h", _base_hash_col(F.col("shingle"), base_hash))
     aggs = [
         F.min((F.col("h") % MERSENNE_P * a + b) % MERSENNE_P).alias(f"mh_{i}")
@@ -238,25 +257,40 @@ def ngram_jaccard_near_duplicates(
 
     Output: (id_a < id_b, jaccard) with jaccard >= threshold.
     """
-    sets = _spread(docs).select(
-        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("sh")
+    ex = _explode_parallel(
+        _spread(docs),
+        [F.col(id_col)],
+        F.array_distinct(shingles(text_col, shingle_k)),
+        "s",
     )
-    sizes = sets.select(F.col(id_col), F.size("sh").alias("n"))
-    ex = sets.select(F.col(id_col), F.explode("sh").alias("s"))
+    # set sizes from the exploded (distinct-shingle) rows rather than a
+    # separate size(sh) scan: a size()-based projection re-evaluates the
+    # whole shingle expression inside a pushed-down join-key null filter
+    # on the single-split scan (same pathology as the explode filter)
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n"))
     if max_shingle_df is not None:
-        keep = (
-            ex.groupBy("s")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("s")
+        # df-cap via a window over the shingle-partitioned shuffle (NOT a
+        # groupBy + self-semi-join, which would recompute the shingling
+        # subtree a second time for the aggregate side)
+        ex = (
+            ex.withColumn(
+                "_df", F.count("*").over(Window.partitionBy("s"))
+            )
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
         )
-        ex = ex.join(keep, "s")
-    a = ex.select(F.col(id_col).alias("id_a"), "s")
-    b = ex.select(F.col(id_col).alias("id_b"), "s")
+    # alias self-join on the SAME plan: both sides canonicalize to an
+    # identical Exchange(s) subtree, so ReuseExchange runs the expensive
+    # scan → split → shingle pipeline ONCE and the second side reads the
+    # first's shuffle files (verified in tests/test_plans.py)
     inter = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        ex.alias("L")
+        .join(ex.alias("R"), F.col("L.s") == F.col("R.s"))
+        .filter(F.col(f"L.{id_col}") < F.col(f"R.{id_col}"))
+        .groupBy(
+            F.col(f"L.{id_col}").alias("id_a"),
+            F.col(f"R.{id_col}").alias("id_b"),
+        )
         .agg(F.count("*").alias("ni"))
     )
     return (
@@ -320,8 +354,8 @@ def winnow_fingerprints(
             lambda j: F.array_min(F.slice(h, j, window)),
         )
     )
-    return hashed.select(
-        F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp")
+    return _explode_parallel(
+        hashed, [F.col(id_col)], F.array_distinct(wins), "fp"
     )
 
 
@@ -354,20 +388,29 @@ def winnow_passage_overlap(
     """
     fps = winnow_fingerprints(docs, text_col, id_col, kgram, window)
     if max_fp_df is not None:
-        keep = (
-            fps.groupBy("fp")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_fp_df)
-            .select("fp")
+        # window-based cap on the fp-partitioned shuffle: one Exchange(fp)
+        # that every consumer below shares via ReuseExchange, instead of a
+        # groupBy + semi-join that would re-run the whole winnowing hash
+        # pipeline for the aggregate side
+        fps = (
+            fps.withColumn(
+                "_df", F.count("*").over(Window.partitionBy("fp"))
+            )
+            .filter(F.col("_df") <= max_fp_df)
+            .drop("_df")
         )
-        fps = fps.join(keep, "fp")
     sizes = fps.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = fps.select(F.col(id_col).alias("id_a"), "fp")
-    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    # alias self-join on the SAME plan → identical Exchange(fp) subtrees →
+    # the md5 winnowing runs once; the second side (and the sizes agg)
+    # read the reused shuffle files
     inter = (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        fps.alias("L")
+        .join(fps.alias("R"), F.col("L.fp") == F.col("R.fp"))
+        .filter(F.col(f"L.{id_col}") < F.col(f"R.{id_col}"))
+        .groupBy(
+            F.col(f"L.{id_col}").alias("id_a"),
+            F.col(f"R.{id_col}").alias("id_b"),
+        )
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
@@ -425,7 +468,9 @@ def simhash(
     the affine family (bit_i = h_i(tok) mod 2) instead of xxhash64's raw
     bits — an equally valid ±1 hash family that a SQL oracle can
     recompute exactly."""
-    tok = _spread(docs).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tok = _explode_parallel(
+        _spread(docs), [F.col(id_col)], tokens(text_col), "tok"
+    )
     if base_hash == "md5":
         fam = _hash_family(bits)
         h = tok.withColumn(

@@ -240,3 +240,29 @@ def test_lsh_topk_portable_single_udf_pass_per_side(spark, sf_dir):
     # formatted plans list each node twice (tree + detail section)
     assert plan.count("+- ArrowEvalPython") <= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_digest_pipelines_keep_heavy_work_above_the_spread(spark, sf_dir):
+    # Plain explode(expensive_expr) synthesizes a size()>0 filter that
+    # Catalyst pushes below the _spread round-robin exchange onto the
+    # single-split scan — serializing the whole shingle/k-gram regex+md5
+    # stage onto ONE core.  The _explode_parallel pattern (explode_outer
+    # + generated-column null filter) must keep every split()/md5-bearing
+    # filter ABOVE the exchange.
+    for name in (
+        "ngram_jaccard_dedup",
+        "minhash_near_dups",
+        "simhash_near_dups",
+        "winnow_fingerprints",
+        "winnow_passage_overlap",
+    ):
+        df = Q.REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        lines = plan.split("\n")
+        for i, line in enumerate(lines):
+            if "RoundRobinPartitioning" not in line:
+                continue
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert not (
+                "Filter" in below and ("split(" in below or "md5(" in below)
+            ), f"{name}: heavy filter sank below the spread exchange:\n{below}"
