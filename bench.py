@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "winnow_passage_overlap",  # MOSS pair scoring, inverted-index join
     "session_window_stream",   # native streaming session windows
     "stream_stream_join",      # watermarked stream-stream range join
+    "clean_corpus",            # composed dedup->quality->lang->PII pipeline
 ]
 
 

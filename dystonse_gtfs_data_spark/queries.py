@@ -3225,6 +3225,163 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gtfs_schedule_scan",
+    # built lazily: gtfs_csv_sql embeds the cache path; ensure_demo_oracle_dir
+    # (called by oracle_sql()) writes the CSVs before any oracle runs
+    None,  # replaced right below — needs the import-time path helper
+)
+def q_gtfs_schedule_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.demo_oracle import GTFS_CSV_DIR, ensure_demo_oracle_dir
+    from .sources.gtfs import read_gtfs
+
+    ensure_demo_oracle_dir()
+    tables = read_gtfs(spark, GTFS_CSV_DIR)
+    return (
+        tables["stop_times"]
+        .join(tables["trips"], "trip_id")
+        .groupBy("route_id")
+        .agg(
+            F.countDistinct("trip_id").alias("n_trips"),
+            F.countDistinct("route_variant").alias("n_variants"),
+            F.count("*").alias("n_stop_events"),
+        )
+    )
+
+
+def _gtfs_scan_oracle() -> str:
+    from .sources.demo_oracle import gtfs_csv_sql
+
+    return f"""
+    WITH st AS (SELECT * FROM {gtfs_csv_sql('stop_times')}),
+    tr AS (SELECT * FROM {gtfs_csv_sql('trips')}),
+    pat AS (
+      SELECT trip_id, string_agg(stop_id, ';' ORDER BY stop_sequence) AS pattern
+      FROM st GROUP BY trip_id
+    )
+    SELECT t.route_id,
+           count(DISTINCT t.trip_id) AS n_trips,
+           count(DISTINCT p.pattern) AS n_variants,
+           count(*) AS n_stop_events
+    FROM st s JOIN tr t ON s.trip_id = t.trip_id
+              JOIN pat p ON p.trip_id = t.trip_id
+    GROUP BY t.route_id
+    """
+
+
+REGISTRY["gtfs_schedule_scan"] = QuerySpec(
+    fn=q_gtfs_schedule_scan,
+    oracle=_gtfs_scan_oracle(),
+    covers="S1 GTFS feed scan driver-gated: schema'd CSV member reads, "
+    "missing-optional-member empty frames (calendar.txt absent), and "
+    "route-variant derivation from stop patterns (the fork's semantic, "
+    "src/main.rs:399-404) — variant HASHES are engine-private, so the "
+    "compare is on variant COUNTS vs DuckDB's distinct stop-pattern "
+    "strings over the same CSV bytes",
+)
+
+
+@register(
+    "statistics_tree_roundtrip",
+    f"""
+    SELECT scope, count(*) AS n_rows,
+           count(DISTINCT route_id) AS n_routes,
+           count(DISTINCT time_slot_id) AS n_slots
+    FROM {_dt("expected_gtfs_statistics")}
+    GROUP BY scope
+    """,
+    covers="S8/S9 statistics-tree persistence driver-gated: the demo "
+    "statistics table goes through a REAL partitionBy(scope, route_id) "
+    "parquet write (the reference's directory-per-level tree, "
+    "src/types/types.md:13-27), a partition-pruned reload, and the "
+    "filtered-union merge (src/main.rs:295-318) before the summary — "
+    "so hive partition encoding (incl. null route_id) and the merge "
+    "scope filters are all under the driver's value hash",
+)
+def q_statistics_tree_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .sources.sinks import merge_statistics, save_statistics
+
+    stats = demo_statistics(spark)
+    base = _tempfile.mkdtemp(prefix="stats_tree_")
+    path = f"{base}/tree"
+    try:
+        save_statistics(stats, path)
+        merged = merge_statistics(path, path, spark)
+        return (
+            merged.groupBy("scope")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("route_id").alias("n_routes"),
+                F.countDistinct("time_slot_id").alias("n_slots"),
+            )
+            # materialize before the temp dir vanishes: the driver may
+            # collect lazily after this function returns
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "clean_corpus",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             {Ft.fingerprint_sql('text')} AS fp,
+             round({Ft.quality_score_sql('text')}, 6) AS quality,
+             {Ft.lang_id_sql('text')} AS detected_lang
+      FROM documents
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, lang, quality,
+           {Ft.ws_token_count_sql('text')} AS n_tokens,
+           {Ft.redact_pii_sql('text')} AS clean_text
+    FROM deduped
+    WHERE quality >= 0.5 AND detected_lang = 'en'
+    """,
+    covers="END-TO-END training-data cleaning pipeline: normalization "
+    "fingerprint dedup (canonical = min doc_id) -> quality gate -> "
+    "language gate -> PII scrub, composed from the individual operators "
+    "in ONE plan — a single fingerprint shuffle, everything else "
+    "JVM-side row expressions (the shape a 100 TB pre-training scrub "
+    "job actually runs)",
+)
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import _spread
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        Ft.fingerprint(F.col("text")).alias("fp"),
+        F.round(Ft.quality_score(F.col("text")), 6).alias("quality"),
+        Ft.lang_id(F.col("text")).alias("detected_lang"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return deduped.filter(
+        (F.col("quality") >= 0.5) & (F.col("detected_lang") == "en")
+    ).select(
+        "doc_id",
+        "lang",
+        "quality",
+        Ft.ws_token_count(F.col("text")).alias("n_tokens"),
+        Ft.redact_pii(F.col("text")).alias("clean_text"),
+    )
+
+
 _PASSAGE_MIN_SHARED, _PASSAGE_MAX_FP_DF = 2, 20
 
 

@@ -224,6 +224,45 @@ def ensure_demo_oracle_dir() -> str:
         ),
         os.path.join(build_dir, "expected_ivf_topk.parquet"),
     )
+    # GTFS CSV form of the schedule fixture (gtfs_csv/*.txt): drives the
+    # S1 feed scanner under the driver gate — Spark reads it via
+    # read_gtfs (schema'd CSV + derived route variants), DuckDB via
+    # read_csv on the SAME bytes.  trips.txt deliberately OMITS
+    # route_variant (exercises derivation) and calendar.txt is absent
+    # (exercises the optional-member empty-frame path).
+    import csv as _csv
+
+    csv_dir = os.path.join(build_dir, "gtfs_csv")
+    os.makedirs(csv_dir)
+
+    def write_csv(name: str, header: list[str], rows) -> None:
+        with open(os.path.join(csv_dir, f"{name}.txt"), "w", newline="") as fh:
+            w = _csv.writer(fh)
+            w.writerow(header)
+            w.writerows(rows)
+
+    write_csv("agency", ["agency_id", "agency_name"], [("a1", "Demo Transit")])
+    write_csv(
+        "routes",
+        ["route_id", "agency_id", "route_short_name", "route_type"],
+        sched["routes"],
+    )
+    write_csv(
+        "trips",
+        ["trip_id", "route_id", "service_id", "trip_headsign"],
+        [r[:4] for r in sched["trips"]],
+    )
+    write_csv(
+        "stop_times",
+        ["trip_id", "stop_sequence", "stop_id", "arrival_time", "departure_time"],
+        sched["stop_times"],
+    )
+    write_csv(
+        "stops",
+        ["stop_id", "stop_name", "stop_lat", "stop_lon"],
+        sched["stops"],
+    )
+
     with open(os.path.join(build_dir, "_SUCCESS"), "w") as fh:
         fh.write(digest)
 
@@ -245,3 +284,11 @@ def ensure_demo_oracle_dir() -> str:
 def demo_table_sql(name: str) -> str:
     """SQL expression for one fixture table."""
     return f"read_parquet('{os.path.join(DEMO_ORACLE_DIR, name)}.parquet')"
+
+
+GTFS_CSV_DIR = os.path.join(DEMO_ORACLE_DIR, "gtfs_csv")
+
+
+def gtfs_csv_sql(name: str) -> str:
+    """SQL expression reading one member of the GTFS CSV fixture."""
+    return f"read_csv('{os.path.join(GTFS_CSV_DIR, name)}.txt', header=true)"

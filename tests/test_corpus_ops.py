@@ -128,3 +128,61 @@ def test_tfidf_vocab_join_is_broadcast(spark, sf_dir):
 
     plan = Q.REGISTRY["tfidf_terms"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "BroadcastHashJoin" in plan
+
+
+def test_redact_pii_matches_python_re_reference(spark):
+    """Property: the JVM regexp_replace chain equals Python re.sub with
+    the same patterns on random corpora salted with PII-shaped tokens
+    (one Spark round-trip over the whole hypothesis batch)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pii_bits = st.sampled_from(
+        [
+            "a.b+c@ex-1.example.com",
+            "john@x.io",
+            "55-123-456-7890",
+            "10.0.255.3",
+            "1.2.3.4.5",        # 5 quads: first four match
+            "12-34-56-78",      # wrong phone grammar
+            "not@tld",          # no dot-tld: no match
+            "plain words",
+        ]
+    )
+    corpus = st.lists(
+        st.one_of(pii_bits, st.text(alphabet=st.characters(codec="ascii"), max_size=12)),
+        min_size=0,
+        max_size=8,
+    ).map(lambda parts: " ".join(parts))
+
+    batches: list[str] = []
+
+    @given(corpus)
+    @settings(max_examples=120, deadline=None)
+    def collect(s):
+        batches.append(s)
+
+    collect()
+
+    def py_redact(s: str) -> str:
+        for pat, repl in (
+            (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+            (r"\b\d{2}-\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+            (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+        ):
+            s = re.sub(pat, repl, s)
+        return s
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(batches)], "id long, raw string"
+    )
+    got = {
+        r["id"]: r["red"]
+        for r in df.select(
+            "id", Ft.redact_pii(F.col("raw")).alias("red")
+        ).collect()
+    }
+    for i, s in enumerate(batches):
+        assert got[i] == py_redact(s), repr(s)
