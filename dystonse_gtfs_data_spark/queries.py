@@ -848,14 +848,17 @@ def q_windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"winstream_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .streaming.pipeline import stream_state_partitions
+
+    with stream_state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -932,14 +935,17 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
     )
     sink = f"ssjoin_{_uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .streaming.pipeline import stream_state_partitions
+
+    with stream_state_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -1002,14 +1008,17 @@ def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"sesswin_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .streaming.pipeline import stream_state_partitions
+
+    with stream_state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -2465,14 +2474,17 @@ def q_basis_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = stateful_basis_stream(stream)
     sink = f"basisstream_{_uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .streaming.pipeline import stream_state_partitions
+
+    with stream_state_partitions(spark, 8):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     emitted = spark.table(sink)
     # state advances monotonically in (tor, stop_sequence), so the
     # latest emitted row per vehicle IS the final retained basis

@@ -19,6 +19,7 @@ run as a maintenance step per batch or on a schedule.
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +28,28 @@ from .. import schemas as S
 from ..operators.records import build_records, merge_records
 
 MAX_ESTIMATED_TRIP_DURATION_H = 12  # src/importer/mod.rs:26-28
+
+
+@contextmanager
+def stream_state_partitions(spark: SparkSession, n: int = 8):
+    """Size the STATE partitioning of a streaming query explicitly.
+
+    Stateful operators (windowed aggs, session windows, stream-stream
+    joins) inherit ``spark.sql.shuffle.partitions`` as their state-store
+    count, locked in at the query's first run — and every state
+    partition carries fixed per-batch overhead (store open, snapshot,
+    commit) regardless of how little state it holds.  Batch-width
+    defaults are wrong in both directions: 32 stores for a few thousand
+    sessions is pure overhead (measured 10.5 s → 2.8 s at sf0.1 for the
+    stream-stream join), while a 100 TB stream wants hundreds, sized to
+    state volume.  The conf is restored afterwards so the BATCH width is
+    untouched; the stream must ``start()`` inside the block."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_rt_updates(spark: SparkSession, rt_dir: str) -> DataFrame:
