@@ -118,3 +118,43 @@ class TestBucketedDomainPipeline:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
             spark.sql("DROP TABLE IF EXISTS t_dom_records_b")
             spark.sql("DROP TABLE IF EXISTS t_dom_stop_times_b")
+
+
+class TestPartitionCountInvariance:
+    """The 100 TB claim in miniature: results must be IDENTICAL whether a
+    table arrives as one parquet file or as many splits across many
+    partitions.  Catches accidental order dependence, per-partition
+    state, or explode/window logic that only works on a single split."""
+
+    @pytest.fixture(scope="class")
+    def many_split_docs_dir(self, spark, sf_dir, tmp_path_factory):
+        base = tmp_path_factory.mktemp("docs16")
+        load_table(spark, sf_dir, "documents").repartition(16).write.parquet(
+            str(base / "documents.parquet")
+        )
+        return str(base)
+
+    def _rows(self, df, key_cols):
+        return sorted(
+            (tuple(r[c] for c in key_cols) for r in df.collect()),
+        )
+
+    @pytest.mark.parametrize(
+        ("name", "keys"),
+        [
+            ("ngram_jaccard_dedup", ["id_a", "id_b", "jaccard"]),
+            ("minhash_near_dups", ["id_a", "id_b", "jaccard"]),
+            ("winnow_passage_overlap", ["id_a", "id_b", "shared_fps"]),
+            ("repetition_signals", ["doc_id", "n_bigrams", "top_bigram_frac"]),
+            ("clean_corpus", ["doc_id", "quality", "n_tokens"]),
+            ("tfidf_terms", ["doc_id", "term", "rank"]),
+        ],
+    )
+    def test_docs_queries_invariant_to_split_count(
+        self, spark, sf_dir, many_split_docs_dir, name, keys
+    ):
+        from dystonse_gtfs_data_spark import queries as Q
+
+        single = self._rows(Q.REGISTRY[name].fn(spark, sf_dir), keys)
+        multi = self._rows(Q.REGISTRY[name].fn(spark, many_split_docs_dir), keys)
+        assert single == multi, name

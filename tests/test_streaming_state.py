@@ -136,3 +136,21 @@ class TestStatefulBasis:
             assert [(r[0], r[1]) for r in rows] == [(5, 90)]
         finally:
             q.stop()
+
+
+def test_stream_state_partitions_restores_batch_width(spark):
+    from dystonse_gtfs_data_spark.streaming.pipeline import (
+        stream_state_partitions,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with stream_state_partitions(spark, 4):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # restored even when the stream fails to start
+    try:
+        with stream_state_partitions(spark, 4):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
