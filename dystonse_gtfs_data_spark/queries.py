@@ -3294,6 +3294,55 @@ REGISTRY["gtfs_schedule_scan"] = QuerySpec(
 
 
 @register(
+    "skew_salted_agg",
+    """
+    SELECT event_type, count(*) AS count
+    FROM events GROUP BY event_type
+    """,
+    covers="Skew valve (explicit two-phase salted aggregation, "
+    "operators/skew.py): a hot groupBy key is split across N salts and "
+    "re-summed — identical result to the plain groupBy, which is the "
+    "oracle; events.event_type has only 5 values, the archetypal hot-key "
+    "shape",
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count(ev, "event_type", num_salts=16)
+
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    covers="Skew valve (salted replicated-dim join, operators/skew.py): "
+    "facts salted by row hash, dims exploded across all salts, join on "
+    "(key, salt) — result equals the plain join, which is the oracle",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, "l_orderkey", num_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
     "statistics_tree_roundtrip",
     f"""
     SELECT scope, count(*) AS n_rows,
