@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..curves.udfs import curve_x_at_y
 from ..functions.geo import EXTENDED_STOPS_MAX_DISTANCE_M, grid_proximity_pairs
 from ..schemas import ORIGIN_REALTIME
+from ..sources.tables import maybe_broadcast
 
 
 def extended_stops(stops: DataFrame, radius_m: float = EXTENDED_STOPS_MAX_DISTANCE_M) -> DataFrame:
@@ -87,7 +88,9 @@ def resolve_trip(
     )
     st = stop_times.filter(F.col("departure_time") == departure_seconds)
     return (
-        st.join(F.broadcast(t.select("trip_id", "route_id", "route_variant")), "trip_id")
+        # t is pre-filtered by headsign+route (query-bounded) but derives
+        # from schedule-sized trips: size-guard instead of forcing
+        st.join(maybe_broadcast(t.select("trip_id", "route_id", "route_variant")), "trip_id")
         .join(F.broadcast(ext), "stop_id")
         .select("trip_id", "route_id", "route_variant", "stop_id", "stop_sequence")
     )
@@ -124,7 +127,8 @@ def departure_board(
     ).filter((F.col("origin_type") == ORIGIN_REALTIME) | (F.col("_has_rt") == 0)).drop("_has_rt")
 
     if trip_max_sequences is not None:
-        p = p.join(F.broadcast(trip_max_sequences), "trip_id", "left").filter(
+        # trips-wide aggregate: size-guard the hint
+        p = p.join(maybe_broadcast(trip_max_sequences), "trip_id", "left").filter(
             F.col("stop_sequence") < F.col("max_stop_sequence")
         ).drop("max_stop_sequence")
 

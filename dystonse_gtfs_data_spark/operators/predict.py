@@ -257,8 +257,12 @@ def build_prediction_requests(
     from ..functions.time import service_day_timestamp, time_slot_id
     from ..schemas import EVENT_ARRIVAL, EVENT_DEPARTURE
 
+    from ..sources.tables import maybe_broadcast
+
+    # stop_times-sized frames: size-guard the hints (schedule tables for a
+    # country feed are far beyond broadcast range)
     basis_idx = bases.join(
-        F.broadcast(
+        maybe_broadcast(
             stop_times_idx.select(
                 "trip_id",
                 F.col("stop_sequence").alias("basis_stop_sequence"),
@@ -268,7 +272,7 @@ def build_prediction_requests(
         ["trip_id", "basis_stop_sequence"],
     )
     targets = basis_idx.join(
-        F.broadcast(
+        maybe_broadcast(
             stop_times_idx.select(
                 "trip_id",
                 F.col("stop_sequence").alias("target_stop_sequence"),

@@ -41,9 +41,14 @@ def build_records(
     :func:`skipped_trip_updates` for the error report.  Rows with neither
     delay set are dropped (F7).
     """
-    t = F.broadcast(trips.select("trip_id", "route_id", "route_variant"))
-    st = F.broadcast(stop_times.select("trip_id", "stop_sequence", "stop_id"))
-    first_departure = F.broadcast(
+    from ..sources.tables import maybe_broadcast
+
+    # size-guarded: trips/stop_times are schedule-sized (tens of millions
+    # of rows for a country feed) — hint only under the byte threshold,
+    # else let the planner shuffle or AQE decide (round-2 verdict class)
+    t = maybe_broadcast(trips.select("trip_id", "route_id", "route_variant"))
+    st = maybe_broadcast(stop_times.select("trip_id", "stop_sequence", "stop_id"))
+    first_departure = maybe_broadcast(
         stop_times.groupBy("trip_id").agg(F.min("departure_time").alias("_first_dep"))
     )
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.route import route_section
 from ..functions.time import service_day_timestamp, time_slot_id
 from ..schemas import EVENT_ARRIVAL, EVENT_DEPARTURE, ORIGIN_SCHEDULE
+from ..sources.tables import maybe_broadcast
 from .predict import predict
 from .specific_curves import stop_indexed
 
@@ -73,7 +74,8 @@ def active_trip_instances(
     )
     return (
         trips.join(F.broadcast(active), "service_id")
-        .join(F.broadcast(first_dep), "trip_id")
+        # first_dep is a stop_times-wide aggregate — size-guard the hint
+        .join(maybe_broadcast(first_dep), "trip_id")
         .select(
             "trip_id",
             "route_id",
@@ -104,8 +106,9 @@ def generate_scheduled_predictions(
     instances = active_trip_instances(trips, calendar, stop_times, window_begin, window_end)
     rt = F.broadcast(routes.select("route_id", "route_type"))
 
+    # stop_times-sized frame: size-guard the hint
     targets = instances.join(
-        F.broadcast(
+        maybe_broadcast(
             sti.select(
                 "trip_id", "stop_sequence", "stop_id", "stop_index", "stop_count",
                 "arrival_time", "departure_time",

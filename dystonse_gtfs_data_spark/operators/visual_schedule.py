@@ -27,12 +27,16 @@ def visual_schedule_data(
     realized arrival/departure timestamps.  Zero delays are treated as
     "no data" for the realized line (F8,
     src/analyser/visual_schedule.rs:579-581)."""
-    sti = F.broadcast(
+    from ..sources.tables import maybe_broadcast
+
+    # size-guarded: stop_times is schedule-sized; masters is bounded by
+    # the variant count but still schedule-derived
+    sti = maybe_broadcast(
         stop_indexed(stop_times).select(
             "trip_id", "stop_sequence", "stop_index", "arrival_time", "departure_time"
         )
     )
-    masters = F.broadcast(master_variants(trips, stop_times))
+    masters = maybe_broadcast(master_variants(trips, stop_times))
     r = records.join(sti, ["trip_id", "stop_sequence"]).join(
         masters, ["route_id", "route_variant"]
     )

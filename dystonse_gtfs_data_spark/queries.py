@@ -3214,11 +3214,17 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
     )
+    from .sources.tables import maybe_broadcast
+
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    # size-guarded hint: the vocabulary is small relative to the corpus,
+    # but a web-scale vocab (10^8 terms) is NOT broadcastable — unknown
+    # or oversized estimates fall through to a shuffle join (the
+    # stop_times lesson from round 2)
     scored = (
-        tf.join(F.broadcast(dfc), "term")
+        tf.join(maybe_broadcast(dfc), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",

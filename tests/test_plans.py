@@ -266,3 +266,29 @@ def test_digest_pipelines_keep_heavy_work_above_the_spread(spark, sf_dir):
             assert not (
                 "Filter" in below and ("split(" in below or "md5(" in below)
             ), f"{name}: heavy filter sank below the spread exchange:\n{below}"
+
+
+def test_build_records_broadcast_is_size_guarded(spark, monkeypatch, tmp_path):
+    # same guard class as enrich_records: the J1/J2 schedule dims in
+    # build_records must lose their broadcast hint above the byte
+    # threshold (country-scale trips/stop_times are far beyond range)
+    from dystonse_gtfs_data_spark.operators.records import build_records as br
+    from dystonse_gtfs_data_spark.sources import tables as tables_mod
+    from dystonse_gtfs_data_spark.sources.demo import build_rt_updates, build_schedule
+
+    sched = build_schedule(spark)
+    updates = build_rt_updates(spark)
+    dims = {}
+    for name in ("trips", "stop_times"):
+        p = str(tmp_path / name)
+        sched[name].write.mode("overwrite").parquet(p)
+        dims[name] = spark.read.parquet(p)
+
+    with no_auto_broadcast(spark):
+        df_small = br(updates, dims["trips"], dims["stop_times"], "t")
+        assert broadcast_join_count(df_small) >= 1, formatted_plan(df_small)
+
+        monkeypatch.setattr(tables_mod, "BROADCAST_HINT_MAX_BYTES", 1)
+        df_big = br(updates, dims["trips"], dims["stop_times"], "t")
+        plan = formatted_plan(df_big)
+        assert broadcast_join_count(df_big) == 0, plan
