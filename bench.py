@@ -69,6 +69,12 @@ BENCH_QUERIES = [
     "session_window_stream",   # native streaming session windows
     "stream_stream_join",      # watermarked stream-stream range join
     "clean_corpus",            # composed dedup->quality->lang->PII pipeline
+    # round-3 dataset-assembly additions
+    "decontaminate",           # benchmark n-gram overlap scrub
+    "stratified_sample",       # deterministic hash-rate sampling (map-only)
+    "dataset_mixture",         # per-source token budget, exact-integer rates
+    "pack_sequences",          # fixed-capacity training bins
+    "bigram_lm_score",         # corpus-trained add-one bigram log-probs
 ]
 
 

@@ -566,3 +566,46 @@ def simhash_near_duplicates(
         .select("id_a", "id_b", "hamming")
     )
     return pairs
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, count distinct
+    ``shingle_k``-gram shingles it shares with ANY benchmark document
+    (the GPT-3-style n-gram overlap check; a nonzero count marks the doc
+    for removal before training so eval sets stay unseen).
+
+    Returns ``(id_col, n_shared)`` for contaminated docs only.
+
+    Scale: the benchmark side is eval data — thousands of docs, not the
+    corpus — so its distinct shingle set broadcasts; the training corpus
+    streams through one explode + broadcast hash join + one groupBy on
+    ``id_col`` (map-side combine).  The corpus is scanned once and never
+    shuffled on the shingle key.
+    """
+    bench_sh = (
+        _explode_parallel(
+            _spread(benchmark),
+            [],
+            F.array_distinct(shingles(text_col, shingle_k)),
+            "shingle",
+        )
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = _explode_parallel(
+        _spread(train),
+        [F.col(id_col)],
+        F.array_distinct(shingles(text_col, shingle_k)),
+        "shingle",
+    )
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -1,0 +1,179 @@
+"""Deterministic sampling / dataset-assembly operators for training-data
+pipelines: hash-stratified sampling, mixture construction to a token
+budget, and sequence packing.
+
+Beyond-reference family (the reference engine has no corpus path); these
+are the operations that turn a cleaned corpus into an actual training
+set.  Everything is deterministic — sampling decisions are pure
+functions of the row key via the portable md5 fold
+(:func:`..operators.dedup.portable_base_hash`), so a re-run, a retried
+task, or an independent engine (the DuckDB oracle twin) reproduces the
+exact same sample.  No ``rand()`` anywhere: nondeterministic sampling
+breaks task-retry exactly-once semantics on a real cluster.
+
+All decisions are map-side filters or one small aggregate + broadcast
+join — nothing here shuffles the corpus itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import ws_token_count, ws_token_count_sql
+from .dedup import portable_base_hash, portable_base_hash_sql
+
+#: bucket granularity for hash-rate filters.  10^4 keeps every integer
+#: product in the mixture inequality (bucket × corpus-token-count) within
+#: int64 even at 100 TB scale (10^4 × ~10^13 tokens ≈ 10^17 < 2^63).
+SAMPLE_BUCKETS = 10_000
+
+
+def sample_bucket(col, buckets: int = SAMPLE_BUCKETS):
+    """Deterministic bucket in [0, buckets) from any key column.
+
+    Portable across engines (md5 fold), uniform enough for rate
+    filtering, and independent of partitioning / row order.
+    """
+    return F.pmod(portable_base_hash(col.cast("string")), F.lit(buckets))
+
+
+def sample_bucket_sql(expr: str, buckets: int = SAMPLE_BUCKETS) -> str:
+    fold = portable_base_hash_sql(f"substr(md5(CAST({expr} AS VARCHAR)), 1, 15)")
+    return f"(({fold}) % {buckets})"
+
+
+def hash_stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    buckets: int = SAMPLE_BUCKETS,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows.
+
+    A row survives iff ``bucket(id) < round(rate × buckets)`` — an exact
+    integer comparison, so the kept set is reproducible bit-for-bit by
+    any engine that can compute the md5 fold.  This is the standard
+    down-sample step when rebalancing a corpus (e.g. cap English at 30%
+    while keeping low-resource languages whole).
+
+    Scale: a pure map-side filter — no shuffle, no aggregate; predicate
+    and md5 both run inside whole-stage codegen.
+    """
+    thr = F.lit(int(round(default_rate * buckets)))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(round(rate * buckets)))
+        ).otherwise(thr)
+    return docs.where(sample_bucket(F.col(id_col), buckets) < thr)
+
+
+def dataset_mixture(
+    docs: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = SAMPLE_BUCKETS,
+) -> DataFrame:
+    """Down-sample each source to an (expected) per-source token budget.
+
+    Two passes: (1) aggregate per-source total token counts — a tiny
+    result, broadcast back; (2) keep a doc iff
+    ``bucket(id) × total_source_tokens < budget × buckets``.  The
+    take-rate ``budget / total`` is therefore never materialised as a
+    float: the inequality is exact int64 arithmetic, so the sample is
+    engine-reproducible.  Sources already under budget keep every row
+    (bucket < buckets always holds when total ≤ budget).
+
+    Scale: the groupBy shuffles only (source, partial count) pairs
+    (map-side combine), the join side is a handful of rows (broadcast),
+    and the filter is map-side.  The corpus itself never shuffles.
+    """
+    toks = ws_token_count(F.col(text_col)).alias("__n_tok")
+    totals = (
+        docs.select(F.col(source_col), toks)
+        .groupBy(source_col)
+        .agg(F.sum("__n_tok").alias("__total_tok"))
+    )
+    return (
+        docs.join(F.broadcast(totals), source_col)
+        .where(
+            sample_bucket(F.col(id_col), buckets) * F.col("__total_tok")
+            < F.lit(int(budget_tokens)) * F.lit(buckets)
+        )
+        .drop("__total_tok")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity_tokens: int,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign docs to fixed-capacity training bins (sequence packing).
+
+    Streaming-pack semantics: within each ``part_col`` partition, docs
+    are taken in ``order_col`` order and a doc goes into bin
+    ``floor(tokens_before_it / capacity)`` — the cumulative-sum
+    formulation of next-fit packing where a bin may overflow by at most
+    one document (the standard relaxation; exact next-fit needs a
+    sequential scan that no engine parallelises).  Deterministic given
+    the ordering columns.
+
+    Returns one row per (partition, bin): doc count, token sum, and the
+    exact fill ratio as DECIMAL (engine-stable).
+
+    Scale: the window is partitioned by ``part_col`` — never a single
+    global ordering, which would serialise the corpus through one task.
+    Skewed sources should be pre-split (salt the partition column) the
+    same way any windowed pipeline handles hot keys.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = ws_token_count(F.col(text_col))
+    binned = docs.select(
+        F.col(part_col),
+        F.col(order_col),
+        n_tok.alias("n_tok"),
+    ).withColumn(
+        "bin_id",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(capacity_tokens)
+        ),
+    )
+    return binned.groupBy(part_col, "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("token_sum"),
+        (
+            F.sum("n_tok").cast("decimal(18,6)") / F.lit(capacity_tokens)
+        ).alias("fill_ratio"),
+    )
+
+
+def mixture_oracle_sql(
+    budget_tokens: int,
+    buckets: int = SAMPLE_BUCKETS,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dataset_mixture` (same integer inequality)."""
+    return f"""
+    WITH counted AS (
+      SELECT *, {ws_token_count_sql('text')} AS n_tok,
+             {sample_bucket_sql('doc_id', buckets)} AS bucket
+      FROM {table}
+    ),
+    totals AS (
+      SELECT source, sum(n_tok) AS total_tok FROM counted GROUP BY source
+    )
+    SELECT c.doc_id, c.source
+    FROM counted c JOIN totals t USING (source)
+    WHERE c.bucket * t.total_tok < {int(budget_tokens)} * {buckets}
+    """

@@ -3492,6 +3492,257 @@ def q_winnow_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dataset-assembly family: decontamination, sampling, mixture, packing,
+# count-based LM scoring (beyond-reference; training-set construction)
+# ---------------------------------------------------------------------------
+
+# shared DuckDB CTE: distinct 3-word shingles per document (identical
+# token/shingle semantics to operators/dedup.shingles)
+_DOC_SHINGLES_CTE = r"""
+    tokd AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 2, 1))) AS i
+      FROM tokd
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+                  ELSE array_to_string(toks[i + 1 : i + 3], ' ') END AS shingle
+      FROM pos
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+"""
+
+_BENCH_MOD = 17  # doc_id % 17 == 0 plays the held-out benchmark set
+
+
+@register(
+    "decontaminate",
+    f"""
+    WITH {_DOC_SHINGLES_CTE},
+    bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+    )
+    SELECT s.doc_id, count(*) AS n_shared
+    FROM sh s JOIN bench USING (shingle)
+    WHERE s.doc_id % {_BENCH_MOD} <> 0
+    GROUP BY 1
+    """,
+    covers="Benchmark decontamination (GPT-3-style 13-gram analog at "
+    "k=3): distinct benchmark shingles broadcast, training corpus "
+    "streamed through one explode + broadcast join + per-doc count",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    train = d.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return decontaminate(train, bench)
+
+
+_STRATA_RATES = {"en": 0.3, "zh": 0.6}  # cap the over-represented strata
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             {{bucket}} AS bucket
+      FROM documents
+    )
+    WHERE bucket < CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 6000
+                             ELSE 10000 END
+    """.format(bucket="__BUCKET_SQL__"),
+    covers="Deterministic hash-stratified sampling: per-stratum keep "
+    "rates as exact integer bucket thresholds (portable md5 fold; no "
+    "rand(), so task retries and independent engines reproduce the "
+    "sample bit-for-bit).  Pure map-side filter — zero shuffles.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return hash_stratified_sample(d, _STRATA_RATES).select("doc_id", "lang")
+
+
+_MIXTURE_BUDGET = 800  # tokens per source (sf0.01 sources hold ~1.3k)
+
+
+@register(
+    "dataset_mixture",
+    None,  # replaced below (needs the sampling helper's SQL builder)
+)
+def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import dataset_mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    return dataset_mixture(d, _MIXTURE_BUDGET).select("doc_id", "source")
+
+
+_PACK_CAPACITY = 256  # tokens per training bin
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH counted AS (
+      SELECT source, doc_id,
+             {Ft.ws_token_count_sql('text')} AS n_tok
+      FROM documents
+    ),
+    binned AS (
+      SELECT source, n_tok,
+             CAST(coalesce(CAST(sum(n_tok) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) // {_PACK_CAPACITY} AS BIGINT) AS bin_id
+      FROM counted
+    )
+    SELECT source, bin_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS token_sum,
+           round(CAST(sum(n_tok) AS BIGINT) * 1.0 / {_PACK_CAPACITY}, 6)
+             AS fill_ratio
+    FROM binned GROUP BY 1, 2
+    """,
+    covers="Sequence packing: docs stream into fixed-capacity training "
+    "bins via a per-source cumulative token window (next-fit relaxation; "
+    "never a global ordering, which would serialize the corpus through "
+    "one task)",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(d, _PACK_CAPACITY)
+    return packed.select(
+        "source",
+        "bin_id",
+        "n_docs",
+        "token_sum",
+        F.round(F.col("token_sum") * 1.0 / _PACK_CAPACITY, 6).alias(
+            "fill_ratio"
+        ),
+    )
+
+
+@register(
+    "bigram_lm_score",
+    r"""
+    WITH tokd AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    inst AS (
+      SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i
+            FROM tokd WHERE len(toks) >= 2)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM inst GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT w2) AS v FROM inst),
+    scored AS (
+      SELECT i.doc_id,
+             CAST(round(ln((c2.c2 + 1.0) / (c1.c1 + vocab.v)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM inst i
+      JOIN c2 ON c2.w1 = i.w1 AND c2.w2 = i.w2
+      JOIN c1 ON c1.w1 = i.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(lp) AS DOUBLE) AS sum_logprob,
+           round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+    FROM scored GROUP BY 1
+    """,
+    covers="Count-based bigram LM scoring (CCNet-style perplexity "
+    "filter): corpus-trained add-one conditional log-probs, per-doc "
+    "mean.  Per-term DECIMAL cast makes the sum exact regardless of "
+    "partitioning; counts-only training (no float model state).",
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import maybe_broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    inst = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.struct(
+                        F.get(F.col("toks"), i).alias("w1"),
+                        F.get(F.col("toks"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bi"),
+        )
+        .select("doc_id", "bi.w1", "bi.w2")
+    )
+    c2 = inst.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = inst.select(F.countDistinct("w2").alias("v"))
+    # size-guarded hints: the bigram vocab is corpus-sublinear but a
+    # web-scale vocab is not broadcastable; fall through to shuffle joins
+    scored = (
+        inst.join(maybe_broadcast(c2), ["w1", "w2"])
+        .join(maybe_broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("lp").cast("double").alias("sum_logprob"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+def _finalize_sampling_oracles() -> None:
+    from .operators.sampling import (
+        SAMPLE_BUCKETS,
+        mixture_oracle_sql,
+        sample_bucket_sql,
+    )
+
+    bucket = sample_bucket_sql("doc_id", SAMPLE_BUCKETS)
+    spec = REGISTRY["stratified_sample"]
+    REGISTRY["stratified_sample"] = QuerySpec(
+        fn=spec.fn,
+        oracle=spec.oracle.replace("__BUCKET_SQL__", bucket),
+        covers=spec.covers,
+    )
+    spec = REGISTRY["dataset_mixture"]
+    REGISTRY["dataset_mixture"] = QuerySpec(
+        fn=spec.fn,
+        oracle=mixture_oracle_sql(_MIXTURE_BUDGET),
+        covers="Dataset mixture to a per-source token budget: one tiny "
+        "per-source aggregate broadcast back, then an exact-integer "
+        "hash-rate filter (take-rate never materialized as a float; "
+        "the corpus itself never shuffles)",
+    )
+
+
+_finalize_sampling_oracles()
+
+
+# ---------------------------------------------------------------------------
 # public API used by __spark_entry__
 # ---------------------------------------------------------------------------
 

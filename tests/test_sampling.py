@@ -1,0 +1,187 @@
+"""Dataset-assembly operators: decontamination, stratified sampling,
+mixture, packing, bigram LM — brute-force / closed-form oracles plus
+plan-shape guards (the point of these ops is that the corpus never
+shuffles)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dystonse_gtfs_data_spark.operators.dedup import decontaminate
+from dystonse_gtfs_data_spark.operators.sampling import (
+    SAMPLE_BUCKETS,
+    dataset_mixture,
+    hash_stratified_sample,
+    pack_sequences,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "en", "a"),
+    (2, "the quick brown fox jumps over the lazy cat", "en", "a"),
+    (3, "completely different text with no overlap here", "en", "b"),
+    (4, "der schnelle braune fuchs springt", "de", "b"),
+    (5, "the quick brown fox sat still", "en", "a"),
+    (6, "tiny", "de", "b"),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "lang", "source"])
+
+
+def py_shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.strip().lower().split()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def py_bucket(key, buckets: int = SAMPLE_BUCKETS) -> int:
+    h = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+    return h % buckets
+
+
+def test_decontaminate_matches_brute_force(spark):
+    d = docs_df(spark)
+    bench = d.filter(F.col("doc_id").isin(1, 4))
+    train = d.filter(~F.col("doc_id").isin(1, 4))
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in decontaminate(train, bench).collect()
+    }
+    bench_sh = py_shingles(DOCS[0][1]) | py_shingles(DOCS[3][1])
+    want = {}
+    for doc_id, text, _, _ in DOCS:
+        if doc_id in (1, 4):
+            continue
+        n = len(py_shingles(text) & bench_sh)
+        if n:
+            want[doc_id] = n
+    assert got == want
+    assert 2 in want and 3 not in want  # near-dup flagged, clean doc not
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    d = docs_df(spark)
+    bench = d.filter(F.col("doc_id").isin(1))
+    train = d.filter(~F.col("doc_id").isin(1))
+    plan = decontaminate(train, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_is_exact_bucket_filter(spark):
+    d = docs_df(spark)
+    rates = {"en": 0.5, "de": 0.25}
+    kept = {r["doc_id"] for r in hash_stratified_sample(d, rates).collect()}
+    want = {
+        doc_id
+        for doc_id, _, lang, _ in DOCS
+        if py_bucket(doc_id) < round(rates[lang] * SAMPLE_BUCKETS)
+    }
+    assert kept == want
+    # determinism: a second run over a repartitioned input is identical
+    kept2 = {
+        r["doc_id"]
+        for r in hash_stratified_sample(d.repartition(7), rates).collect()
+    }
+    assert kept2 == kept
+
+
+def test_stratified_sample_plan_has_no_exchange(spark):
+    d = docs_df(spark)
+    plan = (
+        hash_stratified_sample(d, {"en": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure map-side filter
+
+
+def test_mixture_keeps_underbudget_sources_whole(spark):
+    d = docs_df(spark)
+    out = dataset_mixture(d, budget_tokens=10_000)
+    assert out.count() == len(DOCS)  # every source far under budget
+
+
+def test_mixture_matches_integer_inequality(spark):
+    d = docs_df(spark)
+    budget = 10
+    kept = {r["doc_id"] for r in dataset_mixture(d, budget).collect()}
+    totals = {}
+    for _, text, _, source in DOCS:
+        totals[source] = totals.get(source, 0) + len(text.strip().split())
+    want = {
+        doc_id
+        for doc_id, _, _, source in DOCS
+        if py_bucket(doc_id) * totals[source] < budget * SAMPLE_BUCKETS
+    }
+    assert kept == want
+
+
+def test_pack_sequences_matches_sequential_packer(spark):
+    d = docs_df(spark)
+    cap = 8
+    got = {
+        (r["source"], r["bin_id"]): (r["n_docs"], r["token_sum"])
+        for r in pack_sequences(d, cap).collect()
+    }
+    want: dict = {}
+    by_source: dict = {}
+    for doc_id, text, _, source in sorted(DOCS):
+        by_source.setdefault(source, []).append(len(text.strip().split()))
+    for source, toks in by_source.items():
+        cum = 0
+        for n in toks:
+            b = cum // cap
+            k = (source, b)
+            nd, ts = want.get(k, (0, 0))
+            want[k] = (nd + 1, ts + n)
+            cum += n
+    assert got == want
+
+
+def test_pack_sequences_bin_invariants(spark):
+    # bins start at 0; a bin index is only skipped when the bin before the
+    # gap overflowed past the skipped capacity (oversized doc)
+    d = docs_df(spark)
+    cap = 6
+    rows = pack_sequences(d, cap).collect()
+    for source in {r["source"] for r in rows}:
+        per = sorted(
+            (r["bin_id"], r["token_sum"]) for r in rows if r["source"] == source
+        )
+        assert per[0][0] == 0
+        for (b0, t0), (b1, _) in zip(per, per[1:]):
+            if b1 > b0 + 1:  # skipped bins ⇒ the earlier bin overflowed
+                assert t0 > (b1 - b0) * cap - cap
+
+
+def test_bigram_lm_score_hand_computed(spark, sf_dir):
+    # tiny corpus: "a b a b" + "a b" → bigram counts: (a,b)=3, (b,a)=1
+    # contexts: c1(a)=3, c1(b)=1; vocab = distinct w2 = {a, b} → V=2
+    from dystonse_gtfs_data_spark.queries import REGISTRY
+
+    tiny = spark.createDataFrame(
+        [(1, "a b a b", "en", "s"), (2, "a b", "en", "s")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        tiny.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in REGISTRY["bigram_lm_score"].fn(spark, td).collect()
+        }
+    lp_ab = round(math.log((3 + 1.0) / (3 + 2)), 6)
+    lp_ba = round(math.log((1 + 1.0) / (1 + 2)), 6)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["sum_logprob"] == pytest.approx(2 * lp_ab + lp_ba, abs=1e-9)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["sum_logprob"] == pytest.approx(lp_ab, abs=1e-9)
