@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "dataset_mixture",         # per-source token budget, exact-integer rates
     "pack_sequences",          # fixed-capacity training bins
     "bigram_lm_score",         # corpus-trained add-one bigram log-probs
+    "dedup_clusters",          # connected components over near-dup pairs
+    "hll_distinct",            # portable HyperLogLog distinct sketch
 ]
 
 

@@ -3714,6 +3714,83 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE_SQL}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    cc AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+    sizes AS (SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY cluster)
+    SELECT cc.id AS doc_id, cc.cluster, s.cluster_size,
+           cc.id = cc.cluster AS keep
+    FROM cc JOIN sizes s USING (cluster)
+    """,
+    covers="Transitive dedup clustering: min-label-propagation connected "
+    "components over MinHash near-dup pairs (A~B, B~C collapse even when "
+    "A~C was never scored), one canonical survivor per component.  "
+    "Iterative DataFrame joins with O(1)-deep lineage; the DuckDB twin "
+    "is an independent recursive-CTE reachability query.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, threshold=0.5, base_hash="md5")
+    return dedup_clusters(pairs)
+
+
+@register(
+    "hll_distinct",
+    None,  # replaced below (built from the sketch module's SQL twin)
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import hll_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = hll_estimate(ev, "user_id", ["event_type"])
+    return exact.join(est, "event_type")
+
+
+def _finalize_sketch_oracles() -> None:
+    from .operators.sketches import hll_estimate_sql
+
+    inner = hll_estimate_sql("events", "user_id", ["event_type"])
+    spec = REGISTRY["hll_distinct"]
+    REGISTRY["hll_distinct"] = QuerySpec(
+        fn=spec.fn,
+        oracle=f"""
+        WITH est AS ({inner}),
+        exact AS (
+          SELECT event_type, count(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY event_type
+        )
+        SELECT exact.event_type, exact.n_exact, est.hll_distinct
+        FROM exact JOIN est USING (event_type)
+        """,
+        covers="Portable HyperLogLog distinct sketch: md5-fold registers, "
+        "string-ops bitlength (no float log2), EXACT int64 harmonic sum "
+        "(Z·2^53 fits 63 bits) — bit-reproducible across engines, vs the "
+        "exact distinct count for error visibility.  The scale answer to "
+        "count(distinct) at 100 TB: fixed 256-register summaries merge "
+        "associatively with map-side combine.",
+    )
+
+
+_finalize_sketch_oracles()
+
+
 def _finalize_sampling_oracles() -> None:
     from .operators.sampling import (
         SAMPLE_BUCKETS,

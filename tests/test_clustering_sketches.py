@@ -1,0 +1,83 @@
+"""Connected-components dedup clustering + portable HLL sketch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dystonse_gtfs_data_spark.operators.clustering import (
+    connected_components,
+    dedup_clusters,
+)
+from dystonse_gtfs_data_spark.operators.sketches import HLL_M, hll_estimate
+
+
+def pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, ["id_a", "id_b"])
+
+
+def test_transitive_chain_collapses(spark):
+    # A~B, B~C, plus an unrelated D~E: two components
+    p = pairs_df(spark, [(1, 2), (2, 3), (10, 11)])
+    got = {r["id"]: r["cluster"] for r in connected_components(p).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_converges(spark):
+    # path graph 0-1-2-...-12: worst case for min-label propagation
+    p = pairs_df(spark, [(i, i + 1) for i in range(12)])
+    got = {r["id"]: r["cluster"] for r in connected_components(p).collect()}
+    assert got == {i: 0 for i in range(13)}
+
+
+def test_clusters_mark_canonical_survivor(spark):
+    p = pairs_df(spark, [(5, 2), (2, 9), (7, 8)])
+    rows = {r["doc_id"]: r for r in dedup_clusters(p).collect()}
+    assert rows[2]["keep"] and rows[2]["cluster_size"] == 3
+    assert not rows[5]["keep"] and rows[5]["cluster"] == 2
+    assert rows[7]["keep"] and rows[7]["cluster_size"] == 2
+    kept = [r for r in rows.values() if r["keep"]]
+    assert len(kept) == 2  # one survivor per component
+
+
+def test_components_partitioning_invariant(spark):
+    p = pairs_df(spark, [(i, i + 1) for i in range(0, 40, 2)] + [(0, 38)])
+    a = sorted(map(tuple, connected_components(p).collect()))
+    b = sorted(map(tuple, connected_components(p.repartition(13)).collect()))
+    assert a == b
+
+
+def test_max_iter_raises_loudly(spark):
+    p = pairs_df(spark, [(i, i + 1) for i in range(8)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(p, max_iter=2)
+
+
+def test_hll_estimate_accuracy(spark):
+    # 256 registers → relative error ~1.04/sqrt(256) ≈ 6.5%; assert 3σ
+    n = 5000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    est = hll_estimate(df, "v", ["g"]).collect()[0]["hll_distinct"]
+    assert abs(est - n) / n < 0.20
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    # far fewer distincts than registers → linear counting, near-exact
+    df = spark.createDataFrame(
+        [("g", i % 7) for i in range(100)], ["g", "v"]
+    )
+    est = hll_estimate(df, "v", ["g"]).collect()[0]["hll_distinct"]
+    assert abs(est - 7) < 1.0
+
+
+def test_hll_is_value_set_function(spark):
+    # same distinct set, different multiplicities/partitioning → same sketch
+    a = spark.createDataFrame([("g", i) for i in range(50)], ["g", "v"])
+    b = spark.createDataFrame(
+        [("g", i) for i in range(50)] * 3, ["g", "v"]
+    ).repartition(11)
+    ea = hll_estimate(a, "v", ["g"]).collect()[0]["hll_distinct"]
+    eb = hll_estimate(b, "v", ["g"]).collect()[0]["hll_distinct"]
+    assert ea == eb
