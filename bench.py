@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "bigram_lm_score",         # corpus-trained add-one bigram log-probs
     "dedup_clusters",          # connected components over near-dup pairs
     "hll_distinct",            # portable HyperLogLog distinct sketch
+    "heat_strip_pixels",       # C18 heat-strip color math, JVM expressions
+    "heat_strip_render",       # C18 PNG packaging tail (stdlib-zlib encoder)
+    "curve_svg_render",        # S11 SVG path assembly, JVM strings
 ]
 
 

@@ -3820,6 +3820,184 @@ _finalize_sampling_oracles()
 
 
 # ---------------------------------------------------------------------------
+# Presentational sinks as data operators (S11 / C18) — the pixel and
+# coordinate math is relational and hash-checked; only the byte
+# packaging (PNG zlib container, operators/render.py) stays in a
+# pandas-UDF tail covered by pytest goldens.
+# ---------------------------------------------------------------------------
+
+_STRIP_W = 64
+
+
+def _palette_channel_sql(palette, ch: int) -> str:
+    """DuckDB twin of render._grad_channel: 1-based list literal indexing,
+    floor(x + 0.5) rounding — the identical piecewise-linear rule."""
+    lst = "[" + ", ".join(f"{float(c[ch]):.1f}" for c in palette) + "]"
+    return (
+        f"floor({lst}[gk + 1] + ({lst}[gk + 2] - {lst}[gk + 1]) * gfrac + 0.5)"
+    )
+
+
+def _heat_strip_oracle() -> str:
+    from .operators.render import YLGNBU, YLORBR
+
+    chans = ", ".join(
+        f"""CAST(CASE WHEN tg IS NULL THEN 255
+             WHEN length(event_type) % 2 = 0 THEN {_palette_channel_sql(YLORBR, ch)}
+             ELSE {_palette_channel_sql(YLGNBU, ch)} END AS BIGINT) AS {name}"""
+        for ch, name in enumerate(("r", "g", "b"))
+    )
+    return f"""
+    WITH k AS ({_CAPPED_KNOTS_SQL.format(knots=_ECDF_KNOTS_SQL.format(events='events'))}),
+    b AS (SELECT event_type, min(x) AS min_x, max(x) AS max_x FROM k GROUP BY 1),
+    grid AS (
+      SELECT b.event_type, b.min_x, b.max_x, t.i,
+             b.min_x + (b.max_x - b.min_x) * t.i / {_STRIP_W} AS t
+      FROM b CROSS JOIN range(0, {_STRIP_W + 1}) t(i)
+    ),
+    segs AS (
+      SELECT event_type, x AS x0, y AS y0,
+             lead(x) OVER w AS x1, lead(y) OVER w AS y1
+      FROM k WINDOW w AS (PARTITION BY event_type ORDER BY x)
+    ),
+    cum AS (
+      SELECT g.event_type, g.i,
+             ((s.y1 - s.y0) / (s.x1 - s.x0)) * (g.t - s.x0) + s.y0 AS cum
+      FROM grid g JOIN segs s ON g.event_type = s.event_type
+        AND s.x1 IS NOT NULL AND s.x0 <= g.t AND g.t < s.x1
+      UNION ALL
+      SELECT event_type, i, 1.0 AS cum FROM grid WHERE t >= max_x
+    ),
+    diff AS (
+      SELECT event_type, i, cum,
+             lead(cum) OVER (PARTITION BY event_type ORDER BY i) - cum AS uncum
+      FROM cum
+    ),
+    normed AS (
+      SELECT event_type, i, cum,
+             uncum / greatest(max(uncum) OVER (PARTITION BY event_type), 0.05)
+               AS norm
+      FROM diff WHERE uncum IS NOT NULL
+    ),
+    graded AS (
+      SELECT event_type, i, cum,
+             CASE WHEN cum > 0.01 AND cum < 0.99 THEN 0.2 + norm * 0.6
+                  WHEN cum > 0.0 AND cum < 1.0 THEN 0.0
+                  ELSE NULL END AS tg
+      FROM normed
+    ),
+    seg8 AS (
+      SELECT event_type, i, cum, tg,
+             least(greatest(coalesce(tg, 0.0), 0.0), 1.0) * 8.0 AS t8
+      FROM graded
+    ),
+    idx AS (
+      SELECT event_type, i, cum, tg,
+             least(CAST(floor(t8) AS INT), 7) AS gk,
+             t8 - least(CAST(floor(t8) AS INT), 7) AS gfrac
+      FROM seg8
+    )
+    SELECT event_type, CAST(i AS BIGINT) AS px, round(cum, 9) AS cum, {chans}
+    FROM idx
+    """
+
+
+@register(
+    "heat_strip_pixels",
+    None,  # oracle installed below (needs the palette constants)
+)
+def q_heat_strip_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.render import heat_strip_pixels
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__strip_events")
+    knots = spark.sql(
+        _CAPPED_KNOTS_SQL.format(
+            knots=_ECDF_KNOTS_SQL.format(events="__strip_events")
+        )
+    )
+    return heat_strip_pixels(knots, width=_STRIP_W)
+
+
+REGISTRY["heat_strip_pixels"] = QuerySpec(
+    fn=q_heat_strip_pixels,
+    oracle=_heat_strip_oracle(),
+    covers="C18 PNG heat strip (src/monitor/mod.rs:1214-1262): CDF sampled "
+    "at width+1 points, per-pixel probability mass normalized against "
+    "max(mass, 0.05), ColorBrewer YlOrBr/YlGnBu gradient with 0.2/0.2 "
+    "crop, white outside (0,1) — the full per-pixel color math as JVM "
+    "expressions, hash-checked against an independent relational twin; "
+    "only the PNG byte container stays in a pytest-covered pandas tail",
+)
+
+
+@register(
+    "heat_strip_render",
+    # rows-only: the PNG container needs zlib, which DuckDB lacks; the
+    # pixel math feeding it is hash-checked via heat_strip_pixels and the
+    # byte layer is pinned by golden tests (tests/test_render.py)
+    None,
+    covers="C18 byte packaging: pixel rows → 1×W RGBA PNG data-URL via a "
+    "dependency-free stdlib-zlib encoder in an Arrow-batched pandas UDF "
+    "(operators/render.py:encode_png_rgba)",
+)
+def q_heat_strip_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.render import heat_strip_data_urls
+
+    px = q_heat_strip_pixels(spark, sf_dir)
+    out = heat_strip_data_urls(px)
+    return out.select(
+        "event_type",
+        F.length("data_url").alias("url_len"),
+        F.substring("data_url", 1, 22).alias("url_prefix"),
+    )
+
+
+@register(
+    "curve_svg_render",
+    f"""
+    WITH k AS ({_CAPPED_KNOTS_SQL.format(knots=_ECDF_KNOTS_SQL.format(events='events'))}),
+    b AS (SELECT event_type, min(x) AS min_x, max(x) AS max_x FROM k GROUP BY 1),
+    scaled AS (
+      SELECT k.event_type, k.x,
+             CAST(floor(CASE WHEN b.max_x > b.min_x
+                             THEN (k.x - b.min_x) / (b.max_x - b.min_x) * 400
+                             ELSE 0.0 END + 0.5) AS BIGINT) AS px,
+             CAST(floor((1.0 - k.y) * 100 + 0.5) AS BIGINT) AS py
+      FROM k JOIN b USING (event_type)
+    ),
+    pts AS (
+      SELECT event_type, count(*) AS n_points,
+             string_agg(CAST(px AS VARCHAR) || ',' || CAST(py AS VARCHAR),
+                        ' L ' ORDER BY x) AS d_tail
+      FROM scaled GROUP BY 1
+    )
+    SELECT event_type, n_points,
+           '<svg xmlns="http://www.w3.org/2000/svg" width="400" height="100" '
+           || 'viewBox="0 0 400 100"><path fill="none" stroke="black" d="M '
+           || d_tail || '"/></svg>' AS svg
+    FROM pts
+    """,
+    covers="S11 curve plot (src/analyser/curve_visualisation.rs:381-463, "
+    "gnuplot there): ECDF knots scaled to a 400x100 viewport with "
+    "floor(v+0.5) integer coords, assembled into a complete SVG path "
+    "string entirely JVM-side (concat/array_join) — the whole document "
+    "is hash-checked against the DuckDB string twin",
+)
+def q_curve_svg_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.render import curve_svg_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__svg_events")
+    knots = spark.sql(
+        _CAPPED_KNOTS_SQL.format(
+            knots=_ECDF_KNOTS_SQL.format(events="__svg_events")
+        )
+    )
+    return curve_svg_paths(knots, width=400, height=100)
+
+
+# ---------------------------------------------------------------------------
 # public API used by __spark_entry__
 # ---------------------------------------------------------------------------
 
