@@ -32,65 +32,60 @@ def connected_components(
     so 3-4 rounds).  ``max_iter`` is a loud safety bound, not a silent
     truncation: exceeding it raises.
 
-    Scale shape per round: one shuffle join of labels onto the edge
-    list + one min-groupBy (map-side combine) — both partitioned by
-    node id, and AQE coalesces as labels stabilize.  Each round's
-    labels are persisted and the previous round unpersisted, so lineage
-    stays O(1) deep instead of O(iterations) (the classic iterative-
-    DataFrame blowup).  The convergence probe is ``isEmpty()`` on the
-    changed-rows frame — a bounded existence check, not a full count.
+    Scale shape per round: ONE shuffle join of labels onto the
+    pre-partitioned edge list (edges are hash-partitioned by ``src``
+    once, outside the loop, so only the label side moves) and ONE
+    union + min-groupBy (map-side combine) — two exchanges per round,
+    no left join.  Lineage is CUT eagerly at the loop boundary and
+    every round (checkpoint) — without this, each round's logical plan
+    re-nests the full upstream pair-mining plan several times over
+    (edges appears in both join inputs) and Catalyst's analyze/optimize
+    time grows geometrically: on a 256-pair minhash graph, round 1
+    alone cost 9.5 s of pure driver-side planning before the cut,
+    0.3 s after.  The convergence probe rides a scalar aggregate:
+    labels only ever DECREASE, so the label sum is strictly monotone
+    and two equal consecutive sums mean a fixpoint — no old⋈new change
+    join.
     """
-    edges = (
+    spark = pairs.sparkSession
+
+    def cut(df: DataFrame) -> DataFrame:
+        # reliable checkpoint when the caller configured a dir (cluster
+        # path: survives executor loss); localCheckpoint otherwise
+        # (local/test path: executor-local blocks, fine in one JVM)
+        if spark.sparkContext.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = cut(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .persist()
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
     )
-    labels = (
+    labels = cut(
         edges.select(F.col("src").alias("id"))
-        .distinct()
+        .dropDuplicates(["id"])
         .withColumn("cluster", F.col("id"))
-        .persist()
     )
-    cached = labels  # persisted frame backing the current `labels`
-    try:
-        for it in range(max_iter):
-            neighbor_min = (
-                edges.join(labels, edges.src == labels.id)
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("cluster").alias("nmin"))
-            )
-            new_labels = labels.join(neighbor_min, "id", "left").select(
-                "id",
-                F.least(
-                    F.col("cluster"), F.coalesce("nmin", F.col("cluster"))
-                ).alias("cluster"),
-                (F.coalesce("nmin", F.col("cluster")) < F.col("cluster")).alias(
-                    "__changed"
-                ),
-            )
-            # Every few rounds, cut the logical plan entirely (the cached
-            # round still nests all prior rounds' plans — analyzer cost
-            # grows per round even when the physical scan hits the cache).
-            # localCheckpoint is safe HERE, unlike in a lazy builder: the
-            # loop materializes it immediately and the operator owns the
-            # frame's whole lifetime.
-            if (it + 1) % 5 == 0:
-                new_labels = new_labels.localCheckpoint(eager=False)
-            new_labels = new_labels.persist()
-            converged = new_labels.filter("__changed").isEmpty()  # materializes
-            old = cached
-            cached = new_labels
-            labels = new_labels.drop("__changed")
-            old.unpersist()
-            if converged:
-                return labels
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(pathological chain graph? raise max_iter)"
+    prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+    for _ in range(max_iter):
+        contrib = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), "cluster"
         )
-    finally:
-        edges.unpersist()
+        labels = cut(
+            contrib.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("cluster").alias("cluster"))
+        )
+        new_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+        if new_sum == prev_sum:
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(pathological chain graph? raise max_iter)"
+    )
 
 
 def dedup_clusters(
