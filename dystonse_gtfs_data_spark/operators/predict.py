@@ -107,7 +107,8 @@ def predict(statistics: DataFrame, requests: DataFrame) -> DataFrame:
     (the realtime basis).  Returns requests + prediction_curve +
     precision_type + sample_size.
     """
-    sets_specific = _grouped_sets(statistics).select(
+    grouped = _grouped_sets(statistics)
+    sets_specific = grouped.select(
         F.col("route_id").alias("s1_route"),
         F.col("route_variant").alias("s1_variant"),
         F.col("start_stop_index").alias("s1_start"),
@@ -117,7 +118,12 @@ def predict(statistics: DataFrame, requests: DataFrame) -> DataFrame:
         F.col("curve_set").alias("s1_set"),
         F.col("sample_size").alias("s1_n"),
     )
-    sets_default_slot = _grouped_sets(statistics, DEFAULT_SLOT).select(
+    # the default-slot rung is the same grouped aggregate restricted to
+    # DEFAULT_SLOT (slot is a group key), so derive it by filter instead
+    # of running the collect_list aggregation a second time
+    sets_default_slot = grouped.filter(
+        F.col("time_slot_id") == DEFAULT_SLOT
+    ).select(
         F.col("route_id").alias("s2_route"),
         F.col("route_variant").alias("s2_variant"),
         F.col("start_stop_index").alias("s2_start"),
