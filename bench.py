@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "heat_strip_pixels",       # C18 heat-strip color math, JVM expressions
     "heat_strip_render",       # C18 PNG packaging tail (stdlib-zlib encoder)
     "curve_svg_render",        # S11 SVG path assembly, JVM strings
+    "quantile_sketch",         # KMV bottom-k per-group quantile estimates
+    "zorder_layout",           # Z-order clustering key (lakehouse layout)
 ]
 
 

@@ -128,3 +128,151 @@ def hll_estimate_sql(
                  END, 4) AS hll_distinct
     FROM zsum
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) quantile sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 1024  #: default sample size per group
+_HASH60_MAX = float(1 << 60)  #: portable_base_hash codomain
+_KMV_SLACK = 8  #: threshold over-sampling factor (P[short sample] ≈ e^-k)
+
+
+def kmv_quantile_sample(
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    k: int = KMV_K,
+):
+    """Per-group deterministic uniform row sample: the ``k`` rows whose
+    portable 60-bit hash of ``id_col`` is smallest (bottom-k / KMV).
+
+    Scale shape: a naive ``row_number() OVER (ORDER BY hash)`` sorts
+    EVERY row of the group through the shuffle.  Instead the sample is
+    threshold-pre-filtered: one map-side-combined count per group fixes
+    a hash cutoff with expected ``slack·k`` survivors, the full scan
+    keeps only rows under the cutoff (a map-only filter — no sort
+    touches the fact table), and the final exact bottom-k rank runs on
+    the tiny survivor set.  If a group ever yields fewer than ``k``
+    survivors the result is still a valid uniform sample (every
+    sub-threshold row IS kept), just smaller — quantile estimates stay
+    unbiased.  Everything is deterministic, so an independent SQL twin
+    reproduces the exact sample.
+    """
+    from pyspark.sql import Window
+
+    h = portable_base_hash(F.col(id_col).cast("string"))
+    counts = df.groupBy(*group_cols).agg(F.count("*").alias("_ng"))
+    # double threshold: identical one-op arithmetic in any IEEE engine
+    thresh = F.lit(float(_KMV_SLACK * k)) / F.col("_ng") * F.lit(_HASH60_MAX)
+    survivors = (
+        df.join(counts, group_cols)
+        .withColumn("_h", h)
+        .filter(F.col("_h").cast("double") < thresh)
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_h"), F.col(id_col))
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_h", "_rn", "_ng")
+    )
+
+
+def kmv_quantiles(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-group quantile ESTIMATES from the bottom-k sample, with the
+    exact quantile alongside (same percentile-disc rule over the full
+    group) so callers can see the sketch error.
+
+    Percentile rule (dialect-portable, deterministic): the value at row
+    ``greatest(1, ceil(q·n))`` when ordered by (value, id).  The exact
+    side is a full per-group sort — it exists for verification; at
+    100 TB you run only the sample side, whose sort touches ≤ k rows
+    per group.
+    """
+    from pyspark.sql import Window
+
+    qlit = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+
+    def disc(src: DataFrame, out_name: str) -> DataFrame:
+        wv = Window.partitionBy(*group_cols).orderBy(
+            F.col(value_col), F.col(id_col)
+        )
+        wn = Window.partitionBy(*group_cols)
+        ranked = src.select(
+            *group_cols,
+            F.col(value_col),
+            F.row_number().over(wv).alias("_vr"),
+            F.count("*").over(wn).alias("_n"),
+        )
+        picked = ranked.select(*group_cols, value_col, "_vr", "_n", qlit)
+        return picked.filter(
+            F.col("_vr")
+            == F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("_n")).cast("int"))
+        ).select(*group_cols, "q", F.col(value_col).alias(out_name))
+
+    est = disc(kmv_quantile_sample(df, id_col, group_cols, k), "q_est")
+    exact = disc(df, "q_exact")
+    return est.join(exact, [*group_cols, "q"])
+
+
+def kmv_quantiles_sql(
+    table: str,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = KMV_K,
+) -> str:
+    """DuckDB twin of :func:`kmv_quantiles` — same hash, threshold,
+    bottom-k rank, and percentile-disc rule."""
+    g = ", ".join(group_cols)
+    fold = portable_base_hash_sql(
+        f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)"
+    )
+    qvals = ", ".join(f"({float(q)!r})" for q in qs)
+    return f"""
+    WITH counts AS (
+      SELECT {g}, count(*) AS ng FROM {table} GROUP BY {g}
+    ),
+    survivors AS (
+      SELECT t.*, ({fold}) AS h
+      FROM {table} t JOIN counts USING ({g})
+      WHERE CAST(({fold}) AS DOUBLE)
+            < {float(_KMV_SLACK * k)!r} / ng * {_HASH60_MAX!r}
+    ),
+    sample AS (
+      SELECT * FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY {g}
+                                       ORDER BY h, {id_col}) AS rn
+        FROM survivors s
+      ) WHERE rn <= {k}
+    ),
+    qs(q) AS (VALUES {qvals}),
+    est AS (
+      SELECT {g}, q, {value_col} AS q_est FROM (
+        SELECT {g}, {value_col}, q,
+               row_number() OVER (PARTITION BY {g}, q
+                                  ORDER BY {value_col}, {id_col}) AS vr,
+               count(*) OVER (PARTITION BY {g}, q) AS n
+        FROM sample CROSS JOIN qs
+      ) WHERE vr = greatest(1, CAST(ceiling(q * n) AS INT))
+    ),
+    exact AS (
+      SELECT {g}, q, {value_col} AS q_exact FROM (
+        SELECT {g}, {value_col}, q,
+               row_number() OVER (PARTITION BY {g}, q
+                                  ORDER BY {value_col}, {id_col}) AS vr,
+               count(*) OVER (PARTITION BY {g}, q) AS n
+        FROM {table} CROSS JOIN qs
+      ) WHERE vr = greatest(1, CAST(ceiling(q * n) AS INT))
+    )
+    SELECT {g}, q, q_est, q_exact FROM est JOIN exact USING ({g}, q)
+    """

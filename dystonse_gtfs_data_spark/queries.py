@@ -3819,6 +3819,102 @@ def _finalize_sampling_oracles() -> None:
 _finalize_sampling_oracles()
 
 
+@register(
+    "quantile_sketch",
+    None,  # replaced below (built from the sketch module's SQL twin)
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import kmv_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_quantiles(
+        ev, "value", "event_id", ["event_type"], qs=(0.5, 0.9, 0.99)
+    )
+
+
+def _finalize_kmv_oracle() -> None:
+    from .operators.sketches import kmv_quantiles_sql
+
+    spec = REGISTRY["quantile_sketch"]
+    REGISTRY["quantile_sketch"] = QuerySpec(
+        fn=spec.fn,
+        oracle=kmv_quantiles_sql(
+            "events", "value", "event_id", ["event_type"], qs=(0.5, 0.9, 0.99)
+        ),
+        covers="KMV bottom-k quantile sketch: deterministic md5-fold "
+        "bottom-k row sample per group via a count-derived hash cutoff "
+        "(map-only filter over the fact table; the exact rank sort "
+        "touches only ~8k survivors), percentile-disc estimates vs the "
+        "exact full-group quantiles — the fixed-size-summary answer to "
+        "per-group quantiles at 100 TB, hash-checked against an "
+        "independent SQL twin sample-for-sample",
+    )
+
+
+_finalize_kmv_oracle()
+
+
+@register(
+    "zorder_layout",
+    None,  # replaced below (built from the layout module's SQL twin)
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.layout import interleave_bits, scale_to_bits
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("user_id").alias("u_min"), F.max("user_id").alias("u_max"),
+        F.min("value").alias("v_min"), F.max("value").alias("v_max"),
+    )
+    joined = ev.join(F.broadcast(bounds))
+    zx = scale_to_bits(F.col("user_id"), F.col("u_min"), F.col("u_max"))
+    zy = scale_to_bits(F.col("value"), F.col("v_min"), F.col("v_max"))
+    return joined.select(
+        "event_id",
+        zx.alias("zx"),
+        zy.alias("zy"),
+    ).withColumn("zkey", interleave_bits([F.col("zx"), F.col("zy")]))
+
+
+def _finalize_zorder_oracle() -> None:
+    from .sources.layout import ZORDER_BITS, interleave_bits_sql
+
+    cells = 1 << ZORDER_BITS
+    scale = (
+        "CASE WHEN {mx} - {mn} > 0 THEN least(CAST(floor(({c} - {mn}) / "
+        "({mx} - {mn}) * " + str(cells) + ") AS BIGINT), " + str(cells - 1) + ") "
+        "ELSE 0 END"
+    )
+    zx = scale.format(c="e.user_id", mn="b.u_min", mx="b.u_max")
+    zy = scale.format(c="e.value", mn="b.v_min", mx="b.v_max")
+    spec = REGISTRY["zorder_layout"]
+    REGISTRY["zorder_layout"] = QuerySpec(
+        fn=spec.fn,
+        oracle=f"""
+        WITH b AS (
+          SELECT min(user_id) AS u_min, max(user_id) AS u_max,
+                 min(value) AS v_min, max(value) AS v_max
+          FROM events
+        ),
+        scaled AS (
+          SELECT e.event_id, {zx} AS zx, {zy} AS zy
+          FROM events e CROSS JOIN b
+        )
+        SELECT event_id, zx, zy, {interleave_bits_sql(['zx', 'zy'])} AS zkey
+        FROM scaled
+        """,
+        covers="Z-order clustering key (sources/layout.py; the lakehouse "
+        "OPTIMIZE ZORDER write path the 100 TB deployment needs for "
+        "multi-column data skipping): global min-max bounds broadcast "
+        "onto the scan, per-dimension 8-bit scaling, bit interleave — "
+        "all integer codegen expressions, hash-checked against an "
+        "independent SQL twin",
+    )
+
+
+_finalize_zorder_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Presentational sinks as data operators (S11 / C18) — the pixel and
 # coordinate math is relational and hash-checked; only the byte
