@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "curve_svg_render",        # S11 SVG path assembly, JVM strings
     "quantile_sketch",         # KMV bottom-k per-group quantile estimates
     "zorder_layout",           # Z-order clustering key (lakehouse layout)
+    "heavy_hitters",           # Count-Min term-frequency sketch
 ]
 
 

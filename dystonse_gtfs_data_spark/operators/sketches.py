@@ -276,3 +276,115 @@ def kmv_quantiles_sql(
     )
     SELECT {g}, q, q_est, q_exact FROM est JOIN exact USING ({g}, q)
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters
+# ---------------------------------------------------------------------------
+
+CM_D = 4  #: hash rows
+CM_W = 512  #: cells per row (ε ≈ e/w ≈ 0.5% of stream length)
+
+
+def _cm_cell(term, i: int):
+    """Row-i cell index: portable md5-fold of 'i:term' mod CM_W."""
+    return portable_base_hash(F.concat(F.lit(f"{i}:"), term)) % CM_W
+
+
+def countmin_sketch(tokens: DataFrame, term_col: str) -> DataFrame:
+    """(hash_row, cell) → occurrence count: the fixed d×w-cell summary.
+
+    Scale shape: each occurrence explodes into d=4 (row, cell) pairs and
+    the groupBy gets map-side combine, so the shuffle carries at most
+    d·w = 2048 rows regardless of stream size — the property that makes
+    Count-Min the answer to term frequencies over a 100 TB token stream
+    (an exact per-term groupBy shuffles the whole vocabulary).
+    Sketches merge by cell-wise + across days/sources."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CM_D)])).alias("h")
+    pairs = tokens.select(F.col(term_col).alias("_t"), rows)
+    # cell expression as a chained CASE on the hash-row id
+    cell = F.lit(0)
+    for i in range(CM_D):
+        cell = F.when(F.col("h") == i, _cm_cell(F.col("_t"), i)).otherwise(cell)
+    return (
+        pairs.select("h", cell.alias("cell"))
+        .groupBy("h", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def countmin_topk(
+    tokens: DataFrame, term_col: str, k: int = 20
+) -> DataFrame:
+    """Top-k exact terms with their Count-Min estimates side-by-side
+    (cm_est ≥ n_exact always; the gap is the collision overcount).  The
+    exact side exists for verification — at 100 TB you keep only the
+    sketch and probe candidate terms against it."""
+    from pyspark.sql import Window
+
+    sketch = countmin_sketch(tokens, term_col)
+    exact = tokens.groupBy(F.col(term_col).alias("term")).agg(
+        F.count("*").alias("n_exact")
+    )
+    w = Window.orderBy(F.desc("n_exact"), F.asc("term"))
+    top = (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    probes = top.select(
+        "term",
+        "n_exact",
+        "rank",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("h"), _cm_cell(F.col("term"), i).alias("cell")
+                    )
+                    for i in range(CM_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("term", "n_exact", "rank", F.col("p.h").alias("h"), F.col("p.cell").alias("cell"))
+    joined = probes.join(F.broadcast(sketch), ["h", "cell"])
+    return (
+        joined.groupBy("term", "n_exact", "rank")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+
+
+def countmin_topk_sql(words: str, term_col: str, k: int = 20) -> str:
+    """DuckDB twin of :func:`countmin_topk`.  ``words`` is a subquery
+    producing one row per token occurrence with column ``term_col``."""
+    def cell(i: int, t: str) -> str:
+        fold = portable_base_hash_sql(
+            f"substr(md5('{i}:' || {t}), 1, 15)"
+        )
+        return f"(({fold}) % {CM_W})"
+
+    sketch_arms = " UNION ALL ".join(
+        f"SELECT {i} AS h, {cell(i, term_col)} AS cell FROM ({words})"
+        for i in range(CM_D)
+    )
+    probe_arms = " UNION ALL ".join(
+        f"SELECT term, n_exact, rank, {i} AS h, {cell(i, 'term')} AS cell FROM top"
+        for i in range(CM_D)
+    )
+    return f"""
+    WITH sketch AS (
+      SELECT h, cell, count(*) AS cnt FROM ({sketch_arms}) GROUP BY h, cell
+    ),
+    exact AS (
+      SELECT {term_col} AS term, count(*) AS n_exact
+      FROM ({words}) GROUP BY 1
+    ),
+    top AS (
+      SELECT term, n_exact,
+             row_number() OVER (ORDER BY n_exact DESC, term ASC) AS rank
+      FROM exact QUALIFY rank <= {k}
+    ),
+    probes AS ({probe_arms})
+    SELECT p.term, p.n_exact, p.rank, min(s.cnt) AS cm_est
+    FROM probes p JOIN sketch s USING (h, cell)
+    GROUP BY 1, 2, 3
+    """

@@ -3855,6 +3855,43 @@ _finalize_kmv_oracle()
 
 
 @register(
+    "heavy_hitters",
+    None,  # replaced below (built from the sketch module's SQL twin)
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import countmin_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    )
+    return countmin_topk(words, "term", k=20)
+
+
+def _finalize_countmin_oracle() -> None:
+    from .operators.sketches import countmin_topk_sql
+
+    words = (
+        r"SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term "
+        "FROM documents"
+    )
+    spec = REGISTRY["heavy_hitters"]
+    REGISTRY["heavy_hitters"] = QuerySpec(
+        fn=spec.fn,
+        oracle=countmin_topk_sql(words, "term", k=20),
+        covers="Count-Min heavy hitters: d=4 portable md5-fold hash rows x "
+        "w=512 cells, map-side-combined — the shuffle carries at most d*w "
+        "rows regardless of stream size, the fixed-summary answer to term "
+        "frequencies over a 100 TB token stream; top-20 exact terms probed "
+        "against the sketch (cm_est >= n_exact by construction), "
+        "hash-checked against an independent SQL twin",
+    )
+
+
+_finalize_countmin_oracle()
+
+
+@register(
     "zorder_layout",
     None,  # replaced below (built from the layout module's SQL twin)
 )

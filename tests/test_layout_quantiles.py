@@ -134,3 +134,48 @@ def test_zorder_key_plan_is_codegen(spark):
     plan = keyed._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def token_df(spark):
+    # zipf-ish stream: term t_i appears 200//(i+1) times
+    rows = [(f"t{i}",) for i in range(40) for _ in range(200 // (i + 1))]
+    return spark.createDataFrame(rows, "term string")
+
+
+def test_countmin_never_undercounts(spark, token_df):
+    from dystonse_gtfs_data_spark.operators.sketches import countmin_topk
+
+    out = countmin_topk(token_df, "term", k=10).toPandas()
+    assert len(out) == 10
+    assert (out.cm_est >= out.n_exact).all()
+    # top term is exact-ranked and the estimate error is bounded by the
+    # classic eN/w margin (N ≈ 1175, w = 512 → slack < 3 per cell even
+    # before taking the min over 4 rows)
+    assert out.sort_values("rank").iloc[0].term == "t0"
+    assert ((out.cm_est - out.n_exact) <= 0.05 * 1175 + 1).all()
+
+
+def test_countmin_sketch_is_mergeable(spark, token_df):
+    from dystonse_gtfs_data_spark.operators.sketches import countmin_sketch
+
+    half1 = token_df.limit(500)
+    # deterministic complement via row_number-free split: re-tokenize
+    full = countmin_sketch(token_df, "term").toPandas().set_index(["h", "cell"])
+    a = countmin_sketch(half1, "term").toPandas().set_index(["h", "cell"])
+    rest = token_df.exceptAll(half1)
+    b = countmin_sketch(rest, "term").toPandas().set_index(["h", "cell"])
+    merged = a.add(b, fill_value=0).astype(int)
+    assert merged.sort_index().equals(full.sort_index())
+
+
+def test_countmin_shuffle_is_bounded(spark, token_df):
+    from dystonse_gtfs_data_spark.operators.sketches import CM_D, CM_W, countmin_sketch
+
+    n = countmin_sketch(token_df, "term").count()
+    assert n <= CM_D * CM_W
