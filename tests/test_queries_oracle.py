@@ -47,8 +47,15 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 # Spark-private, so no portable SQL twin can exist.  The SAME pipelines
 # are hash-verified end-to-end through their md5-fold twins
 # (minhash_near_dups / simhash_near_dups); these variants exist to keep
-# the hot path visible in the bench.
-ROWS_ONLY_BY_DESIGN = {"minhash_near_dups_xxhash", "simhash_near_dups_xxhash"}
+# the hot path visible in the bench.  heat_strip_render packages bytes
+# with zlib, which DuckDB lacks — its pixel inputs ARE hash-checked
+# (heat_strip_pixels) and the PNG encoder is golden-tested
+# byte-for-byte in tests/test_render.py.
+ROWS_ONLY_BY_DESIGN = {
+    "minhash_near_dups_xxhash",
+    "simhash_near_dups_xxhash",
+    "heat_strip_render",
+}
 
 
 def test_every_query_has_an_oracle():
