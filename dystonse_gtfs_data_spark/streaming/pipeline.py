@@ -86,16 +86,26 @@ def start_records_stream(
     checkpoint_dir: str,
     trigger_seconds: int = 5,
     available_now: bool = False,
+    ping_url: str | None = None,
 ):
     """rt stream → per-batch records build → caller's sink (typically a
     MERGE into the records table).  ``available_now=True`` drains the
-    backlog once and stops — batch parity mode for tests/backfills."""
+    backlog once and stops — batch parity mode for tests/backfills.
+
+    ``ping_url``: the reference's automatic-mode liveness ping
+    (src/importer/mod.rs:266-292) — after each micro-batch the driver
+    GETs the URL at most once per minute, errors swallowed.  Driver-side
+    only; never runs on executors."""
+    from ..sources.ping import RateLimitedPing
+
+    ping = RateLimitedPing(ping_url)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         recs = build_records(batch_df, trips, stop_times, source=source)
         # in-batch latest-wins dedup before handing to the sink
         deduped = merge_records(recs.limit(0), recs, key=S.RECORDS_KEY)
         sink(deduped, epoch_id)
+        ping.maybe_ping()
 
     writer = (
         stream_rt_updates(spark, rt_dir)

@@ -271,3 +271,48 @@ def test_ping_real_local_server():
         assert p.maybe_ping() is True
         t.join(timeout=10)
     assert hits == ["/alive"]
+
+
+def test_ping_fires_from_streaming_pipeline(spark, tmp_path):
+    """S12 integration: the automatic-mode stream pings after a batch
+    (reference: ping after each import iteration)."""
+    import http.server
+    import socketserver
+
+    from dystonse_gtfs_data_spark.sources.demo import build_rt_updates, build_schedule
+    from dystonse_gtfs_data_spark.streaming.pipeline import start_records_stream
+
+    hits = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits.append(self.path)
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    sched = build_schedule(spark)
+    land = str(tmp_path / "landing")
+    build_rt_updates(spark).write.parquet(land)
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as srv:
+        srv.timeout = 30
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.handle_request)
+        t.start()
+        q = start_records_stream(
+            spark,
+            land,
+            sched["trips"],
+            sched["stop_times"],
+            source="stream",
+            sink=lambda df, epoch: df.count(),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+            ping_url=f"http://127.0.0.1:{port}/alive",
+        )
+        q.awaitTermination(120)
+        t.join(timeout=30)
+    assert hits == ["/alive"]
