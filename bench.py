@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "quantile_sketch",         # KMV bottom-k per-group quantile estimates
     "zorder_layout",           # Z-order clustering key (lakehouse layout)
     "heavy_hitters",           # Count-Min term-frequency sketch
+    "kmeans_clusters",         # relational Lloyd k-means over embeddings
 ]
 
 

@@ -112,3 +112,170 @@ def dedup_clusters(
             (F.col("id") == F.col("cluster")).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means over embedding columns (dataset-curation clustering)
+# ---------------------------------------------------------------------------
+
+KM_SCALE = 1 << 20  #: fixed-point quantization for cross-engine-exact sums
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    rounds: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an ``array<float>`` column,
+    expressed entirely as DataFrame ops — no UDF, no driver-side
+    numpy.  Returns (id, cluster, cluster_size).
+
+    Determinism across engines (the point — the DuckDB twin must land
+    on identical assignments): float sums are order-dependent, so every
+    vector element is quantized to a 2^20 fixed-point BIGINT first.
+    Squared distances are then exact int64 sums (64 dims × (2^22)^2
+    < 2^51), centroid sums stay below 2^53 so even the double division
+    in the mean is exact-input, and the re-quantized centroid is
+    floor(mean + 0.5).  Ties break on the lower centroid id.
+
+    Init is KMV-style: the k vectors with the smallest portable hash of
+    their id seed the centroids (a deterministic, engine-independent
+    analog of random init).  ``rounds`` Lloyd iterations are UNROLLED
+    into the plan — at 2-3 rounds this stays a static DAG (no iterative
+    lineage growth); for many rounds cut lineage per round like
+    :func:`connected_components`.
+
+    Scale shape per round: the assignment join is long-form
+    (id × k × dim rows) with map-side-combined sums — one shuffle by
+    (id, centroid) then one by centroid; the centroid table is k×dim
+    rows, always broadcastable.
+    """
+    from .dedup import portable_base_hash
+    from pyspark.sql import Window
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda e: F.floor(e.cast("double") * F.lit(float(KM_SCALE)) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    quant = embeddings.select(F.col(id_col).alias("vid"), q.alias("xq"))
+    longf = quant.select(
+        "vid", F.posexplode("xq").alias("dim", "x")
+    )
+
+    # TakeOrderedAndProject (orderBy + limit), not a global window: the
+    # k-seed pick must not funnel every id through one sort partition
+    topk = (
+        quant.withColumn(
+            "_h", portable_base_hash(F.col("vid").cast("string"))
+        )
+        .orderBy("_h", "vid")
+        .limit(k)
+    )
+    wh = Window.orderBy("_h", "vid")  # k rows only — trivial sort
+    seeds = topk.withColumn("cid", F.row_number().over(wh) - 1).drop("_h")
+    cents = seeds.select(
+        "cid", F.posexplode("xq").alias("dim", "c")
+    )
+
+    assign = None
+    for _ in range(rounds):
+        dists = (
+            longf.join(F.broadcast(cents), "dim")
+            .groupBy("vid", "cid")
+            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+        )
+        wa = Window.partitionBy("vid").orderBy("d2", "cid")
+        assign = (
+            dists.withColumn("_rn", F.row_number().over(wa))
+            .filter(F.col("_rn") == 1)
+            .select("vid", "cid")
+        )
+        cents = (
+            longf.join(assign, "vid")
+            .groupBy("cid", "dim")
+            .agg(
+                F.floor(
+                    F.sum("x") / F.count("*") + F.lit(0.5)
+                ).cast("bigint").alias("c")
+            )
+        )
+    sizes = assign.groupBy("cid").agg(F.count("*").alias("cluster_size"))
+    return (
+        assign.join(F.broadcast(sizes), "cid")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cid").alias("cluster"),
+            "cluster_size",
+        )
+    )
+
+
+def kmeans_assign_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    rounds: int = 2,
+) -> str:
+    """DuckDB twin of :func:`kmeans_assign` — same quantization, init,
+    unrolled rounds, and tie-breaks."""
+    from .dedup import portable_base_hash_sql
+
+    fold = portable_base_hash_sql(
+        f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)"
+    )
+    parts = [
+        f"""
+    longf AS (
+      SELECT {id_col} AS vid,
+             generate_subscripts({vec_col}, 1) - 1 AS dim,
+             CAST(floor(CAST(unnest({vec_col}) AS DOUBLE)
+                        * {float(KM_SCALE)!r} + 0.5) AS BIGINT) AS x
+      FROM {table}
+    ),
+    seeds AS (
+      SELECT vid, rn - 1 AS cid FROM (
+        SELECT {id_col} AS vid,
+               row_number() OVER (ORDER BY ({fold}), {id_col}) AS rn
+        FROM {table}
+      ) WHERE rn <= {k}
+    ),
+    cents0 AS (
+      SELECT s.cid, l.dim, l.x AS c FROM seeds s JOIN longf l USING (vid)
+    )"""
+    ]
+    prev = "cents0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    dists{r} AS (
+      SELECT l.vid, c.cid, sum((l.x - c.c) * (l.x - c.c)) AS d2
+      FROM longf l JOIN {prev} c USING (dim)
+      GROUP BY 1, 2
+    ),
+    assign{r} AS (
+      SELECT vid, cid FROM (
+        SELECT vid, cid,
+               row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+        FROM dists{r}
+      ) WHERE rn = 1
+    ),
+    cents{r} AS (
+      SELECT a.cid, l.dim,
+             CAST(floor(sum(l.x) / count(*) + 0.5) AS BIGINT) AS c
+      FROM longf l JOIN assign{r} a USING (vid)
+      GROUP BY 1, 2
+    )""")
+        prev = f"cents{r}"
+    return (
+        "WITH " + ",".join(parts) + f""",
+    sizes AS (
+      SELECT cid, count(*) AS cluster_size FROM assign{rounds} GROUP BY 1
+    )
+    SELECT a.vid AS {id_col}, a.cid AS cluster, s.cluster_size
+    FROM assign{rounds} a JOIN sizes s USING (cid)
+    """
+    )

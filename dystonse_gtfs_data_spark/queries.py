@@ -3855,6 +3855,37 @@ _finalize_kmv_oracle()
 
 
 @register(
+    "kmeans_clusters",
+    None,  # replaced below (built from the clustering module's SQL twin)
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, "vec_id", "embedding", k=8, rounds=2)
+
+
+def _finalize_kmeans_oracle() -> None:
+    from .operators.clustering import kmeans_assign_sql
+
+    spec = REGISTRY["kmeans_clusters"]
+    REGISTRY["kmeans_clusters"] = QuerySpec(
+        fn=spec.fn,
+        oracle=kmeans_assign_sql("embeddings", "vec_id", "embedding", k=8, rounds=2),
+        covers="Deterministic Lloyd k-means over array<float> embeddings "
+        "(dataset-curation clustering): 2^20 fixed-point quantization "
+        "makes every distance and centroid sum exact int64/exact-input "
+        "double, so assignments are engine-independent; KMV-hash seed "
+        "init, 2 unrolled rounds, long-form assignment join with "
+        "map-side combine, broadcast k x dim centroids — hash-checked "
+        "against an independent SQL twin assignment-for-assignment",
+    )
+
+
+_finalize_kmeans_oracle()
+
+
+@register(
     "heavy_hitters",
     None,  # replaced below (built from the sketch module's SQL twin)
 )

@@ -81,3 +81,54 @@ def test_hll_is_value_set_function(spark):
     ea = hll_estimate(a, "v", ["g"]).collect()[0]["hll_distinct"]
     eb = hll_estimate(b, "v", ["g"]).collect()[0]["hll_distinct"]
     assert ea == eb
+
+
+# ---------------------------------------------------------------------------
+# Relational k-means
+# ---------------------------------------------------------------------------
+
+
+class TestKmeans:
+    def test_separable_blobs_recovered(self, spark):
+        from dystonse_gtfs_data_spark.operators.clustering import kmeans_assign
+
+        # two tight, well-separated blobs in 4-D: ids 0..19 near -1,
+        # ids 20..39 near +1 (deterministic jitter)
+        rows = [
+            (i, [(-1.0 if i < 20 else 1.0) + ((i * 7) % 5) * 0.01] * 4)
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = kmeans_assign(df, k=2, rounds=2).toPandas()
+        assert len(out) == 40
+        by_side = out.assign(side=out.vec_id < 20).groupby("side").cluster.nunique()
+        # each blob maps to exactly one cluster, and the two differ
+        assert (by_side == 1).all()
+        assert out[out.vec_id < 20].cluster.iloc[0] != out[out.vec_id >= 20].cluster.iloc[0]
+        assert set(out.cluster_size) == {20}
+
+    def test_deterministic_across_runs(self, spark):
+        from dystonse_gtfs_data_spark.operators.clustering import kmeans_assign
+        from dystonse_gtfs_data_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        a = kmeans_assign(emb).toPandas().sort_values("vec_id").reset_index(drop=True)
+        b = (
+            kmeans_assign(emb.repartition(7))
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        # partitioning-invariant: exact integer distance sums make the
+        # assignment independent of row order
+        assert a.equals(b)
+        assert a.cluster.nunique() <= 8
+
+    def test_negative_values_quantize_consistently(self, spark):
+        from dystonse_gtfs_data_spark.operators.clustering import KM_SCALE, kmeans_assign
+
+        rows = [(0, [-0.5, 0.5]), (1, [-0.5, 0.5]), (2, [0.5, -0.5])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = kmeans_assign(df, k=2, rounds=1).toPandas()
+        # identical vectors land in the same cluster
+        assert out[out.vec_id == 0].cluster.iloc[0] == out[out.vec_id == 1].cluster.iloc[0]
