@@ -326,11 +326,12 @@ def countmin_topk(
     exact = tokens.groupBy(F.col(term_col).alias("term")).agg(
         F.count("*").alias("n_exact")
     )
+    # TakeOrderedAndProject (orderBy + limit), then rank the k survivors
+    # with a trivial window — a bare global row_number would funnel the
+    # whole vocabulary through one sort partition
+    topk = exact.orderBy(F.desc("n_exact"), F.asc("term")).limit(k)
     w = Window.orderBy(F.desc("n_exact"), F.asc("term"))
-    top = (
-        exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    top = topk.withColumn("rank", F.row_number().over(w))
     probes = top.select(
         "term",
         "n_exact",
