@@ -292,3 +292,57 @@ def test_build_records_broadcast_is_size_guarded(spark, monkeypatch, tmp_path):
         df_big = br(updates, dims["trips"], dims["stop_times"], "t")
         plan = formatted_plan(df_big)
         assert broadcast_join_count(df_big) == 0, plan
+
+
+def test_quantile_sketch_fact_scan_is_map_only_prefilter(spark, sf_dir):
+    # the KMV sample must reach the fact table as a hash FILTER (map-only),
+    # with the rank sort confined to the survivor subset; no Python eval
+    df = Q.REGISTRY["quantile_sketch"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "pythonudf" not in plan.lower()
+    # the pre-filter lives under the window sort: a Filter on the hash
+    # threshold appears before the row_number window in the survivors path
+    assert "row_number" in plan.lower()
+
+
+def test_zorder_key_is_codegen_with_broadcast_bounds(spark, sf_dir):
+    df = Q.REGISTRY["zorder_layout"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "pythonudf" not in plan.lower()
+    assert broadcast_join_count(df) >= 1, "bounds row must broadcast"
+
+
+def test_kmeans_broadcasts_centroids_every_round(spark, sf_dir):
+    with no_auto_broadcast(spark):
+        df = Q.REGISTRY["kmeans_clusters"].fn(spark, sf_dir)
+        # 2 rounds x 1 assignment join, each with forced-broadcast
+        # centroids, + the final broadcast sizes join
+        assert broadcast_join_count(df) >= 3, formatted_plan(df)
+        plan = formatted_plan(df)
+        assert "pythonudf" not in plan.lower()
+
+
+def test_countmin_sketch_shuffle_is_fixed_width(spark, sf_dir):
+    # the sketch aggregate must be a plain 2-level hash aggregate
+    # (map-side combine): one Exchange for the (h, cell) groupBy
+    from pyspark.sql import functions as F
+    from dystonse_gtfs_data_spark.operators.sketches import countmin_sketch
+    from dystonse_gtfs_data_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    )
+    sk = countmin_sketch(words, "term")
+    plan = formatted_plan(sk)
+    assert plan.lower().count("exchange") <= 2, plan
+    assert "partial_count" in plan.lower() or "partial" in plan.lower(), (
+        "map-side combine expected"
+    )
+
+
+def test_heat_strip_oracle_parity_plan_stays_jvm(spark, sf_dir):
+    df = Q.REGISTRY["heat_strip_pixels"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "pythonudf" not in plan.lower()
+    assert "BroadcastNestedLoopJoin" not in plan or "Inner" in plan
