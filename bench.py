@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "zorder_layout",           # Z-order clustering key (lakehouse layout)
     "heavy_hitters",           # Count-Min term-frequency sketch
     "kmeans_clusters",         # relational Lloyd k-means over embeddings
+    "bloom_semi_prune",        # broadcast Bloom bit-array semi-join prune
+    "stream_dedup",            # streaming exact dedup (watermarked state)
 ]
 
 

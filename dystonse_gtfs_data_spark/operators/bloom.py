@@ -1,0 +1,148 @@
+"""Bloom-filter semi-join pruning: cut a big-table shuffle down to the
+join's true selectivity with a fixed-size broadcast bit array.
+
+Scale shape (the reason this operator exists): a semi join
+``large ⋉ keys`` where ``keys`` is too large for a broadcast hash
+relation normally shuffles EVERY row of ``large`` on the join key.  A
+Bloom filter of the key set is a fixed ``m``-bit summary (8 KiB–16 MiB
+regardless of key count) that CAN be broadcast; probing it is a
+map-only filter over ``large``, so only the rows that might match — the
+true matches plus an ``(1 - e^{-kn/m})^k`` false-positive sliver — ever
+reach the exchange.  At 100 TB this turns "shuffle 100 TB" into
+"shuffle selectivity × 100 TB".  Spark's own runtime row-level filtering
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) applies the same
+idea inside equi-joins; this operator makes it available explicitly —
+composable, portable (md5-fold hash family reproducible in any SQL
+engine), and with the verify stage visible in the plan.
+
+Exactness: the Bloom probe is a PRUNE, not the answer.  Survivors go
+through an exact semi join, so false positives never reach the output;
+a false NEGATIVE is impossible by construction (every inserted key sets
+exactly the bits the probe tests).  The catalog query's oracle is the
+plain relational semi join — any bit-math defect that drops a true
+match breaks the driver's exact hash.
+
+Build is fully relational — no driver-side collect: positions explode
+to (word, bit) pairs, ``bit_or`` folds them per word (map-side
+combine, ≤ m/64 rows shuffled), and one ``map_from_entries`` +
+``transform(sequence(...))`` densifies the words into a single-row
+``array<bigint>`` that a 1-row broadcast nested-loop join attaches to
+every probe partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _base_hash_col
+
+BLOOM_M_BITS = 1 << 17  #: default filter width (16 KiB)
+BLOOM_K = 6  #: default hash count (fp ≈ 0.9% at n = m/10)
+
+
+def _bloom_pos(key: Column, i: int, m_bits: int, base_hash: str) -> Column:
+    """Position of hash row ``i`` for ``key``: ``h('i:key') mod m``."""
+    return F.pmod(
+        _base_hash_col(F.concat(F.lit(f"{i}:"), key.cast("string")), base_hash),
+        F.lit(m_bits),
+    )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Fold a key set into a single-row dense ``array<bigint>`` Bloom
+    filter (``m_bits / 64`` words, little-endian bit order within each
+    word).  Associative by construction: filters built on shards merge
+    with element-wise ``bit_or``, so a 1000-executor build is the same
+    two-level aggregation Spark already runs here.
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    n_words = m_bits >> 6
+    hs = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
+    pairs = keys.select(F.col(key_col).cast("string").alias("_k"), hs).select(
+        F.pmod(
+            _base_hash_col(
+                F.concat(F.col("i").cast("string"), F.lit(":"), F.col("_k")),
+                base_hash,
+            ),
+            F.lit(m_bits),
+        ).alias("pos")
+    )
+    words = (
+        pairs.select(
+            F.shiftright(F.col("pos"), 6).cast("int").alias("widx"),
+            # pyspark's shiftleft() takes only a literal count; the SQL
+            # form accepts a column expression (same trick as the HLL
+            # register fold in sketches.py)
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    return words.groupBy().agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("widx", "word")))
+        ).alias("_m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("_m"), i), F.lit(0).cast("long")
+            ),
+        ).alias("bloom")
+    )
+
+
+def bloom_might_contain(
+    key: Column,
+    bloom: Column,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    base_hash: str = "xxhash64",
+) -> Column:
+    """Membership probe: all ``k`` bits set.  Pure JVM expressions
+    (``getbit`` over the broadcast array) — stays inside whole-stage
+    codegen, no Python, no shuffle."""
+    cond = F.lit(True)
+    for i in range(k):
+        pos = _bloom_pos(key, i, m_bits, base_hash)
+        word = F.element_at(bloom, F.shiftright(pos, 6).cast("int") + 1)
+        cond = cond & (F.getbit(word, F.pmod(pos, F.lit(64))) == 1)
+    return cond
+
+
+def bloom_semi_join(
+    large: DataFrame,
+    keys: DataFrame,
+    large_key: str,
+    keys_key: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """``large ⋉ keys`` with a Bloom pre-prune: map-only probe filters
+    ``large`` down to near-selectivity before the exact semi join sees
+    it.  The exact join guarantees the output equals the plain semi
+    join bit-for-bit; the Bloom stage only reduces how many rows reach
+    its exchange.  No broadcast hint on the verify join: at test scale
+    Spark broadcasts ``keys`` on its own, at 100 TB AQE picks the
+    shuffle strategy — the Bloom prune is what keeps that shuffle
+    small either way."""
+    bloom = bloom_build(keys, keys_key, m_bits, k, base_hash)
+    probed = large.join(F.broadcast(bloom)).filter(
+        bloom_might_contain(F.col(large_key), F.col("bloom"), m_bits, k, base_hash)
+    ).drop("bloom")
+    return probed.join(
+        keys.select(F.col(keys_key).alias("__bk")).distinct(),
+        probed[large_key] == F.col("__bk"),
+        "left_semi",
+    )

@@ -4161,6 +4161,109 @@ def q_curve_svg_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curve_svg_paths(knots, width=400, height=100)
 
 
+@register(
+    "bloom_semi_prune",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+    )
+    ORDER BY o_orderkey
+    """,
+    covers="Bloom-filter semi-join pruning: fixed-size broadcast bit array "
+    "probed map-only over the big side so only near-selectivity rows reach "
+    "the exact-join exchange (the explicit form of Spark's runtime "
+    "row-level filtering).  Oracle is the plain semi join — the Bloom "
+    "stage must be output-invisible (false positives removed by the exact "
+    "verify join, false negatives impossible by construction)",
+)
+def q_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bloom import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000.0)
+    )
+    out = bloom_semi_join(orders, keys, "o_custkey", "c_custkey")
+    return out.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
+        "o_orderkey"
+    )
+
+
+@register(
+    "stream_dedup",
+    """
+    SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           event_type, value
+    FROM events
+    ORDER BY event_id
+    """,
+    covers="Streaming exact dedup: dropDuplicatesWithinWatermark on the "
+    "record fingerprint over a file-source stream (one duplicated copy of "
+    "the feed per micro-batch), availableNow trigger — the streaming "
+    "analog of W1/E4 exact dedup for an at-least-once delivery pipeline; "
+    "state is keyed by fingerprint and expired by the event-time "
+    "watermark.  Every copy of a record is byte-identical, so which "
+    "arrival wins is output-invisible and the batch twin is the plain "
+    "distinct feed",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    # stage TWO byte-identical copies of the feed as separate files so
+    # availableNow + maxFilesPerTrigger=1 replays every record twice
+    # across distinct micro-batches (test-fixture staging only —
+    # production tails an at-least-once landing directory)
+    land = _tf.mkdtemp(prefix="streamdedup_land_")
+    for i in range(2):
+        ev.write.parquet(_os.path.join(land, f"copy{i}"))
+    schema = spark.read.parquet(_os.path.join(land, "copy0")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land + "/*")
+    )
+    if isinstance(src.schema["ts"].dataType, T.LongType):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(src.schema["ts"].dataType, T.TimestampNTZType):
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    # delay >> the feed's time span: nothing is late, dedup state covers
+    # the whole replay (production sets this to the real reorder bound,
+    # which is what lets state expire instead of growing forever)
+    deduped = src.withWatermark("ts", "87600 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = deduped.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    sink = f"streamdedup_{_uuid.uuid4().hex[:8]}"
+    from .streaming.pipeline import stream_state_partitions
+
+    with stream_state_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__
 # ---------------------------------------------------------------------------

@@ -1,0 +1,84 @@
+"""Bloom-filter semi-join prune: exactness under heavy false-positive
+pressure, the no-false-negative construction guarantee, and the
+fixed-size-summary property that makes the operator the 100 TB answer
+to a non-broadcastable semi join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dystonse_gtfs_data_spark.operators.bloom import (
+    bloom_build,
+    bloom_might_contain,
+    bloom_semi_join,
+)
+
+
+def _corpus(spark, n=500):
+    return spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 97).alias("payload")
+    )
+
+
+def test_bloom_semi_join_equals_exact_semi_join_under_fp_pressure(spark):
+    """A deliberately undersized filter (256 bits for 150 keys, k=2 →
+    false-positive rate way past any sane deployment) must still return
+    exactly the true semi join: the verify stage owns correctness, the
+    Bloom stage only prunes."""
+    large = _corpus(spark)
+    keys = spark.range(150).select((F.col("id") * 3).alias("kk"))
+    got = bloom_semi_join(large, keys, "k", "kk", m_bits=256, k=2)
+    expect = large.join(
+        keys.withColumnRenamed("kk", "k").distinct(), "k", "left_semi"
+    )
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in expect.collect()
+    )
+
+
+def test_bloom_probe_has_no_false_negatives(spark):
+    """Every inserted key must pass the probe — the property the whole
+    operator rests on (a miss would silently drop true join matches)."""
+    keys = _corpus(spark, 300).select("k")
+    for base_hash in ("xxhash64", "md5"):
+        bloom = bloom_build(keys, "k", m_bits=1024, k=4, base_hash=base_hash)
+        survivors = (
+            keys.join(F.broadcast(bloom))
+            .filter(
+                bloom_might_contain(
+                    F.col("k"), F.col("bloom"), m_bits=1024, k=4, base_hash=base_hash
+                )
+            )
+            .count()
+        )
+        assert survivors == 300, base_hash
+
+
+def test_bloom_filter_is_fixed_size_and_merges(spark):
+    """The summary is m/64 words regardless of key count, and filters
+    built on disjoint shards OR together into the filter of the union —
+    the associativity that makes a 1000-executor build a plain two-level
+    aggregation."""
+    a = spark.range(0, 200).select(F.col("id").alias("k"))
+    b = spark.range(200, 400).select(F.col("id").alias("k"))
+    m = 2048
+    wa = bloom_build(a, "k", m_bits=m).collect()[0].bloom
+    wb = bloom_build(b, "k", m_bits=m).collect()[0].bloom
+    wu = bloom_build(a.union(b), "k", m_bits=m).collect()[0].bloom
+    assert len(wa) == len(wb) == len(wu) == m // 64
+    assert [x | y for x, y in zip(wa, wb)] == wu
+
+
+def test_bloom_prune_actually_prunes(spark):
+    """With a properly sized filter, non-member rows are dropped by the
+    map-only probe (selectivity reaches the exchange, not the full
+    table): probing 500 rows against 50 members leaves ≈50 survivors."""
+    large = _corpus(spark)
+    keys = spark.range(50).select((F.col("id") * 10).alias("kk"))
+    bloom = bloom_build(keys, "kk")
+    survivors = (
+        large.join(F.broadcast(bloom))
+        .filter(bloom_might_contain(F.col("k"), F.col("bloom")))
+        .count()
+    )
+    assert 50 <= survivors < 80, survivors

@@ -154,3 +154,52 @@ def test_stream_state_partitions_restores_batch_width(spark):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+class TestStreamDedup:
+    def test_drop_duplicates_within_watermark_across_batches(
+        self, spark, tmp_path
+    ):
+        """At-least-once replay: three byte-identical copies of a feed
+        land as separate micro-batches; fingerprint-keyed dedup state
+        must emit each record exactly once regardless of which arrival
+        wins (copies are identical, so the output set must equal the
+        distinct feed)."""
+        import pyspark.sql.functions as F
+
+        # +1 day: a row whose event time sits AT the initial watermark
+        # (epoch 0) is filtered as late before it ever reaches dedup
+        # state — Spark's late-row predicate is ts <= watermark, and the
+        # watermark starts at 0, so timestamp_micros(0) silently
+        # disappears.  Real feeds never carry epoch-0 event times; the
+        # fixture must not either.
+        base = spark.range(100).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros((F.col("id") + 86_400) * 1_000_000).alias("ts"),
+            (F.col("id") % 7).alias("user_id"),
+        )
+        land = tmp_path / "land"
+        for i, order in enumerate(("event_id", "user_id", "ts")):
+            base.orderBy(order).coalesce(1).write.parquet(
+                str(land / f"copy{i}")
+            )
+        src = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land) + "/*")
+        )
+        out = src.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_sink_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("dedup_sink_t").orderBy("event_id").collect()
+        assert len(got) == 100
+        assert [r.event_id for r in got] == list(range(100))
+        assert all(r.user_id == r.event_id % 7 for r in got)
