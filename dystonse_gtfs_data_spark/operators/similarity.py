@@ -330,6 +330,14 @@ def ivf_assign(
     thousands, switch the argmax to a block matmul like allpairs_cosine."""
     import numpy as np
 
+    if not centroids:
+        # empty corpus → empty codebook (train_centroids on 0 rows):
+        # an assignment over no inverted lists is the empty relation
+        return vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(0).alias("centroid_id"),
+        ).filter(F.lit(False))
     cents = np.asarray(centroids, dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     norm = _norm(F.col(vec_col))
@@ -352,6 +360,8 @@ def kmeans_codebook(
     engine AND from a single-node oracle, producing identical floats."""
     import numpy as np
 
+    if not len(sample_vectors):
+        return []
     x = np.asarray(sample_vectors, dtype=np.float64)
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
     cents = x[:k].copy()
