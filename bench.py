@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "kmeans_clusters",         # relational Lloyd k-means over embeddings
     "bloom_semi_prune",        # broadcast Bloom bit-array semi-join prune
     "stream_dedup",            # streaming exact dedup (watermarked state)
+    "ivfpq_topk",              # IVF-PQ ANN: coded inverted lists + ADC scoring
 ]
 
 

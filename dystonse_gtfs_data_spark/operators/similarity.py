@@ -323,6 +323,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids (by cosine)
     — the IVF coarse quantizer.  Centroids are a driver-side list (they
@@ -336,6 +337,7 @@ def ivf_assign(
         return vectors.select(
             F.col(id_col),
             F.col(vec_col),
+            *[F.col(c) for c in extra_cols],
             F.lit(0).alias("centroid_id"),
         ).filter(F.lit(False))
     cents = np.asarray(centroids, dtype=np.float64)
@@ -347,8 +349,11 @@ def ivf_assign(
         scored.append(F.struct((_dot(F.col(vec_col), arr) / norm).alias("sim"), F.lit(ci).alias("cid")))
     top = F.slice(F.reverse(F.array_sort(F.array(*scored))), 1, n_probe)
     return vectors.select(
-        F.col(id_col), F.col(vec_col), F.explode(top).alias("_c")
-    ).select(id_col, vec_col, F.col("_c.cid").alias("centroid_id"))
+        F.col(id_col), F.col(vec_col), *[F.col(c) for c in extra_cols],
+        F.explode(top).alias("_c"),
+    ).select(
+        id_col, vec_col, *extra_cols, F.col("_c.cid").alias("centroid_id")
+    )
 
 
 def kmeans_codebook(
@@ -468,4 +473,191 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization on top of the IVF coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def fold_dot_py(a, b) -> float:
+    """Driver-side dot product with the SAME left-fold order as the JVM
+    ``_dot`` aggregate — shared by the engine (codebook norms baked into
+    literals) and the single-node oracle so both see identical doubles."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def pq_train_codebooks(
+    sample_vectors, m_sub: int = 8, ksub: int = 8, iterations: int = 2
+):
+    """Deterministic per-subspace euclidean Lloyd k-means: seed with the
+    first ``ksub`` subvectors, vectorized numpy recenter.  Pure numpy and
+    deterministic (shared verbatim by engine and oracle, like
+    :func:`kmeans_codebook`).  Returns ``m_sub`` books of ``<=ksub``
+    centroids of ``dim/m_sub`` floats — the 100 TB point: a corpus
+    vector is then stored as ``m_sub`` small ints (here 8 codes ≈ 8
+    bytes) instead of ``dim`` floats, so the inverted lists that flow
+    through the probe join shrink ~30×."""
+    import numpy as np
+
+    if not len(sample_vectors):
+        return []
+    x = np.asarray(sample_vectors, dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sd = dim // m_sub
+    books = []
+    for m in range(m_sub):
+        sub = x[:, m * sd : (m + 1) * sd]
+        cents = sub[:ksub].copy()
+        for _ in range(iterations):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            for ci in range(len(cents)):
+                members = sub[assign == ci]
+                if len(members):
+                    cents[ci] = members.mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach ``code_m`` columns: per subspace, the index of the nearest
+    (euclidean) codebook centroid.  Pure JVM expressions — the argmin is
+    an ``array_sort`` over (d2, code) structs with the same
+    (distance, code) tie order the oracle's ``sorted()`` uses; distances
+    are left-fold sums so both engines see identical doubles."""
+    sd = len(codebooks[0][0])
+    cols = []
+    for m, book in enumerate(codebooks):
+        structs = []
+        for ci, c in enumerate(book):
+            d2 = F.lit(0.0)
+            for d, cv in enumerate(c):
+                diff = F.element_at(F.col(vec_col), m * sd + d + 1).cast(
+                    "double"
+                ) - F.lit(float(cv))
+                d2 = d2 + diff * diff
+            structs.append(F.struct(d2.alias("d2"), F.lit(ci).alias("code")))
+        cols.append(
+            F.element_at(F.array_sort(F.array(*structs)), 1)["code"].alias(
+                f"code_{m}"
+            )
+        )
+    return vectors.select(F.col(id_col), F.col(vec_col), *cols)
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    m_sub: int = 8,
+    ksub: int = 8,
+    vec_col: str = "embedding",
+    iterations: int = 2,
+    sample_size: int = 4096,
+):
+    """PQ codebooks from the same bounded deterministic sample policy as
+    :func:`train_centroids` (first ``sample_size`` ids; m_sub × ksub ×
+    subdim floats come back — tiny)."""
+    rows = vectors.orderBy("vec_id").limit(sample_size).collect()
+    return pq_train_codebooks(
+        [list(r[vec_col]) for r in rows], m_sub, ksub, iterations
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): corpus vectors live in
+    their nearest coarse centroid's inverted list as ``m_sub`` PQ codes
+    (no raw floats), queries probe ``n_probe`` lists, and scoring is
+    asymmetric distance computation — exact query subvectors against the
+    coded centroid reconstruction:
+
+        cos(q, c) ≈ Σ_m q_m · B_m[code_m]
+                    / (|q| · sqrt(Σ_m |B_m[code_m]|²))
+
+    (the reconstruction's norm factors across subspaces, so it is a
+    literal lookup, not a recomputation).  The probe join ships only
+    (id, centroid_id, codes) for the corpus — the ~30× payload cut that
+    makes billion-vector IVF-PQ the standard scale ANN layout."""
+    sd = len(codebooks[0][0]) if codebooks else 0
+    if not centroids or not codebooks:
+        return (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.lit(0.0).alias("cosine"),
+                F.lit(0).alias("rank"),
+            ).filter(F.lit(False))
+        )
+    code_cols = tuple(f"code_{m}" for m in range(len(codebooks)))
+    c_assigned = ivf_assign(
+        pq_encode(corpus, codebooks, id_col, vec_col),
+        centroids,
+        id_col,
+        vec_col,
+        n_probe=1,
+        extra_cols=code_cols,
+    ).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id", *code_cols
+    )
+    q_assigned = ivf_assign(
+        queries, centroids, id_col, vec_col, n_probe=n_probe
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "centroid_id",
+    )
+    # ADC as chained JVM expressions in fixed (m, d) order — the oracle
+    # replays the identical left-fold
+    adc = F.lit(0.0)
+    n2 = F.lit(0.0)
+    norm2 = [[fold_dot_py(c, c) for c in book] for book in codebooks]
+    for m, book in enumerate(codebooks):
+        flat = F.array(*[F.lit(float(v)) for c in book for v in c])
+        code = F.col(f"code_{m}")
+        for d in range(sd):
+            adc = adc + F.element_at(F.col("q_vec"), m * sd + d + 1).cast(
+                "double"
+            ) * F.element_at(flat, code * sd + d + 1)
+        n2 = n2 + F.element_at(
+            F.array(*[F.lit(float(v)) for v in norm2[m]]), code + 1
+        )
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (adc / (_norm(F.col("q_vec")) * F.sqrt(n2))).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+        )
     )

@@ -1691,6 +1691,40 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, emb, cents, k=5, n_probe=3).orderBy("query_id", "rank")
 
 
+@register(
+    "ivfpq_topk",
+    # differential oracle: bit-exact single-node IVF-PQ replica (shared
+    # deterministic coarse + subspace codebook trainers; every per-row
+    # float op replayed in the engine's left-fold order), selected by
+    # the embeddings fingerprint
+    f"""
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM {_dt("expected_ivfpq_topk")}
+    WHERE corpus_fp = {_CORPUS_FP_SQL}
+    ORDER BY query_id, rank
+    """,
+    covers="IVF-PQ approximate nearest neighbor (Jégou et al. 2011): "
+    "corpus stored as per-subspace product-quantization codes in coarse "
+    "inverted lists, asymmetric-distance scoring against code-indexed "
+    "literal lookup tables — the billion-vector layout where the probe "
+    "join ships ~8 code bytes per corpus row instead of dim floats",
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        ivfpq_topk,
+        train_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, k=8, iterations=2)
+    books = train_pq_codebooks(emb, m_sub=8, ksub=8, iterations=2)
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(q, emb, cents, books, k=5, n_probe=3).orderBy(
+        "query_id", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Curve UDAF against a SQL oracle (A3 make_curve semantics)
 # ---------------------------------------------------------------------------

@@ -193,7 +193,11 @@ def ensure_demo_oracle_dir() -> str:
     # corpus just selects zero rows via the fingerprint key.
     import pandas as pd
 
-    from .demo_oracle_pipeline import expected_ivf_topk, expected_lsh_topk
+    from .demo_oracle_pipeline import (
+        expected_ivf_topk,
+        expected_ivfpq_topk,
+        expected_lsh_topk,
+    )
 
     _ANN_EMPTY = pd.DataFrame(
         {
@@ -204,12 +208,13 @@ def ensure_demo_oracle_dir() -> str:
             "rank": pd.Series(dtype="int64"),
         }
     )
-    lsh_frames, ivf_frames = [], []
+    lsh_frames, ivf_frames, ivfpq_frames = [], [], []
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         d = os.path.join(TESTDATA_ROOT, sf)
         if os.path.exists(os.path.join(d, "embeddings.parquet")):
             lsh_frames.append(expected_lsh_topk(d))
             ivf_frames.append(expected_ivf_topk(d))
+            ivfpq_frames.append(expected_ivfpq_topk(d))
     pq.write_table(
         pa.Table.from_pandas(
             pd.concat([_ANN_EMPTY, *lsh_frames], ignore_index=True),
@@ -223,6 +228,13 @@ def ensure_demo_oracle_dir() -> str:
             preserve_index=False,
         ),
         os.path.join(build_dir, "expected_ivf_topk.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat([_ANN_EMPTY, *ivfpq_frames], ignore_index=True),
+            preserve_index=False,
+        ),
+        os.path.join(build_dir, "expected_ivfpq_topk.parquet"),
     )
     # GTFS CSV form of the schedule fixture (gtfs_csv/*.txt): drives the
     # S1 feed scanner under the driver gate — Spark reads it via

@@ -942,3 +942,114 @@ def expected_ivf_topk(
                 }
             )
     return pd.DataFrame(out)
+
+
+def expected_ivfpq_topk(
+    sf_dir: str,
+    k_codebook: int = 8,
+    iterations: int = 2,
+    k: int = 5,
+    n_probe: int = 3,
+    m_sub: int = 8,
+    ksub: int = 8,
+) -> pd.DataFrame:
+    """Bit-exact single-node replica of operators/similarity.ivfpq_topk:
+    shared coarse + PQ codebook trainers (kmeans_codebook /
+    pq_train_codebooks are deterministic numpy used verbatim by both
+    sides), then every per-row float op replayed in the engine's exact
+    left-fold order — subspace d2 folds with (d2, code) tie order, the
+    (m, d)-ordered ADC fold, the m-ordered norm² fold, and BigDecimal
+    HALF_UP rounding."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    from ..operators.similarity import (
+        fold_dot_py,
+        kmeans_codebook,
+        pq_train_codebooks,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = [int(i) for i in t["vec_id"]]
+    vecs = [[float(x) for x in v] for v in t["embedding"]]
+    fp = corpus_fingerprint(ids, vecs)
+    if not ids:
+        return pd.DataFrame(
+            columns=["corpus_fp", "query_id", "neighbor_id", "cosine", "rank"]
+        )
+    order = np.argsort(ids, kind="stable")
+    sample = [vecs[i] for i in order[:4096]]
+    cents = np.asarray(
+        kmeans_codebook(sample, k_codebook, iterations), dtype=np.float64
+    )
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cent_lists = [[float(v) for v in c] for c in cents]
+    books = pq_train_codebooks(sample, m_sub, ksub, iterations)
+    sd = len(books[0][0])
+    norm2 = [[fold_dot_py(c, c) for c in book] for book in books]
+
+    norms = {i: math.sqrt(fold_dot_py(v, v)) for i, v in zip(ids, vecs)}
+
+    def probes(v, nid, n):
+        scored = sorted(
+            ((fold_dot_py(v, c) / norms[nid], ci) for ci, c in enumerate(cent_lists))
+        )
+        return [ci for _s, ci in reversed(scored)][:n]
+
+    def encode(v):
+        codes = []
+        for m, book in enumerate(books):
+            best = []
+            for ci, c in enumerate(book):
+                acc = 0.0
+                for d, cv in enumerate(c):
+                    diff = float(v[m * sd + d]) - float(cv)
+                    acc = acc + diff * diff
+                best.append((acc, ci))
+            codes.append(sorted(best)[0][1])
+        return codes
+
+    corpus_list: dict[int, list[int]] = {}
+    codes_by_id: dict[int, list[int]] = {}
+    for i, v in zip(ids, vecs):
+        corpus_list.setdefault(probes(v, i, 1)[0], []).append(i)
+        codes_by_id[i] = encode(v)
+
+    def adc_cosine(q, codes):
+        adc = 0.0
+        for m, book in enumerate(books):
+            flat = [float(v) for c in book for v in c]
+            code = codes[m]
+            for d in range(sd):
+                adc = adc + float(q[m * sd + d]) * flat[code * sd + d]
+        n2 = 0.0
+        for m in range(len(books)):
+            n2 = n2 + norm2[m][codes[m]]
+        return adc / (math.sqrt(fold_dot_py(q, q)) * math.sqrt(n2))
+
+    vec_by_id = dict(zip(ids, vecs))
+    out = []
+    for q in (i for i in ids if i < 5):
+        cands = set()
+        for ci in probes(vec_by_id[q], q, n_probe):
+            cands |= {c for c in corpus_list.get(ci, []) if c != q}
+        scored = sorted(
+            ((q, c, adc_cosine(vec_by_id[q], codes_by_id[c])) for c in cands),
+            key=lambda r: (-r[2], r[1]),
+        )
+        for rank, (qq, cc, cos) in enumerate(scored[:k], 1):
+            rounded = float(
+                Decimal(cos).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+            )
+            out.append(
+                {
+                    "corpus_fp": fp,
+                    "query_id": qq,
+                    "neighbor_id": cc,
+                    "cosine": rounded,
+                    "rank": rank,
+                }
+            )
+    return pd.DataFrame(out)

@@ -338,3 +338,42 @@ def test_winnow_matches_reference_implementation_on_random_text(spark):
             assert got[i] == py_winnow(t), (i, t)
 
     check()
+
+
+def test_ivfpq_topk_recall_and_code_compression(vec_corpus):
+    from dystonse_gtfs_data_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_encode,
+        train_centroids,
+        train_pq_codebooks,
+    )
+
+    df, base = vec_corpus
+    cents = train_centroids(df, k=4, iterations=2)
+    books = train_pq_codebooks(df, m_sub=4, ksub=4, iterations=2)
+    assert len(books) == 4 and all(len(c) == 4 for b in books for c in b)
+    # codes are small ints — the ~30x payload cut the layout exists for
+    codes = pq_encode(df, books).collect()
+    assert all(0 <= r[f"code_{m}"] < 4 for r in codes for m in range(4))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df.filter(F.col("vec_id") < 5), df, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            df.filter(F.col("vec_id") < 5), df, cents, books, k=3, n_probe=3
+        ).collect()
+    }
+    # quantized scoring: lower bar than raw IVF, but far better than
+    # random (3 of 20 by chance ≈ 0.15), and the planted near-identical
+    # pair must survive quantization
+    assert len(exact & approx) / len(exact) >= 0.4
+    assert (0, 1) in approx
+
+
+def test_ivfpq_empty_corpus(spark):
+    from dystonse_gtfs_data_spark.operators.similarity import ivfpq_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ivfpq_topk(empty, empty, [], [], k=3).count() == 0

@@ -364,3 +364,18 @@ def test_bloom_semi_prune_probe_is_map_only_before_exchange(spark, sf_dir):
     # big-side scan pruned to the 3 projected columns
     schemas = read_schemas(df)
     assert any(set(c) == {"o_orderkey", "o_custkey", "o_totalprice"} for c in schemas), schemas
+
+
+def test_ivfpq_probe_plan_ships_codes_not_vectors(spark, sf_dir):
+    # IVF-PQ's contract: the corpus side of the probe join carries codes
+    # (small ints), never the raw embedding array; scoring is pure JVM
+    # expressions (no Python), with the query side broadcast.
+    df = Q.REGISTRY["ivfpq_topk"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "pythonudf" not in plan.lower()
+    assert broadcast_join_count(df) >= 1, "query side must broadcast"
+    # the join's corpus-side projection must not include the embedding
+    # column (codes replace it); embedding appears only under scans/encode
+    import re
+    join = re.search(r"BroadcastHashJoin[^\n]*\n((?:.*\n){0,6})", plan)
+    assert join and "embedding" not in join.group(1), join.group(0) if join else plan
