@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "bloom_semi_prune",        # broadcast Bloom bit-array semi-join prune
     "stream_dedup",            # streaming exact dedup (watermarked state)
     "ivfpq_topk",              # IVF-PQ ANN: coded inverted lists + ADC scoring
+    "image_phash_dedup",       # perceptual aHash dup groups (Arrow kernel)
 ]
 
 

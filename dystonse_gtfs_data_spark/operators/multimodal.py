@@ -297,3 +297,55 @@ def synthetic_audio_assets(documents: DataFrame, n_bytes: int = 320) -> DataFram
     return documents.select(
         F.col("doc_id").alias("asset_id"), blob.alias("content")
     )
+
+
+def image_average_hash(assets: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) per image, Arrow batch at a time:
+    decode → per-pixel grayscale sum (R+G+B, integer) → bit p set iff
+    ``gray_sum[p] * n_pixels > total_sum`` — the comparison stays in
+    exact integer arithmetic, so any SQL engine recomputes the identical
+    hash from the same bytes (no float mean to drift).  The 64 bits ship
+    as two int32-range halves (``phash_hi``/``phash_lo``) because a bit
+    in position 63 would overflow signed int64 differently per engine.
+
+    This is the image analog of text fingerprint dedup: identical or
+    perceptually-identical frames collide, and the downstream groupBy is
+    an ordinary fixed-width aggregation.  The decode here reads the
+    deterministic fake blob layout (8×8×3 interleaved); swap the byte
+    slicing for a real decoder kernel in production."""
+
+    out_schema = "asset_id long, phash_hi long, phash_lo long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["content"]):
+                if blob is None:
+                    continue
+                b = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
+                gs = b.reshape(-1, 3).sum(axis=1)  # per-pixel R+G+B
+                bits = (gs * len(gs) > gs.sum()).astype(np.int64)
+                lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+                hi = int((bits[32:] << np.arange(len(bits) - 32, dtype=np.int64)).sum())
+                rows.append(
+                    {"asset_id": asset_id, "phash_hi": hi, "phash_lo": lo}
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(run, out_schema)
+
+
+def image_phash_dup_groups(assets: DataFrame) -> DataFrame:
+    """Hash-collision dup groups: one shuffle on the 64-bit hash, then a
+    window count — every asset in a group of ≥2 comes back with its
+    group size (the image-side twin of fingerprint_dedup)."""
+    from pyspark.sql import Window
+
+    hashed = image_average_hash(assets)
+    w = Window.partitionBy("phash_hi", "phash_lo")
+    return (
+        hashed.withColumn("group_size", F.count("*").over(w))
+        .filter(F.col("group_size") > 1)
+        .select("phash_hi", "phash_lo", "asset_id", "group_size")
+    )

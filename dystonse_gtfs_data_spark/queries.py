@@ -1245,6 +1245,54 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_phash_dedup",
+    """
+    WITH px AS (
+      SELECT d.doc_id, p.p,
+             ((d.doc_id*31 + (3*p.p)*7) % 256
+              + (d.doc_id*31 + (3*p.p+1)*7) % 256
+              + (d.doc_id*31 + (3*p.p+2)*7) % 256) AS gs
+      FROM documents d CROSS JOIN range(0, 64) p(p)
+    ), tot AS (
+      SELECT doc_id, sum(gs) AS total FROM px GROUP BY 1
+    ), h AS (
+      SELECT px.doc_id,
+             CAST(sum(CASE WHEN px.p >= 32 AND px.gs*64 > tot.total
+                      THEN CAST(1 AS BIGINT) << (px.p - 32) ELSE 0 END)
+                  AS BIGINT) AS phash_hi,
+             CAST(sum(CASE WHEN px.p < 32 AND px.gs*64 > tot.total
+                      THEN CAST(1 AS BIGINT) << px.p ELSE 0 END)
+                  AS BIGINT) AS phash_lo
+      FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id
+    ), g AS (
+      SELECT phash_hi, phash_lo, count(*) AS group_size
+      FROM h GROUP BY 1, 2
+    )
+    SELECT h.phash_hi, h.phash_lo, h.doc_id AS asset_id,
+           CAST(g.group_size AS BIGINT) AS group_size
+    FROM h JOIN g USING (phash_hi, phash_lo)
+    WHERE g.group_size > 1
+    ORDER BY phash_hi, phash_lo, asset_id
+    """,
+    covers="Multimodal perceptual dedup: integer-exact average-hash over "
+    "decoded pixels (Arrow-batched mapInPandas kernel), hash groupBy, "
+    "window group-size — image-side fingerprint_dedup.  The oracle "
+    "recomputes the hash from the blob-generating byte formula; the blob "
+    "layout repeats every 256 doc_ids, so real dup groups exist",
+)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (
+        image_phash_dup_groups,
+        synthetic_image_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_phash_dup_groups(synthetic_image_assets(docs)).orderBy(
+        "phash_hi", "phash_lo", "asset_id"
+    )
+
+
+@register(
     "video_frame_stats",
     """
     SELECT d.doc_id AS asset_id, 4 AS n_frames, f.f_idx AS frame_idx,

@@ -222,6 +222,33 @@ class TestMultimodal:
             assert len(r["thumbnail"]) == 4 * 4 * 3
             assert 0.0 <= r["mean_intensity"] <= 255.0
 
+    def test_image_average_hash(self, spark):
+        """Identical blobs collide, different blobs (generically) don't,
+        and the bit math matches a hand fold in exact integers."""
+        import numpy as np
+
+        from dystonse_gtfs_data_spark.operators.multimodal import (
+            image_average_hash,
+            image_phash_dup_groups,
+        )
+
+        blob_a = bytes((i * 7) % 256 for i in range(192))
+        blob_b = bytes((i * 11 + 3) % 256 for i in range(192))
+        assets = spark.createDataFrame(
+            [(1, blob_a), (2, blob_b), (3, blob_a)],
+            "asset_id long, content binary",
+        )
+        out = {r["asset_id"]: (r["phash_hi"], r["phash_lo"]) for r in image_average_hash(assets).collect()}
+        assert out[1] == out[3] != out[2]
+        b = np.frombuffer(blob_a, dtype=np.uint8).astype(int)
+        gs = b.reshape(-1, 3).sum(axis=1)
+        bits = [1 if g * 64 > gs.sum() else 0 for g in gs]
+        assert out[1][1] == sum(bit << p for p, bit in enumerate(bits[:32]))
+        assert out[1][0] == sum(bit << p for p, bit in enumerate(bits[32:]))
+        groups = image_phash_dup_groups(assets).collect()
+        assert sorted(r["asset_id"] for r in groups) == [1, 3]
+        assert all(r["group_size"] == 2 for r in groups)
+
     def test_audio_plumbing(self, spark):
         assets = spark.createDataFrame(
             [(1, bytes(1600)), (2, bytes(320))], "asset_id long, content binary"
