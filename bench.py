@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "stream_dedup",            # streaming exact dedup (watermarked state)
     "ivfpq_topk",              # IVF-PQ ANN: coded inverted lists + ADC scoring
     "image_phash_dedup",       # perceptual aHash dup groups (Arrow kernel)
+    "bpe_merges",              # distributed BPE tokenizer merge training
 ]
 
 

@@ -4346,6 +4346,32 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("event_id")
 
 
+@register(
+    "bpe_merges",
+    # differential oracle: independent single-node Counter-based replica
+    # (sources/demo_oracle_pipeline.expected_bpe_merges), keyed by the
+    # documents fingerprint so each SF selects its own rows
+    f"""
+    SELECT round, lhs, rhs, freq
+    FROM {_dt("expected_bpe_merges")}
+    WHERE corpus_fp = (
+      SELECT CAST(sum((doc_id + 1) * length(text)) AS BIGINT) FROM documents
+    )
+    ORDER BY round
+    """,
+    covers="Distributed BPE tokenizer training (Sennrich 2016): one "
+    "corpus pass to the word-frequency table, then R merge rounds over "
+    "the vocabulary — pair explode + bounded groupBy, 1-row TakeOrdered "
+    "argmax with lexicographic tie-break, merge applied as a JVM "
+    "aggregate fold (non-overlapping left-to-right)",
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import bpe_train, word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(spark, word_counts(docs), rounds=6).orderBy("round")
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__
 # ---------------------------------------------------------------------------

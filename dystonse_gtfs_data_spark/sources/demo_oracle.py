@@ -194,6 +194,7 @@ def ensure_demo_oracle_dir() -> str:
     import pandas as pd
 
     from .demo_oracle_pipeline import (
+        expected_bpe_merges,
         expected_ivf_topk,
         expected_ivfpq_topk,
         expected_lsh_topk,
@@ -208,13 +209,15 @@ def ensure_demo_oracle_dir() -> str:
             "rank": pd.Series(dtype="int64"),
         }
     )
-    lsh_frames, ivf_frames, ivfpq_frames = [], [], []
+    lsh_frames, ivf_frames, ivfpq_frames, bpe_frames = [], [], [], []
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         d = os.path.join(TESTDATA_ROOT, sf)
         if os.path.exists(os.path.join(d, "embeddings.parquet")):
             lsh_frames.append(expected_lsh_topk(d))
             ivf_frames.append(expected_ivf_topk(d))
             ivfpq_frames.append(expected_ivfpq_topk(d))
+        if os.path.exists(os.path.join(d, "documents.parquet")):
+            bpe_frames.append(expected_bpe_merges(d))
     pq.write_table(
         pa.Table.from_pandas(
             pd.concat([_ANN_EMPTY, *lsh_frames], ignore_index=True),
@@ -235,6 +238,22 @@ def ensure_demo_oracle_dir() -> str:
             preserve_index=False,
         ),
         os.path.join(build_dir, "expected_ivfpq_topk.parquet"),
+    )
+    _BPE_EMPTY = pd.DataFrame(
+        {
+            "corpus_fp": pd.Series(dtype="int64"),
+            "round": pd.Series(dtype="int32"),
+            "lhs": pd.Series(dtype="object"),
+            "rhs": pd.Series(dtype="object"),
+            "freq": pd.Series(dtype="int64"),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat([_BPE_EMPTY, *bpe_frames], ignore_index=True),
+            preserve_index=False,
+        ),
+        os.path.join(build_dir, "expected_bpe_merges.parquet"),
     )
     # GTFS CSV form of the schedule fixture (gtfs_csv/*.txt): drives the
     # S1 feed scanner under the driver gate — Spark reads it via

@@ -1053,3 +1053,61 @@ def expected_ivfpq_topk(
                 }
             )
     return pd.DataFrame(out)
+
+
+def merge_word_py(syms, a: str, b: str):
+    """Pure-Python twin of operators/bpe.merge_pair_expr's fold: replace
+    non-overlapping (a, b) left-to-right."""
+    out, pend = [], None
+    for x in syms:
+        if pend == a and x == b:
+            out.append(a + b)
+            pend = None
+        else:
+            if pend is not None:
+                out.append(pend)
+            pend = x
+    if pend is not None:
+        out.append(pend)
+    return out
+
+
+def expected_bpe_merges(sf_dir: str, rounds: int = 6) -> pd.DataFrame:
+    """Independent single-node replica of the distributed BPE trainer:
+    word counts via Counter, overlapping adjacent-pair counts weighted
+    by word frequency, argmax with (-freq, lhs, rhs) tie order, greedy
+    left-to-right merge.  Keyed by the documents fingerprint
+    sum((doc_id+1) * length(text)) so each SF selects its own rows."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    fp = 0
+    wc: Counter = Counter()
+    for did, text in zip(t["doc_id"], t["text"]):
+        text = str(text)
+        fp += (int(did) + 1) * len(text)
+        for w in re.split(r"\s+", text.lower().strip()):
+            if w:
+                wc[w] += 1
+    syms = {w: list(w) for w in wc}
+    out = []
+    for r in range(1, rounds + 1):
+        pc: Counter = Counter()
+        for w, n in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        (a, b), freq = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out.append(
+            {"corpus_fp": fp, "round": r, "lhs": a, "rhs": b, "freq": freq}
+        )
+        for w in syms:
+            syms[w] = merge_word_py(syms[w], a, b)
+    return pd.DataFrame(
+        out, columns=["corpus_fp", "round", "lhs", "rhs", "freq"]
+    )

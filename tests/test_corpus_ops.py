@@ -186,3 +186,39 @@ def test_redact_pii_matches_python_re_reference(spark):
     }
     for i, s in enumerate(batches):
         assert got[i] == py_redact(s), repr(s)
+
+
+class TestBpeTrain:
+    def test_merge_fold_is_left_to_right_non_overlapping(self, spark):
+        from pyspark.sql import functions as F
+
+        from dystonse_gtfs_data_spark.operators.bpe import merge_pair_expr
+
+        df = spark.createDataFrame(
+            [(["a", "a", "a"],), (["x", "a", "a", "y"],), (["a"],), ([],)],
+            "sym array<string>",
+        )
+        out = [r.m for r in df.select(merge_pair_expr(F.col("sym"), "a", "a").alias("m")).collect()]
+        assert out == [["aa", "a"], ["x", "aa", "y"], ["a"], []]
+
+    def test_rules_match_hand_computed(self, spark):
+        from dystonse_gtfs_data_spark.operators.bpe import bpe_train, word_counts
+
+        # corpus: "low low lower" → e,r then l,o then lo,w …
+        docs = spark.createDataFrame(
+            [(1, "low low lower"), (2, "low lowest")], ["doc_id", "text"]
+        )
+        rules = bpe_train(spark, word_counts(docs), rounds=3).collect()
+        got = [(r["round"], r["lhs"], r["rhs"], r["freq"]) for r in rules]
+        # 5 word instances (low×3, lower, lowest) all contain l-o and
+        # o-w → tie at 5, lexicographic (l,o) wins; round 2 merges
+        # (lo,w)=5; round 3: lower/lowest both start low-e → (low,e)=2
+        assert got[0] == (1, "l", "o", 5)
+        assert got[1] == (2, "lo", "w", 5)
+        assert got[2] == (3, "low", "e", 2)
+
+    def test_empty_corpus_yields_no_rules(self, spark):
+        from dystonse_gtfs_data_spark.operators.bpe import bpe_train, word_counts
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        assert bpe_train(spark, word_counts(docs), rounds=3).count() == 0
