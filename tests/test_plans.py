@@ -379,3 +379,28 @@ def test_ivfpq_probe_plan_ships_codes_not_vectors(spark, sf_dir):
     import re
     join = re.search(r"BroadcastHashJoin[^\n]*\n((?:.*\n){0,6})", plan)
     assert join and "embedding" not in join.group(1), join.group(0) if join else plan
+
+
+def test_bpe_round_is_bounded_shuffle_no_python(spark, sf_dir):
+    # one merge round = word-count groupBy + pair groupBy (both with
+    # map-side partial aggregation) + 1-row TakeOrdered; everything JVM
+    from pyspark.sql import functions as F
+
+    from dystonse_gtfs_data_spark.operators.bpe import (
+        _adjacent_pairs,
+        word_counts,
+    )
+    from dystonse_gtfs_data_spark.sources.tables import load_table
+
+    wc = word_counts(load_table(spark, sf_dir, "documents"))
+    pairs = (
+        wc.select(F.split("word", "").alias("sym"), "n")
+        .select("n", F.explode(_adjacent_pairs(F.col("sym"))).alias("p"))
+        .groupBy(F.col("p.lhs"), F.col("p.rhs"))
+        .agg(F.sum("n"))
+    )
+    plan = formatted_plan(pairs)
+    assert "pythonudf" not in plan.lower()
+    # exactly two shuffles: the word groupBy and the pair groupBy
+    assert shuffle_count(pairs) == 2, plan
+    assert "partial" in plan.lower(), "map-side combine expected"
