@@ -50,10 +50,14 @@ def cosine_topk(
     """Exact brute-force cosine top-k per query vector.
 
     The query side is broadcast (queries are few); the corpus streams
-    through executors — no shuffle of the corpus itself, one final
-    shuffle of size O(queries × corpus) rows for the per-query top-k
-    window (at scale, replace with a partial top-k aggregation per
-    partition; AQE keeps this reasonable at bench sizes).
+    through executors — no shuffle of the corpus itself.  The per-query
+    top-k runs as a two-level partial aggregation: each input partition
+    folds its (query, score) pairs into one ≤k array map-side
+    (HashAggregate partial on (query_id, partition_id) collapses before
+    the exchange), so the shuffle carries partitions × queries bounded
+    arrays — never the O(queries × corpus) pair stream a bare
+    row_number window would sort.  Ties break (cosine desc,
+    neighbor_id asc), identical to the final ranking window.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -65,9 +69,36 @@ def cosine_topk(
     )
     if round_digits is not None:
         scored = scored.withColumn("cosine", F.round("cosine", round_digits))
+    # negate neighbor_id inside the sort struct so reverse(array_sort)
+    # yields (cosine desc, neighbor_id asc) — the window's tie order
+    partial = (
+        scored.groupBy("query_id", F.spark_partition_id().alias("_p"))
+        .agg(
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("cosine"),
+                                (-F.col("neighbor_id")).alias("neg_id"),
+                            )
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("query_id", F.explode("top").alias("t"))
+        .select(
+            "query_id",
+            (-F.col("t.neg_id")).alias("neighbor_id"),
+            F.col("t.cosine").alias("cosine"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -533,26 +564,38 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Attach ``code_m`` columns: per subspace, the index of the nearest
-    (euclidean) codebook centroid.  Pure JVM expressions — the argmin is
-    an ``array_sort`` over (d2, code) structs with the same
-    (distance, code) tie order the oracle's ``sorted()`` uses; distances
-    are left-fold sums so both engines see identical doubles."""
+    (euclidean) codebook centroid.  Pure JVM higher-order functions —
+    ``transform`` with an index lambda over the literal codebook, a
+    ``zip_with``+``aggregate`` left-fold distance (identical float order
+    to the oracle's sequential loop), and an ``array_sort`` argmin with
+    (d2, code) tie order.  HOFs keep the generated code small and
+    loop-shaped; the fully unrolled expression form compiled to a
+    multi-second janino method per query."""
     sd = len(codebooks[0][0])
     cols = []
     for m, book in enumerate(codebooks):
-        structs = []
-        for ci, c in enumerate(book):
-            d2 = F.lit(0.0)
-            for d, cv in enumerate(c):
-                diff = F.element_at(F.col(vec_col), m * sd + d + 1).cast(
-                    "double"
-                ) - F.lit(float(cv))
-                d2 = d2 + diff * diff
-            structs.append(F.struct(d2.alias("d2"), F.lit(ci).alias("code")))
+        lit_book = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in book]
+        )
+        sub = F.slice(F.col(vec_col), m * sd + 1, sd)
+        cands = F.transform(
+            lit_book,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        c,
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda a, t: a + t,
+                ).alias("d2"),
+                i.alias("code"),
+            ),
+        )
         cols.append(
-            F.element_at(F.array_sort(F.array(*structs)), 1)["code"].alias(
-                f"code_{m}"
-            )
+            F.element_at(F.array_sort(cands), 1)["code"].alias(f"code_{m}")
         )
     return vectors.select(F.col(id_col), F.col(vec_col), *cols)
 
@@ -626,18 +669,25 @@ def ivfpq_topk(
         F.col(vec_col).alias("q_vec"),
         "centroid_id",
     )
-    # ADC as chained JVM expressions in fixed (m, d) order — the oracle
-    # replays the identical left-fold
+    # ADC via HOFs: per subspace, a zip_with/aggregate left-fold partial
+    # dot of the exact query subvector against the coded centroid, then
+    # the partials chained in subspace order — the oracle replays the
+    # identical per-subspace-then-sum float grouping
     adc = F.lit(0.0)
     n2 = F.lit(0.0)
     norm2 = [[fold_dot_py(c, c) for c in book] for book in codebooks]
     for m, book in enumerate(codebooks):
-        flat = F.array(*[F.lit(float(v)) for c in book for v in c])
+        lit_book = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in book]
+        )
         code = F.col(f"code_{m}")
-        for d in range(sd):
-            adc = adc + F.element_at(F.col("q_vec"), m * sd + d + 1).cast(
-                "double"
-            ) * F.element_at(flat, code * sd + d + 1)
+        cvec = F.element_at(lit_book, code + 1)
+        qsub = F.slice(F.col("q_vec"), m * sd + 1, sd)
+        adc = adc + F.aggregate(
+            F.zip_with(qsub, cvec, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
         n2 = n2 + F.element_at(
             F.array(*[F.lit(float(v)) for v in norm2[m]]), code + 1
         )

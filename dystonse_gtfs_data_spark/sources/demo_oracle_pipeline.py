@@ -1018,12 +1018,15 @@ def expected_ivfpq_topk(
         codes_by_id[i] = encode(v)
 
     def adc_cosine(q, codes):
+        # per-subspace partial dot then subspace-ordered sum — the same
+        # float grouping as the engine's per-m zip_with/aggregate folds
         adc = 0.0
         for m, book in enumerate(books):
-            flat = [float(v) for c in book for v in c]
             code = codes[m]
+            pm = 0.0
             for d in range(sd):
-                adc = adc + float(q[m * sd + d]) * flat[code * sd + d]
+                pm = pm + float(q[m * sd + d]) * float(book[code][d])
+            adc = adc + pm
         n2 = 0.0
         for m in range(len(books)):
             n2 = n2 + norm2[m][codes[m]]
