@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "ivfpq_topk",              # IVF-PQ ANN: coded inverted lists + ADC scoring
     "image_phash_dedup",       # perceptual aHash dup groups (Arrow kernel)
     "bpe_merges",              # distributed BPE tokenizer merge training
+    "reservoir_per_key",       # exact-k per-key deterministic sample
+    "curriculum_deciles",      # percentile-cut difficulty bucketing
 ]
 
 

@@ -177,3 +177,56 @@ def mixture_oracle_sql(
     FROM counted c JOIN totals t USING (source)
     WHERE c.bucket * t.total_tok < {int(budget_tokens)} * {buckets}
     """
+
+
+def deterministic_reservoir(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Exactly-k-per-key deterministic "reservoir": rank rows inside each
+    key by a salted portable hash of their id (a fixed uniform-random
+    permutation any engine reproduces) and keep the first ``k``.
+
+    Scale shape: the naive per-key row_number sorts EVERY row of a key
+    through one window partition; here each input partition first folds
+    its rows into one ≤k array map-side (HashAggregate partial on
+    (key, partition_id)), so the exchange carries partitions × keys
+    bounded arrays and the final ranking window sees at most
+    partitions × k rows per key — same two-level trick as the
+    brute-force cosine top-k.  Unlike rate-based
+    :func:`hash_stratified_sample` (map-only, approximate counts), this
+    guarantees the exact per-key sample size a curriculum or eval-split
+    builder needs."""
+    h = portable_base_hash(
+        F.concat(F.lit("rsv:"), F.col(id_col).cast("string"))
+    ).alias("hv")
+    partial = (
+        df.select(F.col(key_col), F.col(id_col), h)
+        .groupBy(key_col, F.spark_partition_id().alias("_p"))
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("hv"), F.col(id_col)))
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select(key_col, F.explode("top").alias("t"))
+        .select(key_col, F.col(f"t.{id_col}").alias(id_col), F.col("t.hv").alias("hv"))
+    )
+    w = Window.partitionBy(key_col).orderBy("hv", id_col)
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(key_col, id_col, "rn")
+    )
+
+
+def reservoir_hash_sql(id_expr: str) -> str:
+    """DuckDB twin of the reservoir's salted rank hash."""
+    return portable_base_hash_sql(
+        f"substr(md5('rsv:' || CAST({id_expr} AS VARCHAR)), 1, 15)"
+    )

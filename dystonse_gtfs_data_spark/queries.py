@@ -4372,6 +4372,88 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(spark, word_counts(docs), rounds=6).orderBy("round")
 
 
+@register(
+    "reservoir_per_key",
+    f"""
+    WITH h AS (
+      SELECT lang, doc_id,
+             {portable_base_hash_sql("substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 15)")} AS hv
+      FROM documents
+    )
+    SELECT lang, doc_id, rn FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+      FROM h
+    ) WHERE rn <= 20
+    ORDER BY lang, rn
+    """,
+    covers="Exactly-k-per-key deterministic reservoir sample (salted "
+    "portable-hash permutation rank): two-level partial top-k — map-side "
+    "≤k arrays per (key, partition), bounded exchange, final window over "
+    "partitions × k rows — the exact-size per-stratum sampler a "
+    "curriculum/eval-split builder needs where rate-based sampling "
+    "cannot guarantee counts",
+)
+def q_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import deterministic_reservoir
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_reservoir(docs, "lang", "doc_id", k=20).orderBy(
+        "lang", "rn"
+    )
+
+
+@register(
+    "curriculum_deciles",
+    f"""
+    WITH s AS (
+      SELECT doc_id, round({Ft.quality_score_sql('text')}, 6) AS q
+      FROM documents
+    ), c AS (
+      SELECT {', '.join(f'round(quantile_cont(q, 0.{i}), 6) AS c{i}' for i in range(1, 10))}
+      FROM s
+    )
+    SELECT s.doc_id, s.q AS quality,
+           CAST(1 {' '.join(f'+ (CASE WHEN s.q > c.c{i} THEN 1 ELSE 0 END)' for i in range(1, 10))}
+                AS INT) AS decile
+    FROM s, c
+    ORDER BY doc_id
+    """,
+    covers="Curriculum bucketing: exact decile boundaries from ONE "
+    "percentile aggregation (9 doubles, broadcast), then a map-only "
+    "comparison bucket per document — the scale shape for difficulty "
+    "ordering (a global ntile() window would funnel the corpus through "
+    "one sort partition)",
+)
+def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # quantize the score AND the interpolated cuts to 6 dp before the
+    # strict compare: percentile vs quantile_cont can differ in the last
+    # ulp, and a tied-value cut lands exactly on a score — rounding both
+    # to the same grid makes the boundary decision engine-independent
+    s = docs.select(
+        "doc_id", F.round(Ft.quality_score(F.col("text")), 6).alias("q")
+    )
+    cuts = s.agg(
+        *[
+            F.round(F.percentile("q", F.lit(i / 10)), 6).alias(f"c{i}")
+            for i in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + F.when(F.col("q") > F.col(f"c{i}"), 1).otherwise(0)
+    return (
+        s.join(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            F.col("q").alias("quality"),
+            decile.cast("int").alias("decile"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__
 # ---------------------------------------------------------------------------

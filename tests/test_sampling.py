@@ -185,3 +185,38 @@ def test_bigram_lm_score_hand_computed(spark, sf_dir):
     assert out[1]["sum_logprob"] == pytest.approx(2 * lp_ab + lp_ba, abs=1e-9)
     assert out[2]["n_bigrams"] == 1
     assert out[2]["sum_logprob"] == pytest.approx(lp_ab, abs=1e-9)
+
+
+class TestDeterministicReservoir:
+    def test_exact_k_per_key_and_stable(self, spark):
+        from pyspark.sql import functions as F
+
+        from dystonse_gtfs_data_spark.operators.sampling import (
+            deterministic_reservoir,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"k{i % 3}") for i in range(200)], ["doc_id", "lang"]
+        )
+        out1 = deterministic_reservoir(df, "lang", "doc_id", k=7).collect()
+        assert len(out1) == 21
+        per_key = {}
+        for r in out1:
+            per_key.setdefault(r["lang"], []).append((r["rn"], r["doc_id"]))
+        assert all(sorted(v)[0][0] == 1 and len(v) == 7 for v in per_key.values())
+        # repartitioning the input must not change the sample (the hash
+        # permutation, not partition layout, decides membership)
+        out2 = deterministic_reservoir(
+            df.repartition(13), "lang", "doc_id", k=7
+        ).collect()
+        assert sorted((r["lang"], r["rn"], r["doc_id"]) for r in out1) == sorted(
+            (r["lang"], r["rn"], r["doc_id"]) for r in out2
+        )
+
+    def test_small_key_returns_all_rows(self, spark):
+        from dystonse_gtfs_data_spark.operators.sampling import (
+            deterministic_reservoir,
+        )
+
+        df = spark.createDataFrame([(1, "x"), (2, "x")], ["doc_id", "lang"])
+        assert deterministic_reservoir(df, "lang", "doc_id", k=10).count() == 2
