@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "bpe_merges",              # distributed BPE tokenizer merge training
     "reservoir_per_key",       # exact-k per-key deterministic sample
     "curriculum_deciles",      # percentile-cut difficulty bucketing
+    "hll_merge",               # sharded HLL register roll-up == direct sketch
 ]
 
 

@@ -55,6 +55,17 @@ def hll_estimate(
     the fixed-size-summary property that makes HLL the right shape for
     a 1000-executor distinct count.
     """
+    return hll_estimate_from_registers(
+        hll_registers(df, value_col, group_cols), group_cols
+    )
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """The per-group register set (reg → max rank): the ≤m-row summary
+    that IS the mergeable sketch state — persist these per day/source
+    and union-merge later instead of re-reading raw data."""
     h = portable_base_hash(F.col(value_col).cast("string"))
     # h // m MUST be integer arithmetic: double division would round
     # above 2^53 and disagree with the SQL twin's exact `//`
@@ -64,11 +75,29 @@ def hll_estimate(
     rho = F.when(w == 0, F.lit(_WBITS)).otherwise(
         F.lit(_WBITS) - F.length(F.bin(w))
     )
-    regs = (
+    return (
         df.select(*group_cols, (h % HLL_M).alias("reg"), rho.alias("rho"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("mrho"))
     )
+
+
+def hll_merge_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Union-merge sharded register sets: element-wise max — the
+    associativity that lets per-day sketches roll up to any window
+    without touching raw data."""
+    return regs.groupBy(*group_cols, "reg").agg(
+        F.max("mrho").alias("mrho")
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Registers → estimate (exact-int harmonic sum, one float division,
+    linear-counting small-range correction)."""
     zsum = regs.groupBy(*group_cols).agg(
         # pyspark's shiftleft() only takes a literal bit count; the SQL
         # form accepts a column expression

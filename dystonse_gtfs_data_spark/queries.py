@@ -3845,10 +3845,59 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "event_type")
 
 
+@register(
+    "hll_merge",
+    None,  # replaced below (built from the sketch module's SQL twin)
+)
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import (
+        hll_estimate,
+        hll_estimate_from_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # shard the feed four ways (as if by ingest day), sketch each shard
+    # independently, then union-merge the register sets — the merged
+    # estimate must equal the direct whole-feed estimate EXACTLY
+    # (register max is associative and the harmonic sum is exact int64),
+    # which is the property that lets per-day sketches roll up to any
+    # window without re-reading raw data
+    sharded = ev.withColumn("shard", F.pmod(F.col("event_id"), F.lit(4)))
+    shard_regs = hll_registers(sharded, "user_id", ["event_type", "shard"])
+    merged = hll_estimate_from_registers(
+        hll_merge_registers(shard_regs, ["event_type"]), ["event_type"]
+    ).withColumnRenamed("hll_distinct", "hll_merged")
+    direct = hll_estimate(ev, "user_id", ["event_type"])
+    return (
+        merged.join(direct, "event_type")
+        .select("event_type", "hll_merged", "hll_distinct")
+        .orderBy("event_type")
+    )
+
+
 def _finalize_sketch_oracles() -> None:
     from .operators.sketches import hll_estimate_sql
 
     inner = hll_estimate_sql("events", "user_id", ["event_type"])
+    merge_spec = REGISTRY["hll_merge"]
+    REGISTRY["hll_merge"] = QuerySpec(
+        fn=merge_spec.fn,
+        # merged == direct by construction (associative register max +
+        # exact-int harmonic sum), so the twin computes the direct
+        # estimate once and asserts the engine's merged path equals it
+        oracle=f"""
+        WITH est AS ({inner})
+        SELECT event_type, hll_distinct AS hll_merged, hll_distinct
+        FROM est ORDER BY event_type
+        """,
+        covers="HLL sketch MERGE: per-shard register sets union-merged "
+        "by element-wise max, then estimated — merged result equals the "
+        "whole-feed sketch bit-for-bit (exact-int arithmetic), proving "
+        "the roll-up property that makes sketches the 100 TB answer to "
+        "distinct counts over sliding scopes",
+    )
     spec = REGISTRY["hll_distinct"]
     REGISTRY["hll_distinct"] = QuerySpec(
         fn=spec.fn,

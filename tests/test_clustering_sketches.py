@@ -132,3 +132,38 @@ class TestKmeans:
         out = kmeans_assign(df, k=2, rounds=1).toPandas()
         # identical vectors land in the same cluster
         assert out[out.vec_id == 0].cluster.iloc[0] == out[out.vec_id == 1].cluster.iloc[0]
+
+
+def test_hll_merge_invariant_to_sharding(spark):
+    """Register-set union-merge must reproduce the whole-set sketch for
+    ANY partition of the input — the roll-up property."""
+    import pyspark.sql.functions as F
+
+    from dystonse_gtfs_data_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_from_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 1100).alias("v"),
+    )
+    direct = {
+        r["g"]: r["hll_distinct"]
+        for r in hll_estimate(df, "v", ["g"]).collect()
+    }
+    for shards in (2, 7):
+        # shard by row id, NOT by value: duplicates of the same value
+        # must land in different shards for the merge to be exercised
+        sharded = df.withColumn("shard", F.pmod(F.col("id"), F.lit(shards)))
+        regs = hll_registers(sharded, "v", ["g", "shard"])
+        merged = {
+            r["g"]: r["hll_distinct"]
+            for r in hll_estimate_from_registers(
+                hll_merge_registers(regs, ["g"]), ["g"]
+            ).collect()
+        }
+        assert merged == direct, shards
