@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "reservoir_per_key",       # exact-k per-key deterministic sample
     "curriculum_deciles",      # percentile-cut difficulty bucketing
     "hll_merge",               # sharded HLL register roll-up == direct sketch
+    "bpe_tokenize",            # BPE apply: fold-tokenize + top-20 tokens
 ]
 
 

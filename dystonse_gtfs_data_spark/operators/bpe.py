@@ -83,11 +83,11 @@ def merge_pair_expr(sym, a: str, b: str):
     return F.aggregate(sym, init, step, fin)
 
 
-def bpe_train(
-    spark: SparkSession, wc: DataFrame, rounds: int = 6
-) -> DataFrame:
+def bpe_train_rules(
+    wc: DataFrame, rounds: int = 6
+) -> list[tuple[int, str, str, int]]:
     """R merge rounds over a word-count table → the ordered merge-rule
-    table (round, lhs, rhs, freq).  Each round: pair count (bounded
+    list [(round, lhs, rhs, freq)].  Each round: pair count (bounded
     shuffle), 1-row TakeOrdered argmax to the driver, rule applied as a
     fold expression.  The vocab table is persisted once; per-round
     lineage adds one projection (R is small — tokenizers use explicit
@@ -95,7 +95,7 @@ def bpe_train(
     base = wc.select(F.split("word", "").alias("sym"), "n").persist()
     base.count()  # materialize once; every round re-reads this
     df = base
-    rules = []
+    rules: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
         top = (
             df.select("n", F.explode(_adjacent_pairs(F.col("sym"))).alias("p"))
@@ -111,6 +111,28 @@ def bpe_train(
         rules.append((r, a, b, freq))
         df = df.select(merge_pair_expr(F.col("sym"), a, b).alias("sym"), "n")
     base.unpersist()
+    return rules
+
+
+def bpe_train(
+    spark: SparkSession, wc: DataFrame, rounds: int = 6
+) -> DataFrame:
+    """Merge-rule table (round, lhs, rhs, freq) — see
+    :func:`bpe_train_rules`."""
     return spark.createDataFrame(
-        rules, "round int, lhs string, rhs string, freq bigint"
+        bpe_train_rules(wc, rounds),
+        "round int, lhs string, rhs string, freq bigint",
     )
+
+
+def bpe_apply(
+    wc: DataFrame, rules: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """Tokenize the word table with an ordered rule list: R chained
+    fold projections (map-only — the rules are literals, nothing
+    shuffles until the consumer aggregates).  Returns (sym, n) with
+    ``sym`` the word's BPE token array."""
+    df = wc.select(F.split("word", "").alias("sym"), "n")
+    for _r, a, b, _f in rules:
+        df = df.select(merge_pair_expr(F.col("sym"), a, b).alias("sym"), "n")
+    return df

@@ -4422,6 +4422,43 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_tokenize",
+    # differential oracle: same Counter-based replica, extended through
+    # the apply stage (train rules, tokenize, top-20 token counts)
+    f"""
+    SELECT token, cnt, rank
+    FROM {_dt("expected_bpe_tokens")}
+    WHERE corpus_fp = (
+      SELECT CAST(sum((doc_id + 1) * length(text)) AS BIGINT) FROM documents
+    )
+    ORDER BY rank
+    """,
+    covers="BPE APPLY: tokenize the corpus with the trained merge rules "
+    "— R chained map-only fold projections over the word table, then a "
+    "token groupBy and a TakeOrdered top-20; completes the tokenizer "
+    "train→apply loop",
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.bpe import bpe_apply, bpe_train_rules, word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = word_counts(docs)
+    rules = bpe_train_rules(wc, rounds=6)
+    toks = (
+        bpe_apply(wc, rules)
+        .select(F.explode("sym").alias("token"), "n")
+        .groupBy("token")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("cnt"), "token")  # 20 rows only
+    return toks.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+@register(
     "reservoir_per_key",
     f"""
     WITH h AS (

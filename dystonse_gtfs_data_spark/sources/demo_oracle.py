@@ -195,6 +195,7 @@ def ensure_demo_oracle_dir() -> str:
 
     from .demo_oracle_pipeline import (
         expected_bpe_merges,
+        expected_bpe_tokens,
         expected_ivf_topk,
         expected_ivfpq_topk,
         expected_lsh_topk,
@@ -210,6 +211,7 @@ def ensure_demo_oracle_dir() -> str:
         }
     )
     lsh_frames, ivf_frames, ivfpq_frames, bpe_frames = [], [], [], []
+    bpetok_frames = []
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         d = os.path.join(TESTDATA_ROOT, sf)
         if os.path.exists(os.path.join(d, "embeddings.parquet")):
@@ -218,6 +220,7 @@ def ensure_demo_oracle_dir() -> str:
             ivfpq_frames.append(expected_ivfpq_topk(d))
         if os.path.exists(os.path.join(d, "documents.parquet")):
             bpe_frames.append(expected_bpe_merges(d))
+            bpetok_frames.append(expected_bpe_tokens(d))
     pq.write_table(
         pa.Table.from_pandas(
             pd.concat([_ANN_EMPTY, *lsh_frames], ignore_index=True),
@@ -254,6 +257,21 @@ def ensure_demo_oracle_dir() -> str:
             preserve_index=False,
         ),
         os.path.join(build_dir, "expected_bpe_merges.parquet"),
+    )
+    _BPETOK_EMPTY = pd.DataFrame(
+        {
+            "corpus_fp": pd.Series(dtype="int64"),
+            "token": pd.Series(dtype="object"),
+            "cnt": pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int64"),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat([_BPETOK_EMPTY, *bpetok_frames], ignore_index=True),
+            preserve_index=False,
+        ),
+        os.path.join(build_dir, "expected_bpe_tokens.parquet"),
     )
     # GTFS CSV form of the schedule fixture (gtfs_csv/*.txt): drives the
     # S1 feed scanner under the driver gate — Spark reads it via

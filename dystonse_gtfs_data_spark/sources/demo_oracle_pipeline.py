@@ -1114,3 +1114,47 @@ def expected_bpe_merges(sf_dir: str, rounds: int = 6) -> pd.DataFrame:
     return pd.DataFrame(
         out, columns=["corpus_fp", "round", "lhs", "rhs", "freq"]
     )
+
+
+def expected_bpe_tokens(
+    sf_dir: str, rounds: int = 6, k: int = 20
+) -> pd.DataFrame:
+    """Replica of train-then-apply: after the ``rounds`` merges of
+    expected_bpe_merges, count token occurrences weighted by word
+    frequency and keep the top ``k`` by (count desc, token asc)."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    fp = 0
+    wc: Counter = Counter()
+    for did, text in zip(t["doc_id"], t["text"]):
+        text = str(text)
+        fp += (int(did) + 1) * len(text)
+        for w in re.split(r"\s+", text.lower().strip()):
+            if w:
+                wc[w] += 1
+    syms = {w: list(w) for w in wc}
+    for _r in range(1, rounds + 1):
+        pc: Counter = Counter()
+        for w, n in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        (a, b), _freq = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for w in syms:
+            syms[w] = merge_word_py(syms[w], a, b)
+    tok: Counter = Counter()
+    for w, n in wc.items():
+        for s in syms[w]:
+            tok[s] += n
+    top = sorted(tok.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    out = [
+        {"corpus_fp": fp, "token": s, "cnt": c, "rank": i}
+        for i, (s, c) in enumerate(top, 1)
+    ]
+    return pd.DataFrame(out, columns=["corpus_fp", "token", "cnt", "rank"])
