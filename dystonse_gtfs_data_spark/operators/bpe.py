@@ -93,7 +93,7 @@ def bpe_train_rules(
     lineage adds one projection (R is small — tokenizers use explicit
     round counts, not convergence)."""
     base = wc.select(F.split("word", "").alias("sym"), "n").persist()
-    base.count()  # materialize once; every round re-reads this
+    base.count()  # materialize once; every round re-folds from here
     df = base
     rules: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
@@ -130,9 +130,17 @@ def bpe_apply(
 ) -> DataFrame:
     """Tokenize the word table with an ordered rule list: R chained
     fold projections (map-only — the rules are literals, nothing
-    shuffles until the consumer aggregates).  Returns (sym, n) with
-    ``sym`` the word's BPE token array."""
+    shuffles until the consumer aggregates).  The result is persisted
+    and materialized before returning: the nested R-fold expression
+    compiles fine as a plain Project (the training rounds run it every
+    round), but Catalyst would otherwise collapse it INTO the
+    consumer's Generate/explode, and codegen for a generator whose
+    child is a deep nested fold stalls janino for ~10 s — the cache
+    boundary keeps the fold out of the generator.  Vocab-sized, so the
+    cache is cheap; caller unpersists when done."""
     df = wc.select(F.split("word", "").alias("sym"), "n")
     for _r, a, b, _f in rules:
         df = df.select(merge_pair_expr(F.col("sym"), a, b).alias("sym"), "n")
+    df = df.persist()
+    df.count()
     return df
