@@ -56,15 +56,18 @@ def bloom_build(
     k: int = BLOOM_K,
     base_hash: str = "xxhash64",
 ) -> DataFrame:
-    """Fold a key set into a single-row dense ``array<bigint>`` Bloom
-    filter (``m_bits / 64`` words, little-endian bit order within each
-    word).  Associative by construction: filters built on shards merge
-    with element-wise ``bit_or``, so a 1000-executor build is the same
-    two-level aggregation Spark already runs here.
+    """Fold a key set into a SPARSE Bloom word table (widx → word,
+    little-endian bit order within each 64-bit word; only nonzero words
+    appear).  Associative by construction: word tables built on shards
+    merge with a ``bit_or`` groupBy, so a 1000-executor build is the
+    two-level aggregation Spark already runs here, and per-day filters
+    roll up like any sketch.  Densify with :func:`bloom_dense` at the
+    point of use (a map-typed relational densify measured 1.7 s of
+    per-element map scans for a 16 KiB filter — the sparse rows are the
+    right storage AND transfer format).
     """
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
-    n_words = m_bits >> 6
     hs = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
     pairs = keys.select(F.col(key_col).cast("string").alias("_k"), hs).select(
         F.pmod(
@@ -75,7 +78,7 @@ def bloom_build(
             F.lit(m_bits),
         ).alias("pos")
     )
-    words = (
+    return (
         pairs.select(
             F.shiftright(F.col("pos"), 6).cast("int").alias("widx"),
             # pyspark's shiftleft() takes only a literal count; the SQL
@@ -88,18 +91,16 @@ def bloom_build(
         .groupBy("widx")
         .agg(F.bit_or("bit").alias("word"))
     )
-    return words.groupBy().agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("widx", "word")))
-        ).alias("_m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("_m"), i), F.lit(0).cast("long")
-            ),
-        ).alias("bloom")
-    )
+
+
+def bloom_dense(word_rows, m_bits: int = BLOOM_M_BITS) -> list[int]:
+    """Sparse (widx, word) rows → the dense m/64-long word list the
+    probe expression indexes.  Bounded driver data: 16 KiB at the
+    default width, the same budget class as the IVF codebook sample."""
+    words = [0] * (m_bits >> 6)
+    for r in word_rows:
+        words[r["widx"]] |= r["word"]
+    return words
 
 
 def bloom_might_contain(
@@ -137,10 +138,18 @@ def bloom_semi_join(
     Spark broadcasts ``keys`` on its own, at 100 TB AQE picks the
     shuffle strategy — the Bloom prune is what keeps that shuffle
     small either way."""
-    bloom = bloom_build(keys, keys_key, m_bits, k, base_hash)
-    probed = large.join(F.broadcast(bloom)).filter(
-        bloom_might_contain(F.col(large_key), F.col("bloom"), m_bits, k, base_hash)
-    ).drop("bloom")
+    # ship the filter as a LITERAL array, not a joined column: a 1-row
+    # broadcast join copies the m/64-word array into every probe row's
+    # buffer (16 KiB × rows of pure memcpy — measured 3× the whole
+    # query); a driver-collected literal constant-folds once per task.
+    words = bloom_dense(
+        bloom_build(keys, keys_key, m_bits, k, base_hash).collect(), m_bits
+    )
+    probed = large.filter(
+        bloom_might_contain(
+            F.col(large_key), F.lit(words), m_bits, k, base_hash
+        )
+    )
     return probed.join(
         keys.select(F.col(keys_key).alias("__bk")).distinct(),
         probed[large_key] == F.col("__bk"),

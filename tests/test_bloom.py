@@ -8,7 +8,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dystonse_gtfs_data_spark.operators.bloom import (
+    BLOOM_M_BITS,
     bloom_build,
+    bloom_dense,
     bloom_might_contain,
     bloom_semi_join,
 )
@@ -18,6 +20,10 @@ def _corpus(spark, n=500):
     return spark.range(n).select(
         F.col("id").alias("k"), (F.col("id") * 3 % 97).alias("payload")
     )
+
+
+def _dense(spark_words, m_bits):
+    return bloom_dense(spark_words.collect(), m_bits)
 
 
 def test_bloom_semi_join_equals_exact_semi_join_under_fp_pressure(spark):
@@ -41,32 +47,38 @@ def test_bloom_probe_has_no_false_negatives(spark):
     operator rests on (a miss would silently drop true join matches)."""
     keys = _corpus(spark, 300).select("k")
     for base_hash in ("xxhash64", "md5"):
-        bloom = bloom_build(keys, "k", m_bits=1024, k=4, base_hash=base_hash)
-        survivors = (
-            keys.join(F.broadcast(bloom))
-            .filter(
-                bloom_might_contain(
-                    F.col("k"), F.col("bloom"), m_bits=1024, k=4, base_hash=base_hash
-                )
-            )
-            .count()
+        words = _dense(
+            bloom_build(keys, "k", m_bits=1024, k=4, base_hash=base_hash), 1024
         )
+        survivors = keys.filter(
+            bloom_might_contain(
+                F.col("k"), F.lit(words), m_bits=1024, k=4, base_hash=base_hash
+            )
+        ).count()
         assert survivors == 300, base_hash
 
 
 def test_bloom_filter_is_fixed_size_and_merges(spark):
-    """The summary is m/64 words regardless of key count, and filters
-    built on disjoint shards OR together into the filter of the union —
-    the associativity that makes a 1000-executor build a plain two-level
-    aggregation."""
+    """The summary is m/64 words regardless of key count, and word
+    tables built on disjoint shards OR together into the filter of the
+    union — the associativity that makes a 1000-executor build a plain
+    two-level aggregation (and per-day filters roll up like sketches)."""
     a = spark.range(0, 200).select(F.col("id").alias("k"))
     b = spark.range(200, 400).select(F.col("id").alias("k"))
     m = 2048
-    wa = bloom_build(a, "k", m_bits=m).collect()[0].bloom
-    wb = bloom_build(b, "k", m_bits=m).collect()[0].bloom
-    wu = bloom_build(a.union(b), "k", m_bits=m).collect()[0].bloom
+    wa = _dense(bloom_build(a, "k", m_bits=m), m)
+    wb = _dense(bloom_build(b, "k", m_bits=m), m)
+    # relational merge: union the sparse word tables, bit_or per widx
+    merged_df = (
+        bloom_build(a, "k", m_bits=m)
+        .union(bloom_build(b, "k", m_bits=m))
+        .groupBy("widx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    wu = _dense(bloom_build(a.union(b), "k", m_bits=m), m)
     assert len(wa) == len(wb) == len(wu) == m // 64
     assert [x | y for x, y in zip(wa, wb)] == wu
+    assert _dense(merged_df, m) == wu
 
 
 def test_bloom_prune_actually_prunes(spark):
@@ -75,10 +87,8 @@ def test_bloom_prune_actually_prunes(spark):
     table): probing 500 rows against 50 members leaves ≈50 survivors."""
     large = _corpus(spark)
     keys = spark.range(50).select((F.col("id") * 10).alias("kk"))
-    bloom = bloom_build(keys, "kk")
-    survivors = (
-        large.join(F.broadcast(bloom))
-        .filter(bloom_might_contain(F.col("k"), F.col("bloom")))
-        .count()
-    )
+    words = _dense(bloom_build(keys, "kk"), BLOOM_M_BITS)
+    survivors = large.filter(
+        bloom_might_contain(F.col("k"), F.lit(words))
+    ).count()
     assert 50 <= survivors < 80, survivors

@@ -349,18 +349,20 @@ def test_heat_strip_oracle_parity_plan_stays_jvm(spark, sf_dir):
 
 
 def test_bloom_semi_prune_probe_is_map_only_before_exchange(spark, sf_dir):
-    # the whole point of the operator: the Bloom probe must be a JVM
-    # expression filter fed by a 1-row broadcast (no shuffle of the big
-    # side before the getbit filter), and the verify join must see only
-    # survivors.  With auto-broadcast off the only broadcast left is the
-    # forced 1-row bloom attach.
+    # the whole point of the operator: the Bloom probe must be a pure
+    # map-side JVM expression filter over a constant-folded literal word
+    # array (NO join attaches the filter — a 1-row broadcast join would
+    # memcpy the 16 KiB array into every probe row), and only the exact
+    # verify join may shuffle, over survivors.
     with no_auto_broadcast(spark):
         df = Q.REGISTRY["bloom_semi_prune"].fn(spark, sf_dir)
         plan = formatted_plan(df)
         assert "pythonudf" not in plan.lower()
         assert "getbit" in plan.lower(), "bloom probe must be a JVM getbit filter"
-        assert plan.count("(1-row broadcast)") == 0  # doc marker, not an op
-        assert broadcast_join_count(df) == 1, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert broadcast_join_count(df) == 0, plan
+        # exactly one join: the exact verify semi join over survivors
+        assert plan.count(") SortMergeJoin") + plan.count(") ShuffledHashJoin") >= 1
     # big-side scan pruned to the 3 projected columns
     schemas = read_schemas(df)
     assert any(set(c) == {"o_orderkey", "o_custkey", "o_totalprice"} for c in schemas), schemas
