@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "curriculum_deciles",      # percentile-cut difficulty bucketing
     "hll_merge",               # sharded HLL register roll-up == direct sketch
     "bpe_tokenize",            # BPE apply: fold-tokenize + top-20 tokens
+    "chunk_documents",         # sliding-window chunking (map-only explode)
 ]
 
 

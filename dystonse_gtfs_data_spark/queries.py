@@ -1760,13 +1760,19 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import (
         ivfpq_topk,
-        train_centroids,
-        train_pq_codebooks,
+        kmeans_codebook,
+        pq_train_codebooks,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = train_centroids(emb, k=8, iterations=2)
-    books = train_pq_codebooks(emb, m_sub=8, ksub=8, iterations=2)
+    # ONE bounded sample collect feeds both trainers (identical rows the
+    # replica derives from its stable id sort)
+    sample = [
+        list(r["embedding"])
+        for r in emb.orderBy("vec_id").limit(4096).collect()
+    ]
+    cents = kmeans_codebook(sample, 8, 2)
+    books = pq_train_codebooks(sample, m_sub=8, ksub=8, iterations=2)
     q = emb.filter(F.col("vec_id") < 5)
     return ivfpq_topk(q, emb, cents, books, k=5, n_probe=3).orderBy(
         "query_id", "rank"
@@ -4537,6 +4543,56 @@ def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             decile.cast("int").alias("decile"),
         )
         .orderBy("doc_id")
+    )
+
+
+_CHUNK_SIZE = 200
+_CHUNK_OVERLAP = 40
+_CHUNK_STEP = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                    {_CHUNK_STEP})) AS start
+      FROM documents
+    )
+    SELECT doc_id, CAST(start // {_CHUNK_STEP} AS INT) AS chunk_idx,
+           substr(text, CAST(start + 1 AS INT), {_CHUNK_SIZE}) AS chunk,
+           length(substr(text, CAST(start + 1 AS INT), {_CHUNK_SIZE}))
+             AS chunk_len
+    FROM s
+    WHERE start = 0 OR start < length(text)
+    ORDER BY doc_id, chunk_idx
+    """,
+    covers="Document chunking for retrieval/context windows: fixed-size "
+    "sliding windows with overlap as a pure JVM sequence-explode + "
+    "substring — map-only (no shuffle; the explode multiplies rows "
+    "in place), the shape that chunks a 100 TB corpus in one pass",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.length("text") - 1, F.lit(0)),
+            F.lit(_CHUNK_STEP),
+        )
+    ).alias("start")
+    chunk = F.expr(f"substr(text, start + 1, {_CHUNK_SIZE})")
+    return (
+        docs.select("doc_id", "text", starts)
+        .filter((F.col("start") == 0) | (F.col("start") < F.length("text")))
+        .select(
+            "doc_id",
+            (F.col("start") / _CHUNK_STEP).cast("int").alias("chunk_idx"),
+            chunk.alias("chunk"),
+            F.length(chunk).alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_idx")
     )
 
 

@@ -222,3 +222,66 @@ class TestBpeTrain:
 
         docs = spark.createDataFrame([], "doc_id long, text string")
         assert bpe_train(spark, word_counts(docs), rounds=3).count() == 0
+
+
+class TestBpeFoldProperty:
+    def test_merge_fold_matches_python_twin_on_random_arrays(self, spark):
+        """Engine fold vs oracle fold, property-tested: for random symbol
+        arrays and a random target pair, merge_pair_expr must equal
+        merge_word_py exactly (the BPE oracles rest on this equivalence)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from dystonse_gtfs_data_spark.operators.bpe import merge_pair_expr
+        from dystonse_gtfs_data_spark.sources.demo_oracle_pipeline import (
+            merge_word_py,
+        )
+
+        rng = random.Random(42)
+        alphabet = ["a", "b", "c", "ab", "bc"]
+        cases = [
+            [rng.choice(alphabet) for _ in range(rng.randint(0, 12))]
+            for _ in range(120)
+        ]
+        for a, b in (("a", "b"), ("a", "a"), ("ab", "c"), ("b", "ab")):
+            df = spark.createDataFrame(
+                [(i, syms) for i, syms in enumerate(cases)],
+                "i int, sym array<string>",
+            )
+            got = {
+                r["i"]: r["m"]
+                for r in df.select(
+                    "i", merge_pair_expr(F.col("sym"), a, b).alias("m")
+                ).collect()
+            }
+            for i, syms in enumerate(cases):
+                assert got[i] == merge_word_py(syms, a, b), (syms, a, b)
+
+
+class TestChunking:
+    def test_chunks_reconstruct_the_document(self, spark, sf_dir):
+        """Dropping each chunk's overlap prefix (after the first) and
+        concatenating must reproduce the original text exactly — no
+        gaps, no double-counted seams."""
+        from dystonse_gtfs_data_spark import queries as Q
+        from dystonse_gtfs_data_spark.queries import _CHUNK_OVERLAP
+        from dystonse_gtfs_data_spark.sources.tables import load_table
+
+        chunks = Q.REGISTRY["chunk_documents"].fn(spark, sf_dir).collect()
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .collect()
+        }
+        by_doc: dict = {}
+        for r in chunks:
+            by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+        assert set(by_doc) == set(texts)
+        for doc_id, parts in by_doc.items():
+            parts.sort()
+            rebuilt = parts[0][1] + "".join(
+                c[_CHUNK_OVERLAP:] for _i, c in parts[1:]
+            )
+            assert rebuilt == texts[doc_id], doc_id
