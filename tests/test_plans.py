@@ -406,3 +406,42 @@ def test_bpe_round_is_bounded_shuffle_no_python(spark, sf_dir):
     # exactly two shuffles: the word groupBy and the pair groupBy
     assert shuffle_count(pairs) == 2, plan
     assert "partial" in plan.lower(), "map-side combine expected"
+
+
+def test_chunk_documents_is_map_only_before_output_sort(spark, sf_dir):
+    # chunking must multiply rows in place: no Python, no join, and the
+    # only exchange is the presentation orderBy
+    df = Q.REGISTRY["chunk_documents"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "pythonudf" not in plan.lower()
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) <= 1, plan
+
+
+def test_reservoir_partial_topk_bounds_the_exchange(spark, sf_dir):
+    # the (key, partition_id) partial aggregation must collapse rows to
+    # ≤k arrays BEFORE the exchange — the map-side combine marker is the
+    # partial_ aggregate over the slice/sort expression
+    from dystonse_gtfs_data_spark.operators.sampling import (
+        deterministic_reservoir,
+    )
+    from dystonse_gtfs_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = deterministic_reservoir(docs, "lang", "doc_id", k=20)
+    plan = formatted_plan(df)
+    assert "pythonudf" not in plan.lower()
+    assert "partial" in plan.lower(), "map-side partial top-k expected"
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan, plan
+
+
+def test_curriculum_deciles_has_no_global_sort_window(spark, sf_dir):
+    # the decile must come from broadcast percentile cuts + a map-only
+    # compare — a global ntile()/row_number window (one sort partition
+    # for the whole corpus) is the anti-pattern this query exists to
+    # replace.  The only window-free plan marker: no Window operator at
+    # all before the output sort.
+    df = Q.REGISTRY["curriculum_deciles"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert ") Window" not in plan, plan
+    assert broadcast_join_count(df) >= 1, "percentile cuts must broadcast"
