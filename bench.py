@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "hll_merge",               # sharded HLL register roll-up == direct sketch
     "bpe_tokenize",            # BPE apply: fold-tokenize + top-20 tokens
     "chunk_documents",         # sliding-window chunking (map-only explode)
+    "edit_distance_dedup",     # blocked Levenshtein near-dup pairs
 ]
 
 

@@ -4546,6 +4546,76 @@ def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDIT_PREFIX = 200  #: chars of each doc the distance is computed over
+_EDIT_MAX = 20  #: max edit distance for a near-dup pair
+
+
+@register(
+    "edit_distance_dedup",
+    f"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, {_EDIT_PREFIX}) AS p,
+             CAST(length(text) // 50 AS INT) AS lb,
+             split_part(trim(text), ' ', 1) AS w1
+      FROM documents
+    ),
+    keys AS (
+      SELECT doc_id, p, lb, w1 AS bk FROM d
+      UNION
+      SELECT doc_id, p, lb,
+             p[greatest(length(p) - 19, 1):] AS bk FROM d
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb
+      FROM keys a JOIN keys b ON a.lb = b.lb AND a.bk = b.bk
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(levenshtein(pa, pb) AS INT) AS dist
+    FROM cand
+    WHERE levenshtein(pa, pb) <= {_EDIT_MAX}
+    ORDER BY id_a, id_b
+    """,
+    covers="Edit-distance near-dup pairs: multi-key blocking (length "
+    "bucket × first-word and length bucket × tail-20-chars, unioned) "
+    "keeps the candidate space an EQUI-join — never an O(n²) cross "
+    "product — and the Levenshtein verify runs only on blocked pairs "
+    "over bounded prefixes.  Both engines implement the same classic "
+    "DP distance, so the twin is pure SQL",
+)
+def q_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.substring("text", 1, _EDIT_PREFIX).alias("p"),
+        F.floor(F.length("text") / 50).cast("int").alias("lb"),
+        F.split_part(F.trim("text"), F.lit(" "), F.lit(1)).alias("w1"),
+    )
+    tail = F.substring(
+        F.col("p"), F.greatest(F.length("p") - 19, F.lit(1)), 20
+    )
+    keys = d.select("doc_id", "p", "lb", F.col("w1").alias("bk")).union(
+        d.select("doc_id", "p", "lb", tail.alias("bk"))
+    ).distinct()
+    a = keys.select(
+        F.col("doc_id").alias("id_a"), F.col("p").alias("pa"), "lb", "bk"
+    )
+    b = keys.select(
+        F.col("doc_id").alias("id_b"), F.col("p").alias("pb"), "lb", "bk"
+    )
+    cand = (
+        a.join(b, ["lb", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("pa", "pb").cast("int"))
+        .filter(F.col("dist") <= _EDIT_MAX)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
 _CHUNK_SIZE = 200
 _CHUNK_OVERLAP = 40
 _CHUNK_STEP = _CHUNK_SIZE - _CHUNK_OVERLAP

@@ -445,3 +445,14 @@ def test_curriculum_deciles_has_no_global_sort_window(spark, sf_dir):
     plan = formatted_plan(df)
     assert ") Window" not in plan, plan
     assert broadcast_join_count(df) >= 1, "percentile cuts must broadcast"
+
+
+def test_edit_distance_dedup_is_blocked_equi_join(spark, sf_dir):
+    # blocking must keep candidates an equi-join on (length bucket, key)
+    # — never a cartesian pair space — with the Levenshtein verify as a
+    # post-join filter
+    df = Q.REGISTRY["edit_distance_dedup"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "levenshtein" in plan.lower(), plan
