@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "bpe_tokenize",            # BPE apply: fold-tokenize + top-20 tokens
     "chunk_documents",         # sliding-window chunking (map-only explode)
     "edit_distance_dedup",     # blocked Levenshtein near-dup pairs
+    "rank_correlation",        # exact-integer Spearman drift per group
 ]
 
 

@@ -4546,6 +4546,61 @@ def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rank_correlation",
+    """
+    WITH r AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rx,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS ry
+      FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(1.0 - 6.0 * CAST(sum((rx - ry) * (rx - ry)) AS DOUBLE)
+                 / (count(*) * (CAST(count(*) AS DOUBLE) * count(*) - 1)),
+                 9) AS spearman_rho
+    FROM r GROUP BY event_type HAVING count(*) > 1
+    ORDER BY event_type
+    """,
+    covers="Spearman rank correlation (time vs value per group, "
+    "deterministic row_number tie-break): is the delay DRIFTING?  The "
+    "rank difference sum is EXACT int64 — no float aggregation order to "
+    "drift between engines — and the per-group windows are the standard "
+    "sort-based shape (each group sorts within its own partition; no "
+    "global sort)",
+)
+def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wx = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wy = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_type",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    n = F.count("*")
+    return (
+        r.groupBy("event_type")
+        .agg(
+            n.cast("bigint").alias("n"),
+            F.round(
+                F.lit(1.0)
+                - F.lit(6.0)
+                * F.sum(d2).cast("double")
+                / (n * (n.cast("double") * n - 1)),
+                9,
+            ).alias("spearman_rho"),
+        )
+        .filter(F.col("n") > 1)
+        .orderBy("event_type")
+    )
+
+
 _EDIT_PREFIX = 200  #: chars of each doc the distance is computed over
 _EDIT_MAX = 20  #: max edit distance for a near-dup pair
 
