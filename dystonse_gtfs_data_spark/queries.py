@@ -4624,6 +4624,7 @@ _EDIT_MAX = 20  #: max edit distance for a near-dup pair
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb
       FROM keys a JOIN keys b ON a.lb = b.lb AND a.bk = b.bk
       WHERE a.doc_id < b.doc_id
+        AND abs(length(a.p) - length(b.p)) <= {_EDIT_MAX}
     )
     SELECT id_a, id_b, CAST(levenshtein(pa, pb) AS INT) AS dist
     FROM cand
@@ -4659,13 +4660,25 @@ def q_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         a.join(b, ["lb", "bk"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length-difference lower bound: |len(a)-len(b)| ≤ d is
+            # necessary for distance ≤ d — kills most pairs pre-DP
+            & (
+                F.abs(F.length("pa") - F.length("pb")) <= _EDIT_MAX
+            )
+        )
         .select("id_a", "id_b", "pa", "pb")
         .distinct()
     )
+    # 3-arg levenshtein: banded DP short-circuits past the threshold
+    # (O(n·d) not O(n²); returns -1 when exceeded) — the oracle computes
+    # the full distance and filters, same kept rows
     return (
-        cand.withColumn("dist", F.levenshtein("pa", "pb").cast("int"))
-        .filter(F.col("dist") <= _EDIT_MAX)
+        cand.withColumn(
+            "dist", F.levenshtein("pa", "pb", _EDIT_MAX).cast("int")
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _EDIT_MAX))
         .select("id_a", "id_b", "dist")
         .orderBy("id_a", "id_b")
     )
