@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "chunk_documents",         # sliding-window chunking (map-only explode)
     "edit_distance_dedup",     # blocked Levenshtein near-dup pairs
     "rank_correlation",        # exact-integer Spearman drift per group
+    "grouping_sets_report",    # one-scan multi-dimensional aggregation
 ]
 
 

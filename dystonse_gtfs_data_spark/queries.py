@@ -4547,6 +4547,43 @@ def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_report",
+    """
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(CAST(CAST(ts AS DATE) AS STRING), '<all>') AS day,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)),
+                            (event_type, CAST(ts AS DATE)), ())
+    ORDER BY event_type, day
+    """,
+    covers="Multi-dimensional aggregation via GROUPING SETS: one scan "
+    "feeds all four grouping combinations (Catalyst's Expand operator "
+    "— the cube/rollup family), with DECIMAL-exact value sums so the "
+    "cross-engine totals match bit-for-bit.  At 100 TB this replaces "
+    "four separate scan+agg jobs with one",
+)
+def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, '<all>') AS event_type,
+               coalesce(CAST(CAST(ts AS DATE) AS STRING), '<all>') AS day,
+               count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)
+                 AS total_value
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)),
+                                (event_type, CAST(ts AS DATE)), ())
+        ORDER BY event_type, day
+        """
+    )
+
+
+@register(
     "rank_correlation",
     """
     WITH r AS (
