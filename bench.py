@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "edit_distance_dedup",     # blocked Levenshtein near-dup pairs
     "rank_correlation",        # exact-integer Spearman drift per group
     "grouping_sets_report",    # one-scan multi-dimensional aggregation
+    "robust_outliers",         # median/MAD 3-sigma-robust outlier flags
 ]
 
 

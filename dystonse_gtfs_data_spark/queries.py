@@ -4547,6 +4547,65 @@ def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "robust_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+           any_value(d.med) AS med, any_value(m.mad) AS mad,
+           CAST(count(*) FILTER (WHERE d.ad > 3 * m.mad) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    covers="Robust outlier detection (median / median-absolute-deviation, "
+    "the quality-filter flavor that survives heavy tails): two "
+    "percentile aggregations with broadcast-back of the 1-row-per-group "
+    "cuts, then a map-only 3-MAD flag — no global sort, no window.  "
+    "Quantile cuts are 6-dp-quantized on both engines (the "
+    "curriculum_deciles boundary trick) so the strict compare is "
+    "engine-independent",
+)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("ad", F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "grouping_sets_report",
     """
     SELECT coalesce(event_type, '<all>') AS event_type,
