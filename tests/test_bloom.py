@@ -92,3 +92,18 @@ def test_bloom_prune_actually_prunes(spark):
         bloom_might_contain(F.col("k"), F.lit(words))
     ).count()
     assert 50 <= survivors < 80, survivors
+
+
+def test_portable_hash_positions_are_pinned(spark):
+    """Golden constants for the md5-fold position family: the DuckDB
+    twins regenerate these positions from the literal formula, so a
+    silent change to the fold (substr width, salt format, modulus)
+    would break every portable oracle.  Derived independently:
+    int(md5(f"{i}:42")[:15], 16) % 1024."""
+    from dystonse_gtfs_data_spark.operators.bloom import _bloom_pos
+
+    df = spark.range(1).select(F.lit(42).alias("k"))
+    got = df.select(
+        *[_bloom_pos(F.col("k"), i, 1024, "md5").alias(f"p{i}") for i in range(4)]
+    ).collect()[0]
+    assert [got[f"p{i}"] for i in range(4)] == [917, 585, 608, 885]
