@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "rank_correlation",        # exact-integer Spearman drift per group
     "grouping_sets_report",    # one-scan multi-dimensional aggregation
     "robust_outliers",         # median/MAD 3-sigma-robust outlier flags
+    "weighted_sample",         # weight-proportional exact-integer sampling
 ]
 
 

@@ -230,3 +230,63 @@ def reservoir_hash_sql(id_expr: str) -> str:
     return portable_base_hash_sql(
         f"substr(md5('rsv:' || CAST({id_expr} AS VARCHAR)), 1, 15)"
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    target_fraction: float,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weight-proportional sampling: a row survives iff
+
+        hash(id) · W_total  <  weight · target_fraction · 2^60 · N
+
+    where ``W_total = Σ weight`` and ``N = count(*)`` — i.e. each row's
+    keep probability is ``target_fraction · N · weight / W_total``
+    (importance sampling toward heavy documents; the expected kept
+    fraction of ROWS is ``target_fraction`` when weights are uniform,
+    and the expected kept fraction of WEIGHT is higher — the standard
+    token-weighted corpus downsample).
+
+    All arithmetic stays EXACT: the inequality multiplies int64s into
+    DECIMAL(38,0) (Spark decimal128 / DuckDB HUGEINT both compute it
+    exactly), so the kept set is bit-reproducible by any engine — no
+    float rate, no rand().  Scale: one tiny global agg broadcast back,
+    then a map-only filter."""
+    h = portable_base_hash(F.col(id_col).cast("string"))
+    tot = docs.agg(
+        F.sum(F.col(weight_col)).cast("decimal(38,0)").alias("_wtot"),
+        F.count("*").cast("decimal(38,0)").alias("_n"),
+    )
+    scale = int(round(target_fraction * (1 << 60)))
+    return (
+        docs.join(F.broadcast(tot))
+        .where(
+            h.cast("decimal(38,0)") * F.col("_wtot")
+            < F.col(weight_col).cast("decimal(38,0)")
+            * F.lit(scale).cast("decimal(38,0)")
+            * F.col("_n")
+        )
+        .drop("_wtot", "_n")
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    target_fraction: float,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (HUGEINT-exact)."""
+    fold = portable_base_hash_sql(
+        f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)"
+    )
+    scale = int(round(target_fraction * (1 << 60)))
+    return f"""
+    SELECT t.* FROM {table} t,
+      (SELECT CAST(sum({weight_col}) AS HUGEINT) AS wtot,
+              CAST(count(*) AS HUGEINT) AS n FROM {table}) s
+    WHERE CAST(({fold}) AS HUGEINT) * s.wtot
+          < CAST({weight_col} AS HUGEINT) * CAST({scale} AS HUGEINT) * s.n
+    """

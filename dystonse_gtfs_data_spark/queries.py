@@ -4546,6 +4546,32 @@ def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.sampling import weighted_sample_sql as _wss
+
+
+@register(
+    "weighted_sample",
+    f"""
+    WITH kept AS ({_wss('documents', 0.3, 'n_chars')})
+    SELECT doc_id, lang, n_chars FROM kept ORDER BY doc_id
+    """,
+    covers="Weight-proportional deterministic sampling (importance "
+    "sampling toward heavy documents — the token-weighted corpus "
+    "downsample): keep-probability ∝ weight via an EXACT decimal128/"
+    "HUGEINT integer inequality, no float rate, no rand(); one tiny "
+    "global agg broadcast back + a map-only filter",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, 0.3, "n_chars")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "robust_outliers",
     """

@@ -220,3 +220,33 @@ class TestDeterministicReservoir:
 
         df = spark.createDataFrame([(1, "x"), (2, "x")], ["doc_id", "lang"])
         assert deterministic_reservoir(df, "lang", "doc_id", k=10).count() == 2
+
+
+class TestWeightedSample:
+    def test_bias_toward_heavy_rows_and_determinism(self, spark):
+        from pyspark.sql import functions as F
+
+        from dystonse_gtfs_data_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, 10 if i % 2 else 1000) for i in range(2000)],
+            ["doc_id", "w"],
+        )
+        kept = weighted_sample(df, 0.2, "w")
+        rows = kept.collect()
+        heavy = sum(1 for r in rows if r["w"] == 1000)
+        light = len(rows) - heavy
+        # heavy rows are 100x more likely per unit — with mean weight
+        # 505, heavy keep-prob ≈ 0.2*1000/505 ≈ 0.4, light ≈ 0.004
+        assert heavy > 300 and light < 30, (heavy, light)
+        # deterministic: repartitioning must not change the kept set
+        again = weighted_sample(df.repartition(7), 0.2, "w").collect()
+        assert sorted(r["doc_id"] for r in rows) == sorted(
+            r["doc_id"] for r in again
+        )
+
+    def test_empty_input(self, spark):
+        from dystonse_gtfs_data_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame([], "doc_id long, w long")
+        assert weighted_sample(df, 0.5, "w").count() == 0
