@@ -4860,13 +4860,89 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # public API used by __spark_entry__
 # ---------------------------------------------------------------------------
 
+# The driver's per-round CORRECTNESS gate checks a ~50-entry prefix of this
+# catalog.  Rounds 2-3 green-lit 62 distinct entries; the names below have
+# never had a driver row (41 round-2/3 additions registered past the checked
+# prefix + the new journey_chain), followed by the 12 entries whose only
+# green row is round-2's.  queries()/oracle_sql() emit these FIRST so round
+# 4's prefix covers them; the 50 entries already green in CORRECTNESS_r03
+# keep their evidence on record and move to the back.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # never driver-checked (registered past the r2/r3 prefix)
+    "gap_fill_records",
+    "realtime_basis",
+    "basis_stream",
+    "skipped_updates",
+    "pii_redaction",
+    "repetition_signals",
+    "url_domains",
+    "tfidf_terms",
+    "gtfs_schedule_scan",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "statistics_tree_roundtrip",
+    "clean_corpus",
+    "winnow_passage_overlap",
+    "decontaminate",
+    "stratified_sample",
+    "dataset_mixture",
+    "pack_sequences",
+    "bigram_lm_score",
+    "dedup_clusters",
+    "hll_distinct",
+    "hll_merge",
+    "quantile_sketch",
+    "kmeans_clusters",
+    "heavy_hitters",
+    "zorder_layout",
+    "heat_strip_pixels",
+    "heat_strip_render",
+    "curve_svg_render",
+    "bloom_semi_prune",
+    "stream_dedup",
+    "bpe_merges",
+    "bpe_tokenize",
+    "reservoir_per_key",
+    "curriculum_deciles",
+    "weighted_sample",
+    "robust_outliers",
+    "grouping_sets_report",
+    "rank_correlation",
+    "edit_distance_dedup",
+    "chunk_documents",
+    "journey_chain",
+    # green in round 2 only (dropped out of round 3's checked prefix)
+    "stored_curve_quantiles",
+    "gtfs_records",
+    "gtfs_statistics",
+    "gtfs_predictions",
+    "walk_time_bounds",
+    "journey_transfers",
+    "master_variants",
+    "scheduled_predictions",
+    "display_formatting",
+    "visual_schedule",
+    "trip_resolution",
+    "departure_board",
+)
+
+
+def _ordered_registry() -> dict[str, QuerySpec]:
+    prioritized = {n: REGISTRY[n] for n in _DRIVER_PRIORITY if n in REGISTRY}
+    rest = {n: s for n, s in REGISTRY.items() if n not in prioritized}
+    return {**prioritized, **rest}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: spec.fn for name, spec in _ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     from .sources.demo_oracle import ensure_demo_oracle_dir
 
     ensure_demo_oracle_dir()  # the GTFS twins read_parquet these files
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+    return {
+        name: spec.oracle
+        for name, spec in _ordered_registry().items()
+        if spec.oracle
+    }
