@@ -117,12 +117,15 @@ def main() -> None:
     for t in ("orders", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
+    from dystonse_gtfs_data_spark.cache import release_persisted
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry[name].fn
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        release_persisted()  # drop operator-tracked caches between queries
 
     total = round(sum(timings.values()), 3)
     print(

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
+
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """The single corpus pass: whitespace words, lowercased."""
@@ -137,10 +139,9 @@ def bpe_apply(
     consumer's Generate/explode, and codegen for a generator whose
     child is a deep nested fold stalls janino for ~10 s — the cache
     boundary keeps the fold out of the generator.  Vocab-sized, so the
-    cache is cheap; caller unpersists when done."""
+    cache is cheap; the persist is tracked — harnesses drop it via
+    ``cache.release_persisted()`` after the consuming action."""
     df = wc.select(F.split("word", "").alias("sym"), "n")
     for _r, a, b, _f in rules:
         df = df.select(merge_pair_expr(F.col("sym"), a, b).alias("sym"), "n")
-    df = df.persist()
-    df.count()
-    return df
+    return tracked_persist(df, eager=True)

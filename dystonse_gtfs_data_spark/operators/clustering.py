@@ -68,7 +68,11 @@ def connected_components(
         .dropDuplicates(["id"])
         .withColumn("cluster", F.col("id"))
     )
-    prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+    # decimal(38,0): sum of ~n²/2 int64 node ids overflows (and silently
+    # wraps under non-ANSI Spark) past ~4e9 nodes; decimal128 keeps the
+    # monotone-sum convergence argument exact at any node count
+    _label_sum = F.sum(F.col("cluster").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).collect()[0][0]
     for _ in range(max_iter):
         contrib = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), "cluster"
@@ -78,7 +82,7 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("cluster").alias("cluster"))
         )
-        new_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+        new_sum = labels.agg(_label_sum).collect()[0][0]
         if new_sum == prev_sum:
             return labels
         prev_sum = new_sum

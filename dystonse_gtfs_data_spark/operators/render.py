@@ -42,6 +42,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
+
 # ColorBrewer 9-class sequential palettes (public; © Cynthia Brewer,
 # Apache-licensed color specs — values, not code).  Reference usage:
 # src/monitor/mod.rs:1216-1219 (Arrival → YlOrBr, Departure → YlGnBu).
@@ -216,7 +218,7 @@ def heat_strip_pixels(
     # the knot set is cap-bounded (O(groups × _CURVE_KNOT_CAP) rows) but its
     # LINEAGE is the full windowed ECDF over the fact table — persist so the
     # three consumers below (bounds, grid, segs) scan it once, not three times
-    knots = knots.persist()
+    knots = tracked_persist(knots)
     bounds = knots.groupBy(group_col).agg(
         F.min("x").alias("min_x"), F.max("x").alias("max_x")
     )
@@ -340,7 +342,7 @@ def curve_svg_paths(
     ``concat``/``array_join`` JVM expressions; no Python, one shuffle
     (the groupBy), knot count capped upstream."""
     g = F.col(group_col)
-    knots = knots.persist()  # same cap-bounded reuse as heat_strip_pixels
+    knots = tracked_persist(knots)  # same cap-bounded reuse as heat_strip_pixels
     wg = F.min("x").alias("min_x"), F.max("x").alias("max_x")
     bounds = knots.groupBy(group_col).agg(*wg)
     scaled = knots.join(bounds, group_col).select(

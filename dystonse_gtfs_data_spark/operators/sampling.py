@@ -179,6 +179,10 @@ def mixture_oracle_sql(
     """
 
 
+#: the portable md5 fold covers [0, 16^15) = [0, 2^60)
+_HASH_SPACE = 1 << 60
+
+
 def deterministic_reservoir(
     df: DataFrame,
     key_col: str,
@@ -189,37 +193,64 @@ def deterministic_reservoir(
     key by a salted portable hash of their id (a fixed uniform-random
     permutation any engine reproduces) and keep the first ``k``.
 
-    Scale shape: the naive per-key row_number sorts EVERY row of a key
-    through one window partition; here each input partition first folds
-    its rows into one ≤k array map-side (HashAggregate partial on
-    (key, partition_id)), so the exchange carries partitions × keys
-    bounded arrays and the final ranking window sees at most
-    partitions × k rows per key — same two-level trick as the
-    brute-force cosine top-k.  Unlike rate-based
+    Scale shape — threshold prefilter, not a per-key sort of the corpus:
+    the rank hash is uniform on [0, 2^60), so the k-th smallest value of
+    an n-row key concentrates around ``k/n · 2^60``.  One tiny per-key
+    count (map-side-combined agg, bytes per key) fixes a cutoff
+    ``T = (k + 6·√k + 64)/n · 2^60`` that keeps the true top-k with
+    overwhelming probability; the corpus itself then passes through a
+    broadcast-join + map-only filter, and only the ~k survivors per key
+    reach the ranking window.  Exactness is never probabilistic: a
+    second tiny count verifies every key kept ``min(k, n)`` survivors,
+    and any key that lost part of its top-k to the cutoff (vanishingly
+    rare, but possible) falls back to ranking its full row set.  Net
+    exchange volume is O(keys · k) instead of O(rows), and no operator
+    materializes an unbounded in-memory array — the failure mode of a
+    collect_list-based partial top-k under a hot key.  Unlike rate-based
     :func:`hash_stratified_sample` (map-only, approximate counts), this
     guarantees the exact per-key sample size a curriculum or eval-split
     builder needs."""
     h = portable_base_hash(
         F.concat(F.lit("rsv:"), F.col(id_col).cast("string"))
     ).alias("hv")
-    partial = (
-        df.select(F.col(key_col), F.col(id_col), h)
-        .groupBy(key_col, F.spark_partition_id().alias("_p"))
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("hv"), F.col(id_col)))
-                ),
-                1,
-                k,
-            ).alias("top")
+    base = df.select(F.col(key_col), F.col(id_col), h)
+
+    # data-derived only (count, not partition layout) → the sample is
+    # invariant under repartitioning, as the determinism contract demands
+    budget = float(k) + 6.0 * float(k) ** 0.5 + 64.0
+    counts = base.groupBy(key_col).agg(F.count("*").alias("_n"))
+    thresh = counts.withColumn(
+        "_t",
+        F.when(F.col("_n") <= F.lit(budget), F.lit(_HASH_SPACE))
+        .otherwise(
+            F.ceil(F.lit(budget) / F.col("_n") * F.lit(float(_HASH_SPACE)))
         )
-        .select(key_col, F.explode("top").alias("t"))
-        .select(key_col, F.col(f"t.{id_col}").alias(id_col), F.col("t.hv").alias("hv"))
+        .cast("long"),
+    )
+    surv = (
+        base.join(F.broadcast(thresh), key_col)
+        .where(F.col("hv") < F.col("_t"))
+        .select(key_col, id_col, "hv")
+    )
+
+    # exactness gate: a key whose survivor count fell below min(k, n) had
+    # its top-k clipped by the threshold — re-rank that key's full rows
+    bad = (
+        counts.join(
+            surv.groupBy(key_col).agg(F.count("*").alias("_s")), key_col, "left"
+        )
+        .where(
+            F.coalesce(F.col("_s"), F.lit(0))
+            < F.least(F.lit(k).cast("long"), F.col("_n"))
+        )
+        .select(key_col)
+    )
+    ranked_in = surv.join(F.broadcast(bad), key_col, "left_anti").unionByName(
+        base.join(F.broadcast(bad), key_col, "left_semi")
     )
     w = Window.partitionBy(key_col).orderBy("hv", id_col)
     return (
-        partial.withColumn("rn", F.row_number().over(w))
+        ranked_in.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(key_col, id_col, "rn")
     )
@@ -232,6 +263,15 @@ def reservoir_hash_sql(id_expr: str) -> str:
     )
 
 
+#: weighted_sample ranks rows by the TOP 40 bits of the 60-bit fold:
+#: 2^-40 keep-probability resolution is ample, and the smaller operand
+#: keeps every decimal128 product exact up to W_total ≈ 10^25 (the full
+#: 60-bit hash overflowed — silently NULLing the filter in non-ANSI
+#: Spark while the DuckDB HUGEINT twin raised — once W_total ~ 10^19)
+_WS_SHIFT = 20
+_WS_SPACE = 1 << 40
+
+
 def weighted_sample(
     docs: DataFrame,
     target_fraction: float,
@@ -240,7 +280,7 @@ def weighted_sample(
 ) -> DataFrame:
     """Deterministic weight-proportional sampling: a row survives iff
 
-        hash(id) · W_total  <  weight · target_fraction · 2^60 · N
+        (hash(id) >> 20) · W_total  <  weight · target_fraction · 2^40 · N
 
     where ``W_total = Σ weight`` and ``N = count(*)`` — i.e. each row's
     keep probability is ``target_fraction · N · weight / W_total``
@@ -252,23 +292,44 @@ def weighted_sample(
     All arithmetic stays EXACT: the inequality multiplies int64s into
     DECIMAL(38,0) (Spark decimal128 / DuckDB HUGEINT both compute it
     exactly), so the kept set is bit-reproducible by any engine — no
-    float rate, no rand().  Scale: one tiny global agg broadcast back,
+    float rate, no rand().  Both products carry a RUNTIME GUARD: if the
+    corpus's weight magnitudes ever exceed the decimal128-exact range
+    (W_total ≥ 10^25, or max-weight · scale · N ≥ 10^37) the filter
+    raises instead of letting non-ANSI Spark NULL the comparison and
+    silently drop rows.  Scale: one tiny global agg broadcast back,
     then a map-only filter."""
-    h = portable_base_hash(F.col(id_col).cast("string"))
+    h = F.shiftright(portable_base_hash(F.col(id_col).cast("string")), _WS_SHIFT)
     tot = docs.agg(
         F.sum(F.col(weight_col)).cast("decimal(38,0)").alias("_wtot"),
         F.count("*").cast("decimal(38,0)").alias("_n"),
+        F.max(F.col(weight_col)).cast("decimal(38,0)").alias("_wmax"),
     )
-    scale = int(round(target_fraction * (1 << 60)))
+    scale = int(round(target_fraction * _WS_SPACE))
+    # big-integer literals exceed F.lit's int64 range — parse as SQL
+    dec = lambda v: F.expr(f"CAST({v} AS DECIMAL(38,0))")  # noqa: E731
+    # hv < 2^40, so hv·W_total < 10^37 needs W_total < ~9·10^24; the
+    # right-hand product is bounded via max(weight) — a NULL guard
+    # (overflow inside the guard product itself) also routes to raise
+    guard = (F.col("_wtot") < dec(10**25)) & (
+        F.col("_wmax") * dec(scale) * F.col("_n") < dec(10**37)
+    )
+    keep = h.cast("decimal(38,0)") * F.col("_wtot") < F.col(weight_col).cast(
+        "decimal(38,0)"
+    ) * dec(scale) * F.col("_n")
     return (
         docs.join(F.broadcast(tot))
         .where(
-            h.cast("decimal(38,0)") * F.col("_wtot")
-            < F.col(weight_col).cast("decimal(38,0)")
-            * F.lit(scale).cast("decimal(38,0)")
-            * F.col("_n")
+            F.when(guard, keep).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "weighted_sample: weight magnitudes exceed the "
+                        "decimal128-exact range (W_total >= 1e25) — rescale "
+                        "weights before sampling"
+                    )
+                ).cast("boolean")
+            )
         )
-        .drop("_wtot", "_n")
+        .drop("_wtot", "_n", "_wmax")
     )
 
 
@@ -278,15 +339,16 @@ def weighted_sample_sql(
     weight_col: str,
     id_col: str = "doc_id",
 ) -> str:
-    """DuckDB twin of :func:`weighted_sample` (HUGEINT-exact)."""
+    """DuckDB twin of :func:`weighted_sample` (HUGEINT-exact; DuckDB
+    raises on HUGEINT overflow, matching the Spark side's guard)."""
     fold = portable_base_hash_sql(
         f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)"
     )
-    scale = int(round(target_fraction * (1 << 60)))
+    scale = int(round(target_fraction * _WS_SPACE))
     return f"""
     SELECT t.* FROM {table} t,
       (SELECT CAST(sum({weight_col}) AS HUGEINT) AS wtot,
               CAST(count(*) AS HUGEINT) AS n FROM {table}) s
-    WHERE CAST(({fold}) AS HUGEINT) * s.wtot
+    WHERE CAST(({fold}) // {1 << _WS_SHIFT} AS HUGEINT) * s.wtot
           < CAST({weight_col} AS HUGEINT) * CAST({scale} AS HUGEINT) * s.n
     """

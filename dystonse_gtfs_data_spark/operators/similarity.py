@@ -47,17 +47,19 @@ def cosine_topk(
     vec_col: str = "embedding",
     round_digits: int | None = 4,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k per query vector.
+    """Exact brute-force cosine top-k per query vector — the correctness
+    baseline against which :func:`lsh_topk` / :func:`ivf_topk` recall is
+    judged; at real scale those bucketed paths replace it.
 
     The query side is broadcast (queries are few); the corpus streams
     through executors — no shuffle of the corpus itself.  The per-query
-    top-k runs as a two-level partial aggregation: each input partition
-    folds its (query, score) pairs into one ≤k array map-side
-    (HashAggregate partial on (query_id, partition_id) collapses before
-    the exchange), so the shuffle carries partitions × queries bounded
-    arrays — never the O(queries × corpus) pair stream a bare
-    row_number window would sort.  Ties break (cosine desc,
-    neighbor_id asc), identical to the final ranking window.
+    ranking is a plain row_number window over narrow (query_id,
+    neighbor_id, cosine) rows: the exchange carries O(queries × corpus)
+    rows, but the window's external sort spills to disk, so no operator
+    ever materializes a per-group in-memory buffer — a hot query with a
+    billion scored candidates sorts through spill files where a
+    collect_list-style partial top-k would hold the whole slice as one
+    array and OOM.  Ties break (cosine desc, neighbor_id asc).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -69,36 +71,10 @@ def cosine_topk(
     )
     if round_digits is not None:
         scored = scored.withColumn("cosine", F.round("cosine", round_digits))
-    # negate neighbor_id inside the sort struct so reverse(array_sort)
-    # yields (cosine desc, neighbor_id asc) — the window's tie order
-    partial = (
-        scored.groupBy("query_id", F.spark_partition_id().alias("_p"))
-        .agg(
-            F.slice(
-                F.reverse(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("cosine"),
-                                (-F.col("neighbor_id")).alias("neg_id"),
-                            )
-                        )
-                    )
-                ),
-                1,
-                k,
-            ).alias("top")
-        )
-        .select("query_id", F.explode("top").alias("t"))
-        .select(
-            "query_id",
-            (-F.col("t.neg_id")).alias("neighbor_id"),
-            F.col("t.cosine").alias("cosine"),
-        )
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        partial.withColumn("rank", F.row_number().over(w))
+        scored.select("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

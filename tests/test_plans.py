@@ -418,10 +418,11 @@ def test_chunk_documents_is_map_only_before_output_sort(spark, sf_dir):
     assert shuffle_count(df) <= 1, plan
 
 
-def test_reservoir_partial_topk_bounds_the_exchange(spark, sf_dir):
-    # the (key, partition_id) partial aggregation must collapse rows to
-    # ≤k arrays BEFORE the exchange — the map-side combine marker is the
-    # partial_ aggregate over the slice/sort expression
+def test_reservoir_threshold_prefilter_bounds_the_exchange(spark, sf_dir):
+    # the corpus must reach the ranking window only through the broadcast
+    # threshold filter (≈k survivors per key) — no collect_list partial
+    # top-k (unbounded in-memory array under a hot key), no exchange of
+    # the full corpus into the window sort, no python
     from dystonse_gtfs_data_spark.operators.sampling import (
         deterministic_reservoir,
     )
@@ -431,8 +432,10 @@ def test_reservoir_partial_topk_bounds_the_exchange(spark, sf_dir):
     df = deterministic_reservoir(docs, "lang", "doc_id", k=20)
     plan = formatted_plan(df)
     assert "pythonudf" not in plan.lower()
-    assert "partial" in plan.lower(), "map-side partial top-k expected"
-    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan, plan
+    assert "collect_list" not in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan, plan
+    # the per-key count aggregations ARE map-side combined
+    assert "partial_count" in plan.lower() or "partial" in plan.lower(), plan
 
 
 def test_curriculum_deciles_has_no_global_sort_window(spark, sf_dir):

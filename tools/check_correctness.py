@@ -109,6 +109,10 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        finally:
+            from dystonse_gtfs_data_spark.cache import release_persisted
+
+            release_persisted()  # drop operator-tracked caches per query
         t1 = time.time()
         if name not in oracles:
             print(f"rows-only  {name}: {len(sdf)} rows, {t1 - t0:.1f}s")
