@@ -61,10 +61,33 @@ def _spread(df: DataFrame) -> DataFrame:
     a small parquet input arrives as a single split and would pin ONE
     core for the whole corpus.  Round-robin repartition up to cluster
     parallelism before the heavy projection — at real scale the file
-    splits already exceed it and this is a no-op."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    splits already exceed it and this is a no-op.
+
+    The small-input test rides the optimizer's ``sizeInBytes`` estimate
+    (driver-side plan stats, no job): ``df.rdd.getNumPartitions()``
+    would force a full physical-plan → RDD conversion per call just for
+    introspection.  Inputs smaller than parallelism × maxPartitionBytes
+    (i.e. scans that cannot fill every core) get the round-robin spread;
+    anything larger passes through untouched."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        max_pb = int(
+            spark._jvm.org.apache.spark.util.Utils.byteStringAsBytes(  # noqa: SLF001
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+            )
+        )
+        size = int(
+            str(
+                df._jdf.queryExecution()  # noqa: SLF001
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:
+        return df.repartition(target)  # stats unavailable — spread anyway
+    if size < target * max_pb:
         return df.repartition(target)
     return df
 

@@ -511,9 +511,13 @@ def q_extended_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s_suppkey") % 77) * 0.001).alias("lon"),
     )
     # Grid-cell equi-join (J8 scale path): linear shuffle instead of the
-    # O(n²) non-equi self-join that plans as BroadcastNestedLoop.
+    # O(n²) non-equi self-join that plans as BroadcastNestedLoop.  The
+    # fixture's latitude extent is fixed by construction (|lat| ≤ 0.07°),
+    # so pass the bound and skip the data-derived max(abs(lat)) job.
     return (
-        Fg.grid_proximity_pairs(s, ["s_suppkey"], "lat", "lon", 300.0)
+        Fg.grid_proximity_pairs(
+            s, ["s_suppkey"], "lat", "lon", 300.0, max_abs_lat_deg=0.07
+        )
         .filter(
             (F.col("s_suppkey_a") < F.col("s_suppkey_b")) & (F.col("dist_m") < 300.0)
         )
@@ -2739,7 +2743,9 @@ def q_walk_time_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Grid cells sized with ~1 m slack so the post-round <= 500.0 filter
     # (the oracle's predicate) never loses a boundary pair.
     pairs = (
-        Fg.grid_proximity_pairs(s, ["s_suppkey"], "lat", "lon", 501.0)
+        Fg.grid_proximity_pairs(
+            s, ["s_suppkey"], "lat", "lon", 501.0, max_abs_lat_deg=0.07
+        )
         .filter(F.col("s_suppkey_a") < F.col("s_suppkey_b"))
         .withColumn("dist_m", F.round("dist_m", 6))
         .filter(F.col("dist_m") <= 500.0)
