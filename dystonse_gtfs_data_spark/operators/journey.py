@@ -106,3 +106,137 @@ def transfer_chain(
         "arr_trip", "from_stop", "dep_trip", "to_stop", "distance_m",
         "reach_curve", "transfer_probability",
     )
+
+
+def journey_chain(
+    stops: DataFrame,
+    stop_times: DataFrame,
+    max_walk_m: float = 400.0,
+) -> DataFrame:
+    """Full ≥3-leg journey accumulation — the monitor's alternating
+    Stop → Trip → Stop → Walk → Stop → Trip → Stop component chain
+    (src/monitor/journey_data.rs:166-485), end to end:
+
+    - journey start: ±30 s step curve around t₀ = first departure − 120 s
+      (journey_data.rs:318-323), probability 1
+    - board trip 1 at its first stop: the accumulated probability
+      multiplies by P(transfer into the departure curve)
+      (journey_data.rs:441-447)
+    - ride to the trip's last stop — the stop component takes the trip's
+      own arrival curve; feasibility lives in the probability, not the
+      curve (journey_data.rs:283-292)
+    - walk to every stop within ``max_walk_m``: arrival ⊕ walk-duration
+      convolution, probability carried unchanged — "the chance to miss
+      the transfer into a walk is zero" (journey_data.rs:299-311)
+    - board trip 2 at any of its stop_times at the walk target, alight
+      at every LATER stop (the ring-route stop_sequence guard,
+      journey_data.rs:278-287)
+
+    Output: one row per feasible chain with the accumulated journey
+    probability and the median of the final arrival curve.
+
+    Scale shape: every join is an equi-join on stop/trip keys (walk legs
+    ride the grid-cell join — linear candidate space), curve algebra is
+    Arrow-batched pandas UDFs over bounded two-knot synthetic curves,
+    and the fan-out is bounded by walk radius × trip length.
+    """
+    from pyspark.sql import Window
+
+    from ..curves.udfs import curve_x_at_y
+
+    st = stop_times
+
+    def _step(x0, x1):
+        # absolute-seconds CDF through the float32 storage boundary
+        return F.array(
+            F.struct(
+                x0.cast("float").alias("x"), F.lit(0.0).cast("float").alias("y")
+            ),
+            F.struct(
+                x1.cast("float").alias("x"), F.lit(1.0).cast("float").alias("y")
+            ),
+        )
+
+    w_asc = Window.partitionBy("trip_id").orderBy("stop_sequence")
+    w_desc = Window.partitionBy("trip_id").orderBy(F.desc("stop_sequence"))
+    leg1 = (
+        st.withColumn("rn", F.row_number().over(w_asc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("trip_id").alias("trip1"),
+            F.col("stop_id").alias("board_stop"),
+            _step(
+                F.col("departure_time") - 150, F.col("departure_time") - 90
+            ).alias("start_curve"),
+            _step(
+                F.col("departure_time"), F.col("departure_time") + 180
+            ).alias("dep1_curve"),
+        )
+        .withColumn(
+            "prob1",
+            transfer_probability_udf(F.col("start_curve"), F.col("dep1_curve")),
+        )
+    )
+    ride1 = (
+        st.withColumn("rn", F.row_number().over(w_desc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("trip_id").alias("trip1"),
+            F.col("stop_id").alias("alight1_stop"),
+            _step(F.col("arrival_time") - 60, F.col("arrival_time") + 120).alias(
+                "arr1_curve"
+            ),
+        )
+    )
+    walk = walk_curves_between_stops(stops, max_distance_m=max_walk_m).select(
+        F.col("from_stop").alias("alight1_stop"),
+        F.col("to_stop").alias("walk_stop"),
+        "distance_m",
+        "walk_curve",
+    )
+    board2 = st.select(
+        F.col("trip_id").alias("trip2"),
+        F.col("stop_id").alias("walk_stop"),
+        F.col("stop_sequence").alias("board2_seq"),
+        _step(F.col("departure_time"), F.col("departure_time") + 180).alias(
+            "dep2_curve"
+        ),
+    )
+    alight2 = st.select(
+        F.col("trip_id").alias("trip2"),
+        F.col("stop_sequence").alias("alight2_seq"),
+        F.col("stop_id").alias("final_stop"),
+        _step(F.col("arrival_time") - 60, F.col("arrival_time") + 120).alias(
+            "arr2_curve"
+        ),
+    )
+    chains = (
+        leg1.join(ride1, "trip1")
+        .join(walk, "alight1_stop")
+        .withColumn(
+            "reach_curve", convolve_udf(F.col("arr1_curve"), F.col("walk_curve"))
+        )
+        .join(board2, "walk_stop")
+        .filter(F.col("trip2") != F.col("trip1"))
+        .withColumn(
+            "p_board2",
+            transfer_probability_udf(F.col("reach_curve"), F.col("dep2_curve")),
+        )
+        .join(alight2, "trip2")
+        .filter(F.col("alight2_seq") > F.col("board2_seq"))
+    )
+    return chains.select(
+        "trip1",
+        "board_stop",
+        "alight1_stop",
+        "walk_stop",
+        "trip2",
+        "final_stop",
+        F.round("distance_m", 3).alias("walk_m"),
+        F.round(F.col("prob1") * F.col("p_board2"), 6).alias(
+            "journey_probability"
+        ),
+        F.round(curve_x_at_y(F.col("arr2_curve"), F.lit(0.5)), 3).alias(
+            "final_arrival_median"
+        ),
+    )

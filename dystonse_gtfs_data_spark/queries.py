@@ -2806,6 +2806,29 @@ def q_journey_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("arr_trip", "from_stop", "dep_trip", "to_stop")
 
 
+@register(
+    "journey_chain",
+    # differential oracle: single-node pandas chain reimplementation
+    f"""
+    SELECT * FROM {_dt("expected_journey_chain")}
+    ORDER BY trip1, walk_stop, trip2, final_stop
+    """,
+    covers="End-to-end ≥3-leg journey: Stop→Trip→Stop→Walk→Stop→Trip→Stop "
+    "with accumulated transfer probability and curve algebra — C10 walk "
+    "curves, C13 convolution, C14 transfer probability, C11 median, chained "
+    "per the monitor's component accumulation "
+    "(src/monitor/journey_data.rs:166-485)",
+)
+def q_journey_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.journey import journey_chain
+    from .sources.demo import build_schedule
+
+    sched = build_schedule(spark)
+    return journey_chain(sched["stops"], sched["stop_times"], max_walk_m=400.0).orderBy(
+        "trip1", "walk_stop", "trip2", "final_stop"
+    )
+
+
 # Master-variant assignment as SQL: patterns as '|'-delimited strings so
 # contiguous-subsequence = substring; variants ordered by (len DESC,
 # variant ASC); a variant's master is the first earlier variant whose

@@ -180,11 +180,15 @@ def ensure_demo_oracle_dir() -> str:
         pa.Table.from_pandas(expected_scheduled_predictions(), preserve_index=False),
         os.path.join(build_dir, "expected_scheduled_predictions.parquet"),
     )
-    from .demo_oracle_pipeline import expected_journey_transfers
+    from .demo_oracle_pipeline import expected_journey_chain, expected_journey_transfers
 
     pq.write_table(
         pa.Table.from_pandas(expected_journey_transfers(), preserve_index=False),
         os.path.join(build_dir, "expected_journey_transfers.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(expected_journey_chain(), preserve_index=False),
+        os.path.join(build_dir, "expected_journey_chain.parquet"),
     )
     # per-SF LSH expected output, keyed by an integer corpus fingerprint
     # the oracle SQL recomputes from the live embeddings view.  Written

@@ -793,6 +793,74 @@ def expected_journey_transfers() -> pd.DataFrame:
     )
 
 
+def expected_journey_chain() -> pd.DataFrame:
+    """q_journey_chain: the 3-leg Stop→Trip→Stop→Walk→Stop→Trip→Stop
+    accumulation (operators/journey.py journey_chain) re-derived with
+    explicit loops; curve interiors shared with the engine
+    (golden-pinned), orchestration independent."""
+    from ..curves.core import convolve_cdfs, transfer_probability, walk_time_curve
+
+    sched = schedule_rows()
+    stops = pd.DataFrame(
+        sched["stops"], columns=["stop_id", "stop_name", "stop_lat", "stop_lon"]
+    )
+    st = pd.DataFrame(
+        sched["stop_times"],
+        columns=["trip_id", "stop_sequence", "stop_id", "arrival_time", "departure_time"],
+    )
+
+    def _syn(x0, x1):
+        return _store(Curve([float(x0), float(x1)], [0.0, 1.0]))
+
+    out = []
+    for trip1, g in st.groupby("trip_id"):
+        g = g.sort_values("stop_sequence")
+        first, last = g.iloc[0], g.iloc[-1]
+        start = _syn(first["departure_time"] - 150, first["departure_time"] - 90)
+        dep1 = _syn(first["departure_time"], first["departure_time"] + 180)
+        prob1 = transfer_probability(start, dep1)
+        arr1 = _syn(last["arrival_time"] - 60, last["arrival_time"] + 120)
+        b = stops[stops["stop_id"] == last["stop_id"]].iloc[0]
+        for _, c in stops.iterrows():
+            if c["stop_id"] == last["stop_id"]:
+                continue
+            d = _haversine_m(
+                b["stop_lat"], b["stop_lon"], c["stop_lat"], c["stop_lon"]
+            )
+            if d > 400.0:
+                continue
+            walk = _store(walk_time_curve(d))
+            reach = _store(convolve_cdfs(arr1, walk))
+            b2s = st[(st["stop_id"] == c["stop_id"]) & (st["trip_id"] != trip1)]
+            for _, b2 in b2s.iterrows():
+                dep2 = _syn(b2["departure_time"], b2["departure_time"] + 180)
+                prob = prob1 * transfer_probability(reach, dep2)
+                down = st[
+                    (st["trip_id"] == b2["trip_id"])
+                    & (st["stop_sequence"] > b2["stop_sequence"])
+                ]
+                for _, a2 in down.iterrows():
+                    arr2 = _syn(a2["arrival_time"] - 60, a2["arrival_time"] + 120)
+                    out.append(
+                        {
+                            "trip1": trip1,
+                            "board_stop": first["stop_id"],
+                            "alight1_stop": last["stop_id"],
+                            "walk_stop": c["stop_id"],
+                            "trip2": b2["trip_id"],
+                            "final_stop": a2["stop_id"],
+                            "walk_m": round(float(d), 3),
+                            "journey_probability": round(float(prob), 6),
+                            "final_arrival_median": round(
+                                float(arr2.x_at_y(0.5)), 3
+                            ),
+                        }
+                    )
+    return pd.DataFrame(out).sort_values(
+        ["trip1", "walk_stop", "trip2", "final_stop"], ignore_index=True
+    )
+
+
 def corpus_fingerprint(ids, vecs) -> int:
     """Integer fingerprint of an embeddings table, computable identically
     in SQL: sum((vec_id+1) * floor(first_component * 1e6)).  float32

@@ -87,6 +87,45 @@ class TestJourneyUdfs:
         sure = [h for h in hops if h["transfer_probability"] > 0.99]
         assert sure
 
+    def test_journey_chain_accumulation(self, spark):
+        from dystonse_gtfs_data_spark.operators.journey import journey_chain
+
+        sched = build_schedule(spark)
+        rows = journey_chain(
+            sched["stops"], sched["stop_times"], max_walk_m=400.0
+        ).collect()
+        assert rows
+        for r in rows:
+            # only 3-leg chains: trip2 differs, walk leg is real
+            assert r["trip1"] != r["trip2"]
+            assert 0.0 < r["walk_m"] <= 400.0
+            assert 0.0 <= r["journey_probability"] <= 1.0
+        # the demo fixture's feasible chain families: t_sub (ends s9) →
+        # walk → t_long, and t_long (ends s15) → walk → t_sub; t_short
+        # is geographically isolated (stops ~1.1 km apart)
+        assert {r["trip1"] for r in rows} == {"t_sub", "t_long"}
+        assert {r["trip2"] for r in rows} == {"t_long", "t_sub"}
+        # t_sub arrives s9 at 09:15:30, every t_long departure is ≤09:00
+        # → the accumulated probability of every t_sub→t_long chain
+        # collapses to 0 even though the first-leg boarding prob is 1
+        assert all(
+            r["journey_probability"] < 0.01
+            for r in rows
+            if r["trip1"] == "t_sub"
+        )
+        # final arrival median = scheduled arrival + 30 s (two-knot
+        # synthetic curve arr-60 → arr+120 evaluated at y=0.5)
+        st = {
+            (t, s): arr
+            for t, _seq, s, arr, _dep in __import__(
+                "dystonse_gtfs_data_spark.sources.demo", fromlist=["schedule_rows"]
+            ).schedule_rows()["stop_times"]
+        }
+        for r in rows[:10]:
+            assert (
+                r["final_arrival_median"] == st[(r["trip2"], r["final_stop"])] + 30.0
+            )
+
 
 class TestMasterVariants:
     def test_subsequence_grouping(self, spark):
