@@ -687,3 +687,106 @@ def ivfpq_topk(
             "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    rounds: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    removal with the pair space bounded by k-means clustering instead of
+    LSH buckets — the curation step that drops paraphrases and template
+    variants exact/minhash dedup cannot see.
+
+    1. Cluster every vector with the deterministic fixed-point k-means
+       (:func:`..operators.clustering.kmeans_assign` — engine-pinned
+       assignments, so the DuckDB twin lands on identical clusters).
+    2. Intra-cluster pairwise cosine via an EQUI-join on the cluster id:
+       candidates are Σ_c m_c² , never corpus² — the clustering is the
+       blocking structure, exactly the LSH-band role in minhash dedup.
+    3. Keep-min-id survivorship: a row is a duplicate iff some LOWER-id
+       member of its cluster reaches ``threshold`` cosine.
+
+    Output: (id, cluster, keep) for every input row.
+
+    Scale shape: at 100 TB, k must grow with the corpus (SemDeDup uses
+    k ≈ √N) so per-cluster membership stays bounded; the join is a plain
+    shuffle equi-join, so AQE's skew-join split handles a hot cluster,
+    and the dot product runs as JVM zip_with/aggregate folds — no
+    Python, no driver-side matrices.
+    """
+    from ..cache import tracked_persist
+    from .clustering import kmeans_assign
+
+    # the assignment feeds three consumers (both pair sides + the output
+    # join); persist the narrow (id, cluster) table so the unrolled
+    # k-means plan runs once — at any scale this is 16 bytes/row, the
+    # standard SemDeDup materialization.  Harnesses drop it via
+    # cache.release_persisted().
+    assign = tracked_persist(
+        kmeans_assign(embeddings, id_col, vec_col, k=k, rounds=rounds).select(
+            F.col(id_col).alias("vid"), "cluster"
+        )
+    )
+    vecs = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    members = assign.join(vecs, "vid")
+    a = members.select(
+        F.col("vid").alias("id_a"), "cluster", F.col("vec").alias("vec_a")
+    )
+    b = members.select(
+        F.col("vid").alias("id_b"), "cluster", F.col("vec").alias("vec_b")
+    )
+    dup_ids = (
+        a.join(b, "cluster")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(
+            _dot(F.col("vec_a"), F.col("vec_b"))
+            / (_norm(F.col("vec_a")) * _norm(F.col("vec_b")))
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_a").alias("vid"))
+        .distinct()
+    )
+    return (
+        assign.join(dup_ids.withColumn("_dup", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    rounds: int = 2,
+    threshold: float = 0.4,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup`: the k-means twin as a
+    nested CTE (identical assignments by construction), then the same
+    intra-cluster lower-id cosine rule."""
+    from .clustering import kmeans_assign_sql
+
+    km = kmeans_assign_sql(table, id_col, vec_col, k=k, rounds=rounds)
+    return f"""
+    WITH assign AS ({km}),
+    dups AS (
+      SELECT DISTINCT a.{id_col} AS vid
+      FROM assign a
+      JOIN assign b ON b.cluster = a.cluster AND b.{id_col} < a.{id_col}
+      JOIN {table} ea ON ea.{id_col} = a.{id_col}
+      JOIN {table} eb ON eb.{id_col} = b.{id_col}
+      WHERE list_cosine_similarity(CAST(ea.{vec_col} AS DOUBLE[]),
+                                   CAST(eb.{vec_col} AS DOUBLE[])) >= {threshold!r}
+    )
+    SELECT a.{id_col}, a.cluster,
+           (d.vid IS NULL) AS keep
+    FROM assign a LEFT JOIN dups d ON d.vid = a.{id_col}
+    """

@@ -4052,6 +4052,37 @@ _finalize_kmeans_oracle()
 
 
 @register(
+    "semantic_dedup",
+    None,  # replaced below (built from the similarity module's SQL twin)
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, rounds=2, threshold=0.4)
+
+
+def _finalize_semantic_dedup_oracle() -> None:
+    from .operators.similarity import semantic_dedup_sql
+
+    spec = REGISTRY["semantic_dedup"]
+    REGISTRY["semantic_dedup"] = QuerySpec(
+        fn=spec.fn,
+        oracle=semantic_dedup_sql("embeddings", k=8, rounds=2, threshold=0.4),
+        covers="SemDeDup (arXiv:2303.09540) semantic near-dup removal: "
+        "deterministic fixed-point k-means bounds the pair space "
+        "(intra-cluster equi-join, Σ m_c² candidates, never corpus²), "
+        "keep-min-id survivorship over the JVM cosine fold — the "
+        "paraphrase/template dedup layer exact+minhash cannot see, "
+        "hash-checked against a nested-CTE SQL twin reusing the k-means "
+        "twin's engine-pinned assignments",
+    )
+
+
+_finalize_semantic_dedup_oracle()
+
+
+@register(
     "heavy_hitters",
     None,  # replaced below (built from the sketch module's SQL twin)
 )
@@ -4940,6 +4971,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "edit_distance_dedup",
     "chunk_documents",
     "journey_chain",
+    "semantic_dedup",
     # green in round 2 only (dropped out of round 3's checked prefix)
     "stored_curve_quantiles",
     "gtfs_records",

@@ -124,6 +124,34 @@ class TestKmeans:
         assert a.equals(b)
         assert a.cluster.nunique() <= 8
 
+    def test_semantic_dedup_keeps_min_id_within_cluster(self, spark):
+        from dystonse_gtfs_data_spark.operators.similarity import semantic_dedup
+
+        # two separable blobs; within each blob every vector is a
+        # near-perfect cosine duplicate of every other (same direction),
+        # so SemDeDup must keep exactly the min id per blob
+        rows = [
+            (i, [(-1.0 if i < 10 else 1.0) * (1.0 + (i % 3) * 0.001)] * 4)
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = semantic_dedup(df, k=2, rounds=2, threshold=0.9).toPandas()
+        assert len(out) == 20
+        kept = sorted(out[out.keep].vec_id)
+        assert kept == [0, 10]
+        # cross-blob cosine is -1 (< threshold): blob membership must not
+        # leak dups across clusters
+        assert out.groupby("cluster").keep.sum().tolist() == [1, 1]
+
+    def test_semantic_dedup_all_unique_when_orthogonal(self, spark):
+        from dystonse_gtfs_data_spark.operators.similarity import semantic_dedup
+
+        # orthogonal unit vectors: cosine 0 everywhere, nothing dropped
+        rows = [(i, [1.0 if j == i else 0.0 for j in range(4)]) for i in range(4)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = semantic_dedup(df, k=2, rounds=1, threshold=0.5).toPandas()
+        assert out.keep.all()
+
     def test_negative_values_quantize_consistently(self, spark):
         from dystonse_gtfs_data_spark.operators.clustering import KM_SCALE, kmeans_assign
 

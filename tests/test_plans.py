@@ -341,6 +341,16 @@ def test_countmin_sketch_shuffle_is_fixed_width(spark, sf_dir):
     )
 
 
+def test_semantic_dedup_pairs_are_cluster_equijoin(spark, sf_dir):
+    # the SemDeDup pair space must ride the cluster-id equi-join — no
+    # CartesianProduct/BNLJ anywhere, no python on the cosine path
+    df = Q.REGISTRY["semantic_dedup"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "pythonudf" not in plan.lower(), plan
+
+
 def test_heat_strip_oracle_parity_plan_stays_jvm(spark, sf_dir):
     df = Q.REGISTRY["heat_strip_pixels"].fn(spark, sf_dir)
     plan = formatted_plan(df)
