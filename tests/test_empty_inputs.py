@@ -27,6 +27,7 @@ NOT_SF_TABLE_DRIVEN = {
     "gtfs_records",
     "gtfs_schedule_scan",
     "gtfs_statistics",
+    "journey_chain",
     "journey_transfers",
     "master_variants",
     "realtime_basis",
