@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "grouping_sets_report",    # one-scan multi-dimensional aggregation
     "robust_outliers",         # median/MAD 3-sigma-robust outlier flags
     "weighted_sample",         # weight-proportional exact-integer sampling
+    # round-4 additions
+    "semantic_dedup",          # SemDeDup: k-means-bucketed cosine near-dup removal
 ]
 
 

@@ -227,14 +227,24 @@ def deterministic_reservoir(
         )
         .cast("long"),
     )
-    surv = (
+    # survivors are ~budget rows per key — persist the tiny set so the
+    # exactness count and the ranking window both read the cache instead
+    # of rescanning the corpus (harnesses release via cache module)
+    from ..cache import tracked_persist
+
+    surv = tracked_persist(
         base.join(F.broadcast(thresh), key_col)
         .where(F.col("hv") < F.col("_t"))
         .select(key_col, id_col, "hv")
     )
 
     # exactness gate: a key whose survivor count fell below min(k, n) had
-    # its top-k clipped by the threshold — re-rank that key's full rows
+    # its top-k clipped by the threshold — re-rank that key's full rows.
+    # The probe is a bounded driver-side scalar over the CACHED survivor
+    # set (clipping probability < 1e-8 per key at the chosen margin), so
+    # the common path never pays the fallback's extra corpus scan — AQE
+    # does not prune an empty-broadcast semi join branch at runtime, a
+    # full wasted scan at corpus scale if left in the plan.
     bad = (
         counts.join(
             surv.groupBy(key_col).agg(F.count("*").alias("_s")), key_col, "left"
@@ -245,9 +255,12 @@ def deterministic_reservoir(
         )
         .select(key_col)
     )
-    ranked_in = surv.join(F.broadcast(bad), key_col, "left_anti").unionByName(
-        base.join(F.broadcast(bad), key_col, "left_semi")
-    )
+    if bad.limit(1).count() > 0:
+        ranked_in = surv.join(F.broadcast(bad), key_col, "left_anti").unionByName(
+            base.join(F.broadcast(bad), key_col, "left_semi")
+        )
+    else:
+        ranked_in = surv
     w = Window.partitionBy(key_col).orderBy("hv", id_col)
     return (
         ranked_in.withColumn("rn", F.row_number().over(w))

@@ -213,6 +213,35 @@ class TestDeterministicReservoir:
             (r["lang"], r["rn"], r["doc_id"]) for r in out2
         )
 
+    def test_threshold_clip_falls_back_to_exact_rank(self, spark):
+        # adversarial key: 120 ids chosen (by scanning the salted md5
+        # fold) so EVERY hash sits above the prefilter threshold
+        # T = (k + 6√k + 64)/n · 2^60 ≈ 0.62·2^60 — zero survivors, so
+        # the exactness gate must re-rank the key's full rows and still
+        # return exactly k, identical to the plain-window answer
+        import hashlib
+
+        from dystonse_gtfs_data_spark.operators.sampling import (
+            deterministic_reservoir,
+        )
+
+        def fold(s: str) -> int:
+            return int(hashlib.md5(f"rsv:{s}".encode()).hexdigest()[:15], 16)
+
+        k, n = 2, 120
+        thresh = int((k + 6 * k**0.5 + 64) / n * (1 << 60)) + 1
+        ids, i = [], 0
+        while len(ids) < n:
+            if fold(str(i)) >= thresh:
+                ids.append(i)
+            i += 1
+        df = spark.createDataFrame([(v, "hot") for v in ids], ["doc_id", "lang"])
+        out = deterministic_reservoir(df, "lang", "doc_id", k=k).collect()
+        expect = sorted(ids, key=lambda x: (fold(str(x)), x))[:k]
+        assert sorted((r["rn"], r["doc_id"]) for r in out) == [
+            (j + 1, v) for j, v in enumerate(expect)
+        ]
+
     def test_small_key_returns_all_rows(self, spark):
         from dystonse_gtfs_data_spark.operators.sampling import (
             deterministic_reservoir,
