@@ -732,20 +732,32 @@ def semantic_dedup(
             F.col(id_col).alias("vid"), "cluster"
         )
     )
-    vecs = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    # norms computed ONCE per member (map-side), not per pair — the pair
+    # join then pays only the dot fold, a 3× cut of the per-pair work
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
     members = assign.join(vecs, "vid")
     a = members.select(
-        F.col("vid").alias("id_a"), "cluster", F.col("vec").alias("vec_a")
+        F.col("vid").alias("id_a"),
+        "cluster",
+        F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = members.select(
-        F.col("vid").alias("id_b"), "cluster", F.col("vec").alias("vec_b")
+        F.col("vid").alias("id_b"),
+        "cluster",
+        F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     dup_ids = (
         a.join(b, "cluster")
         .filter(F.col("id_b") < F.col("id_a"))
         .filter(
             _dot(F.col("vec_a"), F.col("vec_b"))
-            / (_norm(F.col("vec_a")) * _norm(F.col("vec_b")))
+            / (F.col("nrm_a") * F.col("nrm_b"))
             >= F.lit(threshold)
         )
         .select(F.col("id_a").alias("vid"))

@@ -106,3 +106,58 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def skipping_stats(
+    df: DataFrame,
+    order_key: Column,
+    stat_col: str,
+    lo: Column,
+    hi: Column,
+    file_buckets: int = 64,
+    layout_name: str = "layout",
+) -> DataFrame:
+    """Data-skipping effectiveness of a file layout, measured: bucket
+    rows into ``file_buckets`` synthetic "files" by equal-width ranges
+    of ``order_key`` (the write order a clustered layout would produce),
+    compute each file's min/max footer stats for ``stat_col``, and count
+    how many files a ``stat_col BETWEEN lo AND hi`` scan must open.
+
+    This is the number the lakehouse OPTIMIZE ZORDER decision needs —
+    measured, not guessed: run it once with the Z-order key and once
+    with the natural key and compare ``files_hit``.  All arithmetic is
+    exact integer (equal-width bucketing from one global min/max agg),
+    so an independent SQL twin reproduces file membership exactly.
+
+    Output: one row — (layout, n_files, files_hit, rows_in_hit_files).
+    """
+    kb = df.select(
+        order_key.cast("bigint").alias("_k"),
+        F.col(stat_col).alias("_s"),
+        lo.alias("_lo"),
+        hi.alias("_hi"),
+    )
+    bounds = kb.agg(F.min("_k").alias("_kmin"), F.max("_k").alias("_kmax"))
+    width = (
+        F.floor((F.col("_kmax") - F.col("_kmin")) / F.lit(file_buckets)) + 1
+    )
+    files = (
+        kb.join(F.broadcast(bounds))
+        .withColumn("_file", F.floor((F.col("_k") - F.col("_kmin")) / width))
+        .groupBy("_file")
+        .agg(
+            F.min("_s").alias("_smin"),
+            F.max("_s").alias("_smax"),
+            F.count("*").alias("_rows"),
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+        )
+    )
+    hit = (F.col("_smin") <= F.col("_hi")) & (F.col("_smax") >= F.col("_lo"))
+    # groupBy on the literal (not a global agg) so an empty input yields
+    # zero rows instead of a single all-null report row
+    return files.groupBy(F.lit(layout_name).alias("layout")).agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.when(hit, 1).otherwise(0)).alias("files_hit"),
+        F.sum(F.when(hit, F.col("_rows")).otherwise(0)).alias("rows_in_hit_files"),
+    )

@@ -1,0 +1,74 @@
+"""corpus_diff / skipping_stats / ann_recall semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dystonse_gtfs_data_spark.operators.snapshot import corpus_diff
+
+
+class TestCorpusDiff:
+    def test_four_statuses(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "c CHANGED"), (4, "d")], ["doc_id", "text"]
+        )
+        out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+        assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+    def test_fingerprints_not_text_cross_shuffle(self, spark):
+        # the join schema must carry only (id, fp) — no text column
+        old = spark.createDataFrame([(1, "x" * 10)], ["doc_id", "text"])
+        new = spark.createDataFrame([(1, "x" * 10)], ["doc_id", "text"])
+        df = corpus_diff(old, new)
+        assert set(df.columns) == {"doc_id", "status"}
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        # the full-outer join inputs project fingerprints, not text
+        assert "fp_old" in plan and "fp_new" in plan
+
+
+class TestSkippingStats:
+    def test_clustered_key_skips_files(self, spark):
+        from dystonse_gtfs_data_spark.sources.layout import skipping_stats
+
+        # key == stat: a perfectly clustered layout; predicate covers
+        # the first 1/16 of the value range → ~4 of 64 files hit
+        df = spark.createDataFrame(
+            [(i, i) for i in range(6400)], ["k", "v"]
+        )
+        out = skipping_stats(
+            df,
+            F.col("k"),
+            "v",
+            F.lit(0),
+            F.lit(399),
+            layout_name="clustered",
+        ).collect()[0]
+        assert out["layout"] == "clustered"
+        assert out["n_files"] == 64
+        assert out["files_hit"] <= 5
+        assert out["rows_in_hit_files"] >= 400
+
+    def test_shuffled_key_hits_everything(self, spark):
+        from dystonse_gtfs_data_spark.sources.layout import skipping_stats
+
+        # key decorrelated from stat: every file spans the whole range
+        df = spark.createDataFrame(
+            [((i * 2654435761) % 6400, i) for i in range(6400)], ["k", "v"]
+        )
+        out = skipping_stats(
+            df, F.col("k"), "v", F.lit(0), F.lit(399)
+        ).collect()[0]
+        assert out["files_hit"] == out["n_files"]
+
+
+class TestAnnRecall:
+    def test_recall_bounds_and_zero_when_exact(self, spark, sf_dir):
+        from dystonse_gtfs_data_spark import queries as Q
+
+        rows = Q.REGISTRY["ann_recall"].fn(spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert 0.0 <= r["recall"] <= 1.0
