@@ -1,0 +1,271 @@
+"""CLI — the reference's four top-level commands, Spark-first.
+
+Mirrors ``dystonse-gtfs-data {import|analyse|predict|monitor}``
+(src/main.rs:123-201), with the MySQL backend replaced by a parquet
+"database" under ``--dir``:
+
+    {dir}/schedules/   GTFS schedule zips/dirs (input)
+    {dir}/rt/          GTFS-rt protobuf files (input)
+    {dir}/db/records   RECORDS table      (import writes)
+    {dir}/db/predictions  PREDICTIONS     (import/predict write)
+    {dir}/curves       statistics tree    (analyse writes, S8 layout)
+
+Deviations (ARCHITECTURE.md): the monitor is a query command printing
+JSON lines, not an HTTP server — the departure-board/journey data paths
+are the same operators the web layer would call.  ``import`` here is
+the reference's batch mode; the streaming path (automatic mode) lives
+in streaming/pipeline.start_records_stream and is exercised by tests.
+
+Usage examples:
+    python -m dystonse_gtfs_data_spark --dir data --source vbn import
+    python -m dystonse_gtfs_data_spark --dir data --source vbn analyse
+    python -m dystonse_gtfs_data_spark --dir data --source vbn predict \
+        --trip-id t1 --date-time "2024-01-01 08:00:00"
+    python -m dystonse_gtfs_data_spark --dir data --source vbn monitor \
+        --stop-ids s1,s2 --window-start "2024-01-01 08:00:00" \
+        --window-end "2024-01-01 09:00:00"
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _schedule_path(args) -> str:
+    if args.schedule:
+        return args.schedule
+    candidates = sorted(
+        glob.glob(os.path.join(args.dir, "schedules", "*"))
+    )
+    if not candidates:
+        sys.exit(f"no schedule found under {args.dir}/schedules (use --schedule)")
+    return candidates[-1]  # newest by name (date-stamped filenames)
+
+
+def cmd_import(spark, args) -> None:
+    """Batch import: rt files → records (+ realtime predictions).
+    The reference's `import batch` path (src/importer/mod.rs:138-151)."""
+    from pyspark.sql import functions as F
+
+    from .operators.predict import generate_realtime_predictions
+    from .operators.records import build_records, merge_records
+    from .operators.specific_curves import stop_indexed
+    from .sources.gtfs import read_gtfs
+    from .sources.rt import decode_feed_messages
+    from .sources.sinks import load_statistics, save_predictions
+
+    sched = read_gtfs(spark, _schedule_path(args))
+    rt_dir = os.path.join(args.dir, "rt")
+    feed_files = spark.read.format("binaryFile").load(rt_dir)
+    updates = decode_feed_messages(feed_files)
+    records = build_records(
+        updates, sched["trips"], sched["stop_times"], source=args.source
+    )
+
+    records_path = os.path.join(args.dir, "db", "records")
+    key = [
+        "source", "route_id", "trip_id", "trip_start_date",
+        "trip_start_time", "stop_sequence",
+    ]
+    if os.path.exists(records_path):
+        existing = spark.read.parquet(records_path)
+        merged = merge_records(existing, records, key=key)
+    else:
+        merged = records
+    tmp = records_path + ".staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    final_tmp = records_path + ".old"
+    if os.path.exists(records_path):
+        os.rename(records_path, final_tmp)
+    os.rename(tmp, records_path)
+    if os.path.exists(final_tmp):
+        import shutil
+
+        shutil.rmtree(final_tmp)
+    n = spark.read.parquet(records_path).count()
+    print(json.dumps({"command": "import", "records": n}))
+
+    curves_path = os.path.join(args.dir, "curves")
+    if os.path.exists(curves_path):
+        stats = load_statistics(spark, curves_path)
+        preds = generate_realtime_predictions(
+            spark.read.parquet(records_path),
+            stop_indexed(sched["stop_times"]),
+            sched["routes"],
+            sched["trips"],
+            stats,
+        )
+        pred_path = os.path.join(args.dir, "db", "predictions")
+        save_predictions(preds, pred_path)
+        try:
+            n_pred = spark.read.parquet(pred_path).count()
+        except Exception:
+            n_pred = 0  # no basis fans out to a later stop → empty table
+        print(json.dumps({"command": "import", "predictions": n_pred}))
+
+
+def cmd_analyse(spark, args) -> None:
+    """compute-curves: records → specific + default statistics tree
+    (src/analyser/mod.rs:143-189)."""
+    from .operators.default_curves import default_statistics
+    from .operators.specific_curves import (
+        enrich_records,
+        specific_statistics,
+        stop_indexed,
+    )
+    from .sources.gtfs import read_gtfs
+    from .sources.sinks import save_statistics
+
+    sched = read_gtfs(spark, _schedule_path(args))
+    records = spark.read.parquet(os.path.join(args.dir, "db", "records"))
+    if args.route_ids:
+        records = records.filter(records.route_id.isin(args.route_ids.split(",")))
+    sti = stop_indexed(sched["stop_times"])
+    stats = specific_statistics(records, sched["stop_times"]).unionByName(
+        default_statistics(enrich_records(records, sti), sched["routes"])
+    )
+    path = os.path.join(args.dir, "curves")
+    save_statistics(stats, path)
+    try:
+        n = spark.read.parquet(path).count()
+    except Exception:
+        n = 0  # all groups below the min-sample guards → empty tree
+    print(json.dumps({"command": "analyse", "statistics_rows": n}))
+
+
+def cmd_predict(spark, args) -> None:
+    """Single prediction lookup (src/predictor/mod.rs:118-239)."""
+    from pyspark.sql import functions as F
+
+    from .functions.route import route_section
+    from .functions.time import time_slot_id
+    from .operators.predict import predict
+    from .operators.specific_curves import stop_indexed
+    from .sources.gtfs import read_gtfs
+    from .sources.sinks import load_statistics
+
+    sched = read_gtfs(spark, _schedule_path(args))
+    stats = load_statistics(spark, os.path.join(args.dir, "curves"))
+    sti = stop_indexed(sched["stop_times"])
+    trips = sched["trips"].filter(F.col("trip_id") == args.trip_id)
+    req = (
+        trips.join(sti, "trip_id")
+        .join(sched["routes"].select("route_id", "route_type"), "route_id")
+    )
+    if args.stop_sequence is not None:
+        req = req.filter(F.col("stop_sequence") == args.stop_sequence)
+    from .schemas import EVENT_ARRIVAL, EVENT_DEPARTURE
+
+    event = EVENT_ARRIVAL if args.event_type == "arrival" else EVENT_DEPARTURE
+    ts = F.lit(args.date_time).cast("timestamp")
+    req = req.select(
+        F.lit(args.source).alias("source"),
+        "route_id",
+        "route_variant",
+        "route_type",
+        "trip_id",
+        F.lit(None).cast("int").alias("start_stop_index"),
+        F.col("stop_index").alias("end_stop_index"),
+        "stop_sequence",
+        "stop_id",
+        F.lit(args.initial_delay).cast("double").alias("initial_delay"),
+        F.lit(event).cast("int").alias("event_type"),
+        ts.alias("scheduled_time"),
+        time_slot_id(ts).alias("time_slot_id"),
+        route_section(F.col("stop_index"), F.col("stop_count")).alias(
+            "route_section"
+        ),
+    )
+    out = predict(stats, req)
+    for row in out.collect():
+        d = row.asDict()
+        curve = d.pop("prediction_curve", None)
+        d["curve_points"] = len(curve) if curve is not None else 0
+        d = {
+            k: (str(v) if not isinstance(v, (int, float, str, type(None))) else v)
+            for k, v in d.items()
+        }
+        print(json.dumps(d, default=str))
+
+
+def cmd_monitor(spark, args) -> None:
+    """Departure board query — the stop page's data
+    (src/monitor/mod.rs:426-591) as JSON lines."""
+    from pyspark.sql import functions as F
+
+    from .operators.monitor import departure_board
+    from .sources.sinks import load_predictions
+
+    preds = load_predictions(spark, os.path.join(args.dir, "db", "predictions"))
+    trip_max = None
+    sched_path = _schedule_path(args) if args.schedule or glob.glob(
+        os.path.join(args.dir, "schedules", "*")
+    ) else None
+    if sched_path:
+        from .sources.gtfs import read_gtfs
+
+        sched = read_gtfs(spark, sched_path)
+        trip_max = sched["stop_times"].groupBy("trip_id").agg(
+            F.max("stop_sequence").alias("max_stop_sequence")
+        )
+    board = departure_board(
+        preds,
+        stop_ids=args.stop_ids.split(","),
+        window_min=args.window_start,
+        window_max=args.window_end,
+        trip_max_sequences=trip_max,
+    )
+    for row in board.collect():
+        d = {
+            k: v
+            for k, v in row.asDict().items()
+            if k != "prediction_curve"
+        }
+        print(json.dumps(d, default=str))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(
+        prog="dystonse_gtfs_data_spark",
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("--dir", required=True, help="data directory (schedules/, rt/, db/, curves)")
+    p.add_argument("--source", required=True, help="data-source identifier")
+    p.add_argument("--schedule", help="explicit GTFS schedule path (else newest under {dir}/schedules)")
+    p.add_argument("--master", default=os.environ.get("SPARK_MASTER", "local[*]"))
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("import", help="decode rt files into records (+ predictions if curves exist)")
+    a = sub.add_parser("analyse", help="compute the statistics tree from records")
+    a.add_argument("--route-ids", help="comma-separated route filter")
+    pr = sub.add_parser("predict", help="single prediction lookup")
+    pr.add_argument("--trip-id", required=True)
+    pr.add_argument("--stop-sequence", type=int)
+    pr.add_argument("--event-type", choices=["arrival", "departure"], default="departure")
+    pr.add_argument("--date-time", required=True, help="YYYY-MM-DD HH:MM:SS")
+    pr.add_argument("--initial-delay", type=float)
+    m = sub.add_parser("monitor", help="departure board as JSON lines")
+    m.add_argument("--stop-ids", required=True, help="comma-separated stop ids")
+    m.add_argument("--window-start", required=True)
+    m.add_argument("--window-end", required=True)
+
+    args = p.parse_args(argv)
+
+    from .session import build_session
+
+    spark = build_session(f"cli-{args.command}", master=args.master)
+    {
+        "import": cmd_import,
+        "analyse": cmd_analyse,
+        "predict": cmd_predict,
+        "monitor": cmd_monitor,
+    }[args.command](spark, args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""End-to-end CLI: import → analyse → import (predictions) → monitor
+over a temp --dir with a GTFS schedule and encoded GTFS-rt files —
+the reference's four top-level commands (src/main.rs:123-201) on the
+parquet backend."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from dystonse_gtfs_data_spark.__main__ import main as cli_main
+from dystonse_gtfs_data_spark.sources.rt import encode_feed_message
+
+GTFS_CSV = {
+    "agency": "agency_id,agency_name\na1,Demo Transit\n",
+    "routes": "route_id,agency_id,route_short_name,route_type\nr1,a1,R1,3\n",
+    "stops": (
+        "stop_id,stop_name,stop_lat,stop_lon\n"
+        + "\n".join(f"s{i},Stop {i},53.{i:03d},8.8" for i in range(8))
+        + "\n"
+    ),
+    "trips": "trip_id,route_id,service_id,trip_headsign\nta,r1,svc,Down\n",
+    "stop_times": (
+        "trip_id,stop_sequence,stop_id,arrival_time,departure_time\n"
+        + "\n".join(
+            f"ta,{i + 1},s{i},{28770 + i * 300},{28800 + i * 300}"
+            for i in range(8)
+        )
+        + "\n"
+    ),
+    "calendar": (
+        "service_id,monday,tuesday,wednesday,thursday,friday,saturday,sunday,start_date,end_date\n"
+        "svc,true,true,true,true,true,false,false,2024-01-01,2024-12-31\n"
+    ),
+}
+
+
+@pytest.fixture()
+def data_dir(tmp_path):
+    d = tmp_path / "data"
+    sched = d / "schedules" / "2024-01-01-feed"
+    sched.mkdir(parents=True)
+    for name, content in GTFS_CSV.items():
+        (sched / f"{name}.txt").write_text(content)
+    rt = d / "rt"
+    rt.mkdir()
+    # one vehicle per weekday across 2024-01: enough samples per
+    # (section, slot, event) group to clear the ≥10 default-curve guard
+    import datetime as dt
+
+    day = dt.date(2024, 1, 1)
+    vehicles = 0
+    while vehicles < 12:
+        if day.weekday() < 5:  # workday slot, same as the 08:xx times
+            rows = [
+                {
+                    "trip_id": "ta",
+                    "start_date": day.strftime("%Y%m%d"),
+                    "start_time": "08:00:00",
+                    "route_id": "r1",
+                    "stop_id": f"s{i}",
+                    "stop_sequence": i + 1,
+                    "arrival_delay": 40 + vehicles * 7 + i * 5,
+                    "departure_delay": 40 + vehicles * 7 + i * 5 + 3,
+                }
+                # only the first 3 stops report: the realtime basis then
+                # fans predictions out to the trip's remaining stops
+                for i in range(3)
+            ]
+            blob = encode_feed_message(
+                rows, header_timestamp=1704096000 + vehicles * 86400
+            )
+            (rt / f"{day.isoformat()}T08-00-00.pb").write_bytes(blob)
+            vehicles += 1
+        day += dt.timedelta(days=1)
+    return str(d)
+
+
+def _run(capsys, *argv) -> list[dict]:
+    cli_main(list(argv))
+    out = capsys.readouterr().out.strip()
+    return [json.loads(line) for line in out.splitlines() if line.startswith("{")]
+
+
+def test_full_cli_lifecycle(spark, data_dir, capsys):
+    base = ["--dir", data_dir, "--source", "test"]
+
+    # 1. import: rt files → records
+    out = _run(capsys, *base, "import")
+    assert out[0]["command"] == "import"
+    assert out[0]["records"] > 0
+    assert os.path.exists(os.path.join(data_dir, "db", "records"))
+
+    # 2. analyse: records → statistics tree
+    out = _run(capsys, *base, "analyse")
+    assert out[0]["statistics_rows"] > 0
+    assert os.path.exists(os.path.join(data_dir, "curves"))
+
+    # 3. import again: latest-wins merge + realtime predictions
+    out = _run(capsys, *base, "import")
+    assert any("predictions" in d for d in out)
+    assert os.path.exists(os.path.join(data_dir, "db", "predictions"))
+
+    # 4. predict: single lookup prints per-stop JSON rows
+    out = _run(
+        capsys, *base, "predict",
+        "--trip-id", "ta", "--date-time", "2024-01-01 08:00:00",
+    )
+    assert out and all("precision_type" in d for d in out)
+
+    # 5. monitor: departure board JSON lines within the window
+    out = _run(
+        capsys, *base, "monitor",
+        "--stop-ids", "s1,s2,s3",
+        "--window-start", "2024-01-01 00:00:00",
+        "--window-end", "2024-01-02 00:00:00",
+    )
+    assert out
+    for d in out:
+        assert d["stop_id"] in {"s1", "s2", "s3"}
