@@ -101,6 +101,10 @@ BENCH_QUERIES = [
     "weighted_sample",         # weight-proportional exact-integer sampling
     # round-4 additions
     "semantic_dedup",          # SemDeDup: k-means-bucketed cosine near-dup removal
+    "ann_recall",              # recall@5 of the LSH path vs brute force
+    "corpus_diff",             # snapshot delta via fingerprint full-outer join
+    "zorder_skipping",         # measured files-hit: zorder vs natural layout
+    "stream_near_dup",         # streaming minhash LSH index (keyed state)
 ]
 
 

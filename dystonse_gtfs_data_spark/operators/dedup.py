@@ -632,3 +632,61 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def rowwise_minhash_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-row minhash band signatures with NO shuffle — higher-order
+    functions only.  The streaming form of :func:`minhash_signatures`:
+    a stateless projection ahead of the keyed-state dup detector
+    (streaming/aggregations.streaming_near_dup), where the batch
+    explode+groupBy shape would add a second stateful operator to the
+    stream.  Same md5-fold hash family, permutations, and banding as
+    the batch path, so a SQL twin reproduces every signature.
+
+    Output: one row per (id, band_id, band_sig).
+    """
+    fam = _hash_family(num_hashes)
+    sh = shingles(text_col, shingle_k)
+    # separate projection: the num_hashes array_min consumers reference
+    # the hashed shingle array as an attribute, so the md5 fold runs
+    # once per shingle (the winnow_fingerprints codegen-trap pattern)
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(sh, lambda s: portable_base_hash(s) % MERSENNE_P).alias(
+            "_hm"
+        ),
+    )
+    def _perm(a: int, b: int):
+        return lambda h: (h * a + b) % MERSENNE_P
+
+    mins = [
+        F.array_min(F.transform(F.col("_hm"), _perm(a, b))).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(fam)
+    ]
+    sigs = hashed.select(id_col, *mins)
+    bands = num_hashes // rows_per_band
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"_mh{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(rows).alias("_b")).select(
+        id_col, F.col("_b.band_id").alias("band_id"), F.col("_b.band_sig").alias("band_sig")
+    )

@@ -4644,6 +4644,111 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("event_id")
 
 
+_SND_FAM_SQL = "fam(i, a, b) AS (VALUES " + ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(_hash_family(16))
+) + ")"
+
+
+@register(
+    "stream_near_dup",
+    # exact batch twin: with id-ordered micro-batch replay, "first doc
+    # ever seen with this band signature" == "min doc_id with it"
+    f"""
+    WITH {_SND_FAM_SQL},
+    tokd AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 2, 1))) AS i
+      FROM tokd
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+                  ELSE array_to_string(toks[i + 1 : i + 3], ' ') END AS shingle
+      FROM pos
+    ),
+    hashed AS (
+      SELECT doc_id, ({portable_base_hash_sql("hx")}) % {MERSENNE_P} AS hm
+      FROM (SELECT doc_id, substr(md5(shingle), 1, 15) AS hx FROM sh0)
+    ),
+    mins AS (
+      SELECT doc_id, f.i, min((hm * f.a + f.b) % {MERSENNE_P}) AS mh
+      FROM hashed CROSS JOIN fam f GROUP BY doc_id, f.i
+    ),
+    bands AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band_id,
+             string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i) AS sig
+      FROM mins GROUP BY doc_id, i // 4
+    ),
+    firsts AS (
+      SELECT band_id, sig, min(doc_id) AS first_id FROM bands GROUP BY 1, 2
+    ),
+    hits AS (
+      SELECT b.doc_id, f.first_id AS dup_of
+      FROM bands b JOIN firsts f USING (band_id, sig)
+      WHERE f.first_id < b.doc_id
+    )
+    SELECT doc_id, CAST(min(dup_of) AS BIGINT) AS dup_of,
+           CAST(count(*) AS BIGINT) AS bands_matched
+    FROM hits GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    covers="STREAMING minhash near-dup detection: stateless per-row band "
+    "signatures (HOFs, no shuffle) feed an applyInPandasWithState keyed "
+    "LSH index — one state row per distinct (band, signature), emitting "
+    "only duplicates; real multi-batch Structured Streaming execution "
+    "checked against the exact batch twin (id-ordered replay makes "
+    "'first seen' == 'min id')",
+)
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from .operators.dedup import rowwise_minhash_bands
+    from .streaming.aggregations import streaming_near_dup
+    from .streaming.pipeline import stream_state_partitions
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0] or 0
+    # stage 4 id-ranged landing files → ordered micro-batch replay
+    land = _tf.mkdtemp(prefix="streamneardup_land_")
+    step = (int(hi) // 4) + 1
+    for b in range(4):
+        docs.filter(
+            (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
+        ).coalesce(1).write.parquet(_os.path.join(land, f"b{b:03d}"))
+    schema = spark.read.parquet(_os.path.join(land, "b000")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land + "/*")
+    )
+    out = streaming_near_dup(rowwise_minhash_bands(src, num_hashes=16))
+    sink = f"streamneardup_{_uuid.uuid4().hex[:8]}"
+    with stream_state_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("doc_id")
+        .agg(
+            F.min("dup_of").alias("dup_of"),
+            F.count("*").alias("bands_matched"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "bpe_merges",
     # differential oracle: independent single-node Counter-based replica
@@ -4723,10 +4828,11 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY lang, rn
     """,
     covers="Exactly-k-per-key deterministic reservoir sample (salted "
-    "portable-hash permutation rank): two-level partial top-k — map-side "
-    "≤k arrays per (key, partition), bounded exchange, final window over "
-    "partitions × k rows — the exact-size per-stratum sampler a "
-    "curriculum/eval-split builder needs where rate-based sampling "
+    "portable-hash permutation rank): threshold prefilter — a per-key "
+    "count fixes a hash cutoff keeping ~k survivors (map-only filter), "
+    "a bounded driver probe re-ranks any clipped key exactly — O(keys·k) "
+    "exchange, no per-group arrays; the exact-size per-stratum sampler "
+    "a curriculum/eval-split builder needs where rate-based sampling "
     "cannot guarantee counts",
 )
 def q_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5158,6 +5264,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_recall",
     "corpus_diff",
     "zorder_skipping",
+    "stream_near_dup",
     # green in round 2 only (dropped out of round 3's checked prefix)
     "stored_curve_quantiles",
     "gtfs_records",

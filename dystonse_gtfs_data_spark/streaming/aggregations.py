@@ -111,3 +111,53 @@ def stateful_basis_stream(updates: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_NEARDUP_STATE_SCHEMA = "first_id long"
+_NEARDUP_OUTPUT_SCHEMA = "doc_id long, band_id int, dup_of long"
+
+
+def _near_dup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keyed by (band_id, band_sig): remember the FIRST doc id that ever
+    produced this signature; every later doc sharing it is a near-dup
+    candidate and emits a (doc, band, dup_of) hit.  Originals emit
+    nothing — the stream's output is exactly the duplicate set.
+
+    Arrival-order contract: micro-batches replay in document order
+    (landing files are id-ranged), so "first" is the min id, matching
+    the batch oracle's earlier-doc-by-id rule.  In a production feed the
+    order is ingestion time, which IS the dedup semantic there."""
+    first = int(state.get[0]) if state.exists else None
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+    out = []
+    for did in batch["doc_id"]:
+        did = int(did)
+        if first is None:
+            first = did
+        elif did != first:
+            out.append(
+                {"doc_id": did, "band_id": int(key[0]), "dup_of": first}
+            )
+    state.update((first,))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def streaming_near_dup(bands: DataFrame) -> DataFrame:
+    """Streaming minhash near-dup detection (the incremental form of the
+    batch minhash+LSH pipeline): ``bands`` is the stateless per-row
+    signature projection (operators/dedup.rowwise_minhash_bands) over a
+    streaming source; the keyed state store holds one row per distinct
+    (band_id, band_sig) ever seen — the accumulating LSH index.  State
+    is O(distinct signatures), not O(documents × bands), and a
+    production deployment bounds it with a TTL timeout (stale
+    signatures age out of the index)."""
+    return bands.groupBy("band_id", "band_sig").applyInPandasWithState(
+        _near_dup_fn,
+        outputStructType=_NEARDUP_OUTPUT_SCHEMA,
+        stateStructType=_NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
