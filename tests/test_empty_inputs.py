@@ -42,6 +42,7 @@ STREAMING = {
     "session_window_stream",
     "stream_stream_join",
     "stream_dedup",
+    "stream_near_dup",
 }
 EMPTY_SWEEP = sorted(set(Q.REGISTRY) - NOT_SF_TABLE_DRIVEN - STREAMING)
 
