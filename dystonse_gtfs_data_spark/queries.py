@@ -1564,9 +1564,7 @@ def q_simhash_near_dups_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ngram_jaccard_dedup",
-    """
+_NGRAM_JACCARD_SQL = """
     WITH tokd AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
       FROM documents
@@ -1596,14 +1594,55 @@ def q_simhash_near_dups_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes za ON za.doc_id = i.id_a
     JOIN sizes zb ON zb.doc_id = i.id_b
     WHERE CAST(i.ni AS DOUBLE) / (za.n + zb.n - i.ni) >= 0.5
-    ORDER BY i.id_a, i.id_b
-    """,
+    """
+
+
+@register(
+    "ngram_jaccard_dedup",
+    _NGRAM_JACCARD_SQL + "\n    ORDER BY i.id_a, i.id_b",
     covers="EXACT n-gram Jaccard near-dup via shingle inverted-index "
     "self-join (no LSH recall loss; pairs meet only on shared shingles)",
 )
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_near_duplicates(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_eval",
+    # composes the exact-Jaccard and minhash twins: banding recall,
+    # measured — precision is 1 by construction (candidates are verified
+    # against exact Jaccard before thresholding)
+    f"""
+    WITH exact AS ({_NGRAM_JACCARD_SQL}),
+    lsh AS ({_MINHASH_ORACLE_SQL})
+    SELECT 'all' AS scope,
+           CAST(count(*) AS BIGINT) AS exact_pairs,
+           CAST(count(l.id_a) AS BIGINT) AS lsh_pairs,
+           CAST(count(*) - count(l.id_a) AS BIGINT) AS missed_pairs,
+           CAST(count(l.id_a) AS DOUBLE) / count(*) AS recall
+    FROM exact e
+    LEFT JOIN lsh l ON l.id_a = e.id_a AND l.id_b = e.id_b
+    GROUP BY 1
+    """,
+    covers="Dedup quality measurement — recall of the minhash banding "
+    "against the exact n-gram Jaccard ground truth ('measure, don't "
+    "guess': the number that decides bands × rows before a 100 TB "
+    "dedup run; precision is 1 because candidates are exact-verified)",
+)
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_near_duplicates(d, threshold=0.5).select("id_a", "id_b")
+    lsh = minhash_near_duplicates(d, threshold=0.5, base_hash="md5").select(
+        "id_a", "id_b", F.lit(1).alias("_hit")
+    )
+    j = exact.join(lsh, ["id_a", "id_b"], "left")
+    return j.groupBy(F.lit("all").alias("scope")).agg(
+        F.count("*").alias("exact_pairs"),
+        F.count("_hit").alias("lsh_pairs"),
+        (F.count("*") - F.count("_hit")).alias("missed_pairs"),
+        (F.count("_hit") / F.count("*")).alias("recall"),
+    )
 
 
 _WINNOW_K, _WINNOW_W = 8, 16
@@ -5265,6 +5304,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_diff",
     "zorder_skipping",
     "stream_near_dup",
+    "dedup_eval",
     # green in round 2 only (dropped out of round 3's checked prefix)
     "stored_curve_quantiles",
     "gtfs_records",
