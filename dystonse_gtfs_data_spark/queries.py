@@ -4766,6 +4766,10 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(land + "/*")
     )
+    # cost profile at sf0.1: ~2.5 s/micro-batch of fixed streaming
+    # machinery (state store + per-batch planning), NOT signature
+    # compute — measured: a pre-signature repartition changed nothing
+    # warm and would add a per-batch shuffle at real scale
     out = streaming_near_dup(rowwise_minhash_bands(src, num_hashes=16))
     sink = f"streamneardup_{_uuid.uuid4().hex[:8]}"
     with stream_state_partitions(spark, 8):
