@@ -690,3 +690,99 @@ def rowwise_minhash_bands(
     return sigs.select(F.col(id_col), F.explode(rows).alias("_b")).select(
         id_col, F.col("_b.band_id").alias("band_id"), F.col("_b.band_sig").alias("band_sig")
     )
+
+
+def boilerplate_line_removal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_df: int = 2,
+) -> DataFrame:
+    """C4-style boilerplate removal (Raffel et al. 2020 §2.2, public
+    method): a line that occurs in MORE than ``max_df`` distinct
+    documents is boilerplate (nav menus, cookie banners, license
+    headers) and is dropped from every document.
+
+    Scale shape: one explode + two-level distinct-count agg builds the
+    corpus line-frequency table (map-side combined); only lines above
+    the threshold survive — a set small enough to broadcast (the whole
+    point of a frequency threshold), so the removal itself is a
+    broadcast anti-join + per-doc reassembly.  The per-doc collect_list
+    is bounded by lines-per-document, a document-size bound, never a
+    corpus bound.
+
+    ``sep`` is a regex for Spark's split (keep it metacharacter-free if
+    a SQL twin must split identically).  Output: (id, clean_text,
+    n_kept, n_removed); documents whose every line was boilerplate drop
+    out entirely (nothing left to emit).
+    """
+    from ..sources.tables import maybe_broadcast
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("ord", "line"),
+    )
+    bp = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("line")
+    )
+    kept = lines.join(maybe_broadcast(bp), "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("_n_lines"))
+    return (
+        rebuilt.join(totals, id_col)
+        .select(
+            id_col,
+            "clean_text",
+            "n_kept",
+            (F.col("_n_lines") - F.col("n_kept")).alias("n_removed"),
+        )
+    )
+
+
+def boilerplate_line_removal_sql(
+    table: str,
+    sep: str,
+    max_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`boilerplate_line_removal` (literal-split
+    ``sep``; ordinality replaces posexplode for reassembly order)."""
+    return f"""
+    WITH lines AS (
+      SELECT {id_col},
+             unnest(string_split({text_col}, '{sep}')) AS line,
+             generate_subscripts(string_split({text_col}, '{sep}'), 1) AS ord
+      FROM {table}
+    ),
+    bp AS (
+      SELECT line FROM (
+        SELECT line, count(DISTINCT {id_col}) AS df FROM lines GROUP BY 1
+      ) WHERE df > {max_df}
+    ),
+    kept AS (
+      SELECT l.{id_col}, l.line, l.ord
+      FROM lines l LEFT JOIN bp ON bp.line = l.line
+      WHERE bp.line IS NULL
+    ),
+    totals AS (SELECT {id_col}, count(*) AS n_lines FROM lines GROUP BY 1)
+    SELECT k.{id_col} AS {id_col},
+           string_agg(k.line, '{sep}' ORDER BY k.ord) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(any_value(t.n_lines) - count(*) AS BIGINT) AS n_removed
+    FROM kept k JOIN totals t ON t.{id_col} = k.{id_col}
+    GROUP BY 1
+    """

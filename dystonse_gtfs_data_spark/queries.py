@@ -1609,6 +1609,42 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "boilerplate_lines",
+    None,  # replaced below (built from the dedup module's SQL twin)
+)
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import boilerplate_line_removal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the synthetic corpus has no newlines; ' the ' segments the word
+    # stream into lines the same way on both engines (literal separator)
+    return boilerplate_line_removal(docs, sep=" the ", max_df=2).orderBy(
+        "doc_id"
+    )
+
+
+def _finalize_boilerplate_oracle() -> None:
+    from .operators.dedup import boilerplate_line_removal_sql
+
+    spec = REGISTRY["boilerplate_lines"]
+    REGISTRY["boilerplate_lines"] = QuerySpec(
+        fn=spec.fn,
+        oracle=boilerplate_line_removal_sql("documents", sep=" the ", max_df=2)
+        + "\n    ORDER BY doc_id",
+        covers="C4-style boilerplate removal (Raffel et al. 2020 §2.2): "
+        "lines occurring in > max_df distinct documents dropped "
+        "everywhere — one explode + two-level distinct-count agg builds "
+        "the corpus line table, the (small by construction) frequent set "
+        "broadcasts into an anti-join, per-doc reassembly bounded by "
+        "document size; hash-checked against an independent SQL twin "
+        "including the rebuilt text",
+    )
+
+
+_finalize_boilerplate_oracle()
+
+
+@register(
     "dedup_eval",
     # composes the exact-Jaccard and minhash twins: banding recall,
     # measured — precision is 1 by construction (candidates are verified
@@ -5309,6 +5345,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "zorder_skipping",
     "stream_near_dup",
     "dedup_eval",
+    "boilerplate_lines",
     # green in round 2 only (dropped out of round 3's checked prefix)
     "stored_curve_quantiles",
     "gtfs_records",

@@ -72,3 +72,44 @@ class TestAnnRecall:
         assert len(rows) == 5
         for r in rows:
             assert 0.0 <= r["recall"] <= 1.0
+
+
+class TestBoilerplateLines:
+    def test_frequent_lines_dropped_order_preserved(self, spark):
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            boilerplate_line_removal,
+        )
+
+        banner = "accept our cookies"
+        docs = spark.createDataFrame(
+            [
+                (1, f"{banner}\nalpha one\nbeta two"),
+                (2, f"gamma three\n{banner}\ndelta four"),
+                (3, f"epsilon five\nzeta six\n{banner}"),
+                (4, banner),  # nothing but boilerplate → drops out
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in boilerplate_line_removal(docs, max_df=2).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert out[1]["clean_text"] == "alpha one\nbeta two"
+        assert out[2]["clean_text"] == "gamma three\ndelta four"
+        assert out[3]["clean_text"] == "epsilon five\nzeta six"
+        assert all(
+            (r["n_kept"], r["n_removed"]) == (2, 1) for r in out.values()
+        )
+
+    def test_threshold_is_strict(self, spark):
+        # a line in exactly max_df docs is NOT boilerplate
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            boilerplate_line_removal,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "shared\nuniq a"), (2, "shared\nuniq b")], ["doc_id", "text"]
+        )
+        out = boilerplate_line_removal(docs, max_df=2).collect()
+        assert all(r["n_removed"] == 0 for r in out)
