@@ -113,3 +113,44 @@ class TestBoilerplateLines:
         )
         out = boilerplate_line_removal(docs, max_df=2).collect()
         assert all(r["n_removed"] == 0 for r in out)
+
+
+class TestScaleShapes:
+    def test_boilerplate_plan_no_cartesian(self, spark, sf_dir):
+        from dystonse_gtfs_data_spark import queries as Q
+        from tests.test_plans import formatted_plan
+
+        df = Q.REGISTRY["boilerplate_lines"].fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoop" not in plan, plan
+        assert "pythonudf" not in plan.lower(), plan
+
+    def test_corpus_diff_bucketed_runs_exchange_free(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        # the docstring's 100 TB claim, proven: both snapshots bucketed
+        # by the id → the full-outer fingerprint join needs ZERO Exchange
+        from dystonse_gtfs_data_spark.operators.snapshot import corpus_diff
+        from dystonse_gtfs_data_spark.sources.bucketed import (
+            read_table,
+            write_bucketed,
+        )
+        from dystonse_gtfs_data_spark.sources.tables import load_table
+        from tests.test_plans import formatted_plan, shuffle_count
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        write_bucketed(docs, "b_snap_a", ["doc_id"], num_buckets=8)
+        write_bucketed(docs.limit(400), "b_snap_b", ["doc_id"], num_buckets=8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = corpus_diff(
+                read_table(spark, "b_snap_a"), read_table(spark, "b_snap_b")
+            )
+            plan = formatted_plan(out)
+            assert shuffle_count(out) == 0, plan
+            assert out.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.sql("DROP TABLE IF EXISTS b_snap_a")
+            spark.sql("DROP TABLE IF EXISTS b_snap_b")
