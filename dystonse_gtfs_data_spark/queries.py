@@ -1609,6 +1609,39 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "model_score",
+    None,  # replaced below (built from the scoring module's SQL twin)
+)
+def q_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scoring import score_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return score_documents(docs).orderBy("doc_id")
+
+
+def _finalize_model_score_oracle() -> None:
+    from .operators.scoring import fake_quality_model_sql
+
+    spec = REGISTRY["model_score"]
+    REGISTRY["model_score"] = QuerySpec(
+        fn=spec.fn,
+        oracle=f"""
+        SELECT doc_id, {fake_quality_model_sql("text")} AS model_score
+        FROM documents ORDER BY doc_id
+        """,
+        covers="Model-based scoring seam (quality classifier / reward "
+        "model / LLM judge at corpus scale): Arrow-batched mapInPandas, "
+        "map-only — the Arrow batch IS the inference micro-batch; the "
+        "deterministic default kernel (linear + rational squash, no "
+        "transcendentals) is recomputed bit-for-bit by the SQL twin, "
+        "pinning the plumbing; production swaps the kernel only",
+    )
+
+
+_finalize_model_score_oracle()
+
+
+@register(
     "boilerplate_lines",
     None,  # replaced below (built from the dedup module's SQL twin)
 )
@@ -5346,6 +5379,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_near_dup",
     "dedup_eval",
     "boilerplate_lines",
+    "model_score",
     # green in round 2 only (dropped out of round 3's checked prefix)
     "stored_curve_quantiles",
     "gtfs_records",

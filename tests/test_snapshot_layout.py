@@ -154,3 +154,36 @@ class TestScaleShapes:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
             spark.sql("DROP TABLE IF EXISTS b_snap_a")
             spark.sql("DROP TABLE IF EXISTS b_snap_b")
+
+
+class TestModelScoring:
+    def test_fake_model_closed_form(self, spark):
+        import pandas as pd
+
+        from dystonse_gtfs_data_spark.operators.scoring import (
+            FAKE_MODEL_W,
+            fake_quality_model,
+            score_documents,
+        )
+
+        text = "alpha beta gamma"
+        b, w1, w2, w3 = FAKE_MODEL_W
+        z = b + w1 * 16.0 + w2 * 3.0 + w3 * (16.0 / 3.0)
+        expect = z / (1.0 + abs(z))
+        assert float(fake_quality_model(pd.Series([text])).iloc[0]) == expect
+        docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        out = score_documents(docs).collect()
+        assert out[0]["model_score"] == expect
+
+    def test_kernel_is_pluggable(self, spark):
+        import pandas as pd
+
+        from dystonse_gtfs_data_spark.operators.scoring import score_documents
+
+        docs = spark.createDataFrame(
+            [(1, "aa"), (2, "bbbb")], ["doc_id", "text"]
+        )
+        out = score_documents(
+            docs, kernel=lambda s: s.str.len() * 2.0
+        ).collect()
+        assert {r["doc_id"]: r["model_score"] for r in out} == {1: 4.0, 2: 8.0}
