@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "corpus_diff",             # snapshot delta via fingerprint full-outer join
     "zorder_skipping",         # measured files-hit: zorder vs natural layout
     "stream_near_dup",         # streaming minhash LSH index (keyed state)
+    "boilerplate_lines",       # C4-style corpus-frequency line removal
+    "model_score",             # classifier-inference seam (Arrow batches)
 ]
 
 
