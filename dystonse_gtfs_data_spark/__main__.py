@@ -46,13 +46,45 @@ def _schedule_path(args) -> str:
     return candidates[-1]  # newest by name (date-stamped filenames)
 
 
+_RECORDS_KEY = [
+    "source", "route_id", "trip_id", "trip_start_date",
+    "trip_start_time", "stop_sequence",
+]
+
+
+def _merge_into_records(spark, records, records_path: str) -> None:
+    """Latest-wins merge of ``records`` into the parquet table via a
+    staging write + atomic rename (the MERGE the reference does row-wise
+    against MySQL, src/importer/batched_statements.rs:40-107)."""
+    import shutil
+
+    from .operators.records import merge_records
+
+    if os.path.exists(records_path):
+        existing = spark.read.parquet(records_path)
+        merged = merge_records(existing, records, key=_RECORDS_KEY)
+    else:
+        merged = records
+    tmp = records_path + ".staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = records_path + ".old"
+    if os.path.exists(records_path):
+        os.rename(records_path, old)
+    os.rename(tmp, records_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def cmd_import(spark, args) -> None:
-    """Batch import: rt files → records (+ realtime predictions).
-    The reference's `import batch` path (src/importer/mod.rs:138-151)."""
+    """rt files → records (+ realtime predictions).  Default: the
+    reference's `import batch` path (src/importer/mod.rs:138-151);
+    ``--automatic``: the streaming path — a checkpointed Structured
+    Streaming job over the same directory (exactly-once per file,
+    restartable), drained with availableNow so the CLI returns."""
     from pyspark.sql import functions as F
 
     from .operators.predict import generate_realtime_predictions
-    from .operators.records import build_records, merge_records
+    from .operators.records import build_records
     from .operators.specific_curves import stop_indexed
     from .sources.gtfs import read_gtfs
     from .sources.rt import decode_feed_messages
@@ -60,32 +92,34 @@ def cmd_import(spark, args) -> None:
 
     sched = read_gtfs(spark, _schedule_path(args))
     rt_dir = os.path.join(args.dir, "rt")
-    feed_files = spark.read.format("binaryFile").load(rt_dir)
-    updates = decode_feed_messages(feed_files)
-    records = build_records(
-        updates, sched["trips"], sched["stop_times"], source=args.source
-    )
-
     records_path = os.path.join(args.dir, "db", "records")
-    key = [
-        "source", "route_id", "trip_id", "trip_start_date",
-        "trip_start_time", "stop_sequence",
-    ]
-    if os.path.exists(records_path):
-        existing = spark.read.parquet(records_path)
-        merged = merge_records(existing, records, key=key)
-    else:
-        merged = records
-    tmp = records_path + ".staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    final_tmp = records_path + ".old"
-    if os.path.exists(records_path):
-        os.rename(records_path, final_tmp)
-    os.rename(tmp, records_path)
-    if os.path.exists(final_tmp):
-        import shutil
 
-        shutil.rmtree(final_tmp)
+    if args.automatic:
+        from .streaming.pipeline import start_records_stream
+
+        def sink(batch_records, _epoch: int) -> None:
+            _merge_into_records(spark, batch_records, records_path)
+
+        q = start_records_stream(
+            spark,
+            rt_dir,
+            sched["trips"],
+            sched["stop_times"],
+            source=args.source,
+            sink=sink,
+            checkpoint_dir=os.path.join(args.dir, "db", "_records_ckpt"),
+            available_now=True,
+            ping_url=args.ping_url,
+            wire=True,
+        )
+        q.awaitTermination()
+    else:
+        feed_files = spark.read.format("binaryFile").load(rt_dir)
+        updates = decode_feed_messages(feed_files)
+        records = build_records(
+            updates, sched["trips"], sched["stop_times"], source=args.source
+        )
+        _merge_into_records(spark, records, records_path)
     n = spark.read.parquet(records_path).count()
     print(json.dumps({"command": "import", "records": n}))
 
@@ -240,7 +274,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--master", default=os.environ.get("SPARK_MASTER", "local[*]"))
     sub = p.add_subparsers(dest="command", required=True)
 
-    sub.add_parser("import", help="decode rt files into records (+ predictions if curves exist)")
+    imp = sub.add_parser(
+        "import",
+        help="decode rt files into records (+ predictions if curves exist)",
+    )
+    imp.add_argument(
+        "--automatic",
+        action="store_true",
+        help="checkpointed streaming import (exactly-once per file, "
+        "restartable); drains the backlog and returns",
+    )
+    imp.add_argument("--ping-url", help="liveness ping URL (automatic mode)")
     a = sub.add_parser("analyse", help="compute the statistics tree from records")
     a.add_argument("--route-ids", help="comma-separated route filter")
     pr = sub.add_parser("predict", help="single prediction lookup")

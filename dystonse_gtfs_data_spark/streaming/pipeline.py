@@ -87,10 +87,15 @@ def start_records_stream(
     trigger_seconds: int = 5,
     available_now: bool = False,
     ping_url: str | None = None,
+    wire: bool = False,
 ):
     """rt stream → per-batch records build → caller's sink (typically a
     MERGE into the records table).  ``available_now=True`` drains the
     backlog once and stops — batch parity mode for tests/backfills.
+
+    ``wire=True`` tails raw GTFS-rt protobuf files (binaryFile source +
+    the pure-Python wire decoder) instead of a parquet landing zone —
+    the reference's `import automatic` directory layout directly.
 
     ``ping_url``: the reference's automatic-mode liveness ping
     (src/importer/mod.rs:266-292) — after each micro-batch the driver
@@ -107,9 +112,13 @@ def start_records_stream(
         sink(deduped, epoch_id)
         ping.maybe_ping()
 
+    src = (
+        stream_wire_feeds(spark, rt_dir)
+        if wire
+        else stream_rt_updates(spark, rt_dir)
+    )
     writer = (
-        stream_rt_updates(spark, rt_dir)
-        .writeStream.foreachBatch(process_batch)
+        src.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -84,6 +84,23 @@ def _run(capsys, *argv) -> list[dict]:
     return [json.loads(line) for line in out.splitlines() if line.startswith("{")]
 
 
+def test_automatic_import_matches_batch(spark, data_dir, capsys):
+    base = ["--dir", data_dir, "--source", "test"]
+    out = _run(capsys, *base, "import", "--automatic")
+    n_stream = out[0]["records"]
+    assert n_stream > 0
+    # exactly-once: a re-run reprocesses nothing (checkpoint), count holds
+    out = _run(capsys, *base, "import", "--automatic")
+    assert out[0]["records"] == n_stream
+    # parity with the batch path over the same feed
+    import shutil
+
+    for sub in ("db",):
+        shutil.rmtree(f"{data_dir}/{sub}", ignore_errors=True)
+    out = _run(capsys, *base, "import")
+    assert out[0]["records"] == n_stream
+
+
 def test_full_cli_lifecycle(spark, data_dir, capsys):
     base = ["--dir", data_dir, "--source", "test"]
 
