@@ -238,6 +238,39 @@ class TestStreamingNearDup:
         expect = ":".join(str(v) for v in sigs[1][0:4])
         assert by_doc[1][0] == expect
 
+    def test_rowwise_bands_equal_batch_pipeline_random_corpus(self, spark):
+        # 24 pseudo-random word-soup docs: every one of the 16 permuted
+        # minima reconstructed from the band strings must equal the
+        # batch explode+groupBy signature exactly
+        import random
+
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            minhash_signatures,
+            rowwise_minhash_bands,
+        )
+
+        rng = random.Random(42)
+        vocab = [f"w{i}" for i in range(50)]
+        docs = spark.createDataFrame(
+            [
+                (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+                for i in range(24)
+            ],
+            ["doc_id", "text"],
+        )
+        batch = {
+            r["doc_id"]: list(r["signature"])
+            for r in minhash_signatures(
+                docs, num_hashes=16, base_hash="md5"
+            ).collect()
+        }
+        rebuilt: dict[int, list[int]] = {}
+        for r in rowwise_minhash_bands(docs, num_hashes=16).collect():
+            sig = rebuilt.setdefault(r["doc_id"], [0] * 16)
+            for j, v in enumerate(r["band_sig"].split(":")):
+                sig[r["band_id"] * 4 + j] = int(v)
+        assert rebuilt == batch
+
     def test_state_fn_first_wins_across_batches(self):
         # pure-pandas check of the keyed state transition: original in
         # batch 1 emits nothing, the batch-2 duplicate emits a hit
