@@ -430,3 +430,72 @@ def quality_score_sql(text: str) -> str:
         f" + least({sw} * 2.0, 0.4)"
         f" + (CASE WHEN {pr} < 0.1 THEN 0.2 ELSE 0.0 END))"
     )
+
+
+# Monitor trip-descriptor grammar (src/monitor/journey_data.rs:393-397):
+# "<route_type_label> <route_name> nach <trip_headsign> um <HH:MM>".
+# Greedy (.+) groups, so a headsign containing " nach " binds to the
+# LAST separator — Java, RE2, and Rust regex agree on greediness.
+TRIP_DESCRIPTOR_RE = r"^(\S+) (.+) nach (.+) um (\d\d:\d\d)$"
+
+
+def format_trip_descriptor(
+    route_type: Column, route_name: Column, headsign: Column, dep_sec: Column
+) -> Column:
+    """Build the monitor's trip URL element from its parts; departure
+    time rendered HH:MM from seconds-of-day (mod 24 h — GTFS >24:00:00
+    trips display their wall-clock time, as the reference's %H:%M
+    format does)."""
+    from pyspark.sql import functions as F
+
+    # explicit floor: Spark's double->int cast truncates while DuckDB's
+    # rounds — floor() agrees everywhere
+    hh = F.lpad((F.floor(dep_sec / 3600) % 24).cast("string"), 2, "0")
+    mm = F.lpad(F.floor((dep_sec % 3600) / 60).cast("string"), 2, "0")
+    return F.concat_ws(
+        " ",
+        route_type_label(route_type),
+        route_name,
+        F.lit("nach"),
+        headsign,
+        F.lit("um"),
+        F.concat(hh, F.lit(":"), mm),
+    )
+
+
+def format_trip_descriptor_sql(
+    route_type: str, route_name: str, headsign: str, dep_sec: str
+) -> str:
+    hh = f"lpad(CAST((CAST(floor(({dep_sec}) / 3600) AS BIGINT) % 24) AS VARCHAR), 2, '0')"
+    mm = f"lpad(CAST(CAST(floor((({dep_sec}) % 3600) / 60) AS BIGINT) AS VARCHAR), 2, '0')"
+    return (
+        f"({route_type_label_sql(route_type)} || ' ' || {route_name} || "
+        f"' nach ' || {headsign} || ' um ' || {hh} || ':' || {mm})"
+    )
+
+
+def parse_trip_descriptor(desc: Column) -> Column:
+    """Inverse of :func:`format_trip_descriptor`: struct(route_type_label,
+    route_name, trip_headsign, departure_hhmm); fields are empty strings
+    when the descriptor does not match the grammar (regexp_extract's
+    no-match convention, mirrored by the SQL twin)."""
+    from pyspark.sql import functions as F
+
+    return F.struct(
+        F.regexp_extract(desc, TRIP_DESCRIPTOR_RE, 1).alias("route_type_label"),
+        F.regexp_extract(desc, TRIP_DESCRIPTOR_RE, 2).alias("route_name"),
+        F.regexp_extract(desc, TRIP_DESCRIPTOR_RE, 3).alias("trip_headsign"),
+        F.regexp_extract(desc, TRIP_DESCRIPTOR_RE, 4).alias("departure_hhmm"),
+    )
+
+
+def parse_trip_descriptor_sql(desc: str) -> dict[str, str]:
+    """DuckDB twin — one expression per parsed field (coalesce matches
+    Spark's empty-string no-match convention)."""
+    return {
+        name: f"coalesce(regexp_extract({desc}, '{TRIP_DESCRIPTOR_RE}', {i}), '')"
+        for i, name in enumerate(
+            ("route_type_label", "route_name", "trip_headsign", "departure_hhmm"),
+            start=1,
+        )
+    }

@@ -3108,6 +3108,91 @@ def q_display_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trip_descriptor_oracle() -> str:
+    fmt = Ft.format_trip_descriptor_sql("rt", "rname", "hs", "dep")
+    parsed = Ft.parse_trip_descriptor_sql("descriptor")
+    parsed_cols = ",\n           ".join(
+        f"{expr} AS {name}" for name, expr in parsed.items()
+    )
+    return f"""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_suppkey % 9 AS INT) AS rt,
+             'R' || CAST(l_partkey % 50 AS VARCHAR) AS rname,
+             CASE CAST(l_orderkey % 4 AS INT)
+               WHEN 0 THEN 'Downtown' WHEN 1 THEN 'Uptown Nord'
+               WHEN 2 THEN 'Hauptbahnhof' ELSE 'Flughafen Terminal 1'
+             END AS hs,
+             CAST(floor(l_extendedprice) AS BIGINT) % 86400 AS dep
+      FROM lineitem WHERE l_orderkey <= 300
+    ),
+    d AS (
+      SELECT l_orderkey, l_linenumber, {fmt} AS descriptor FROM base
+    )
+    SELECT l_orderkey, l_linenumber, descriptor,
+           {parsed_cols}
+    FROM d
+    ORDER BY l_orderkey, l_linenumber
+    """
+
+
+@register(
+    "trip_descriptors",
+    None,  # replaced below (format/parse twins from functions/text.py)
+)
+def q_trip_descriptors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_suppkey") % 9).cast("int").alias("rt"),
+        F.concat(F.lit("R"), (F.col("l_partkey") % 50).cast("string")).alias(
+            "rname"
+        ),
+        F.when(F.col("l_orderkey") % 4 == 0, "Downtown")
+        .when(F.col("l_orderkey") % 4 == 1, "Uptown Nord")
+        .when(F.col("l_orderkey") % 4 == 2, "Hauptbahnhof")
+        .otherwise("Flughafen Terminal 1")
+        .alias("hs"),
+        (F.floor("l_extendedprice").cast("bigint") % 86400).alias("dep"),
+    )
+    d = base.withColumn(
+        "descriptor",
+        Ft.format_trip_descriptor(
+            F.col("rt"), F.col("rname"), F.col("hs"), F.col("dep")
+        ),
+    )
+    parsed = Ft.parse_trip_descriptor(F.col("descriptor"))
+    return d.select(
+        "l_orderkey", "l_linenumber", "descriptor", parsed.alias("_p")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "descriptor",
+        F.col("_p.route_type_label").alias("route_type_label"),
+        F.col("_p.route_name").alias("route_name"),
+        F.col("_p.trip_headsign").alias("trip_headsign"),
+        F.col("_p.departure_hhmm").alias("departure_hhmm"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def _finalize_trip_descriptor_oracle() -> None:
+    spec = REGISTRY["trip_descriptors"]
+    REGISTRY["trip_descriptors"] = QuerySpec(
+        fn=spec.fn,
+        oracle=_trip_descriptor_oracle(),
+        covers="Monitor trip-URL grammar roundtrip "
+        "(journey_data.rs:393-397): format '<label> <name> nach "
+        "<headsign> um <HH:MM>' and parse it back with the reference's "
+        "greedy TRIP_REGEX — both directions pure JVM expressions, "
+        "hash-checked against format/parse SQL twins including the "
+        "greedy-group semantics",
+    )
+
+
+_finalize_trip_descriptor_oracle()
+
+
 @register(
     "visual_schedule",
     f"""
@@ -5388,6 +5473,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_eval",
     "boilerplate_lines",
     "model_score",
+    "trip_descriptors",
     # green in round 2 only (dropped out of round 3's checked prefix)
     "stored_curve_quantiles",
     "gtfs_records",

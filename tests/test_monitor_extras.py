@@ -98,3 +98,55 @@ class TestFailedFiles:
         failed = failed_feed_files(files, decoded).collect()
         assert len(failed) == 1
         assert failed[0]["path"].endswith("feed-2024-01-02T08-02-00.pb")
+
+
+class TestTripDescriptor:
+    def test_roundtrip_and_greedy_nach(self, spark):
+        from pyspark.sql import functions as F
+
+        from dystonse_gtfs_data_spark.functions.text import (
+            format_trip_descriptor,
+            parse_trip_descriptor,
+        )
+
+        df = spark.createDataFrame(
+            [
+                # headsign CONTAINING " nach " — greedy (.+) must bind the
+                # route name through the first separator
+                (3, "420", "Fahrt nach Hause", 21 * 3600 + 39 * 60),
+                (0, "RE1", "Hauptbahnhof", 25 * 3600),  # >24:00:00 trip
+            ],
+            ["rt", "name", "hs", "dep"],
+        )
+        out = (
+            df.withColumn(
+                "d",
+                format_trip_descriptor(
+                    F.col("rt"), F.col("name"), F.col("hs"), F.col("dep")
+                ),
+            )
+            .withColumn("p", parse_trip_descriptor(F.col("d")))
+            .collect()
+        )
+        by_name = {r["name"]: r for r in out}
+        bus = by_name["420"]
+        assert bus["d"] == "Bus 420 nach Fahrt nach Hause um 21:39"
+        # greedy: route_name swallows up to the LAST " nach "
+        assert bus["p"]["route_name"] == "420 nach Fahrt"
+        assert bus["p"]["trip_headsign"] == "Hause"
+        assert bus["p"]["departure_hhmm"] == "21:39"
+        tram = by_name["RE1"]
+        assert tram["d"].endswith("um 01:00")  # 25:00 wall-clock
+        assert tram["p"]["route_type_label"] == "Tram"
+
+    def test_parse_rejects_malformed(self, spark):
+        from pyspark.sql import functions as F
+
+        from dystonse_gtfs_data_spark.functions.text import parse_trip_descriptor
+
+        out = (
+            spark.range(1)
+            .select(parse_trip_descriptor(F.lit("not a descriptor")).alias("p"))
+            .collect()[0]["p"]
+        )
+        assert out["route_name"] == "" and out["departure_hhmm"] == ""
