@@ -144,7 +144,8 @@ def cmd_import(spark, args) -> None:
 
 def cmd_analyse(spark, args) -> None:
     """compute-curves: records → specific + default statistics tree
-    (src/analyser/mod.rs:143-189)."""
+    (src/analyser/mod.rs:143-189); ``--what count`` prints the per-
+    interval record/delay report instead (src/analyser/count.rs)."""
     from .operators.default_curves import default_statistics
     from .operators.specific_curves import (
         enrich_records,
@@ -156,6 +157,12 @@ def cmd_analyse(spark, args) -> None:
 
     sched = read_gtfs(spark, _schedule_path(args))
     records = spark.read.parquet(os.path.join(args.dir, "db", "records"))
+    if args.what == "count":
+        from .operators.count import count_report
+
+        for row in count_report(records, args.interval).collect():
+            print(json.dumps(row.asDict(), default=str))
+        return
     if args.route_ids:
         records = records.filter(records.route_id.isin(args.route_ids.split(",")))
     sti = stop_indexed(sched["stop_times"])
@@ -287,6 +294,15 @@ def main(argv: list[str] | None = None) -> None:
     imp.add_argument("--ping-url", help="liveness ping URL (automatic mode)")
     a = sub.add_parser("analyse", help="compute the statistics tree from records")
     a.add_argument("--route-ids", help="comma-separated route filter")
+    a.add_argument(
+        "--what",
+        choices=["compute-curves", "count"],
+        default="compute-curves",
+        help="count = per-interval record/delay report (analyse count)",
+    )
+    a.add_argument(
+        "--interval", type=int, default=3600, help="count bucket seconds"
+    )
     pr = sub.add_parser("predict", help="single prediction lookup")
     pr.add_argument("--trip-id", required=True)
     pr.add_argument("--stop-sequence", type=int)

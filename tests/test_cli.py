@@ -110,6 +110,11 @@ def test_full_cli_lifecycle(spark, data_dir, capsys):
     assert out[0]["records"] > 0
     assert os.path.exists(os.path.join(data_dir, "db", "records"))
 
+    # 1b. analyse count: per-interval record report
+    out = _run(capsys, *base, "analyse", "--what", "count")
+    assert out and all("n_records" in d for d in out)
+    assert sum(d["n_records"] for d in out) > 0
+
     # 2. analyse: records → statistics tree
     out = _run(capsys, *base, "analyse")
     assert out[0]["statistics_rows"] > 0
