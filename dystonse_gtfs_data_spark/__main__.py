@@ -166,9 +166,43 @@ def cmd_analyse(spark, args) -> None:
     if args.route_ids:
         records = records.filter(records.route_id.isin(args.route_ids.split(",")))
     sti = stop_indexed(sched["stop_times"])
-    stats = specific_statistics(records, sched["stop_times"]).unionByName(
-        default_statistics(enrich_records(records, sti), sched["routes"])
-    )
+    if args.what == "draw-curves":
+        from pyspark.sql import functions as F
+
+        from .curves.udfs import curve_to_rows  # noqa: F401 (doc pointer)
+        from .operators.render import curve_svg_paths
+        from .sources.sinks import load_statistics
+
+        stats = load_statistics(spark, os.path.join(args.dir, "curves"))
+        knots = stats.select(
+            F.concat_ws(
+                "/", "scope", "route_id", "route_variant",
+                F.col("event_type").cast("string"),
+            ).alias("event_type"),
+            F.explode("curve").alias("pt"),
+        ).select("event_type", F.col("pt.x").alias("x"), F.col("pt.y").alias("y"))
+        out_dir = os.path.join(args.dir, "curves_svg")
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        for row in curve_svg_paths(knots).collect():
+            safe = row["event_type"].replace("/", "_")
+            with open(os.path.join(out_dir, f"{safe}.svg"), "w") as fh:
+                fh.write(row["svg"])
+            n += 1
+        print(json.dumps({"command": "analyse", "svg_files": n}))
+        return
+    # compute-curves (default) / compute-specific-curves /
+    # compute-default-curves — src/analyser/mod.rs:50-87
+    parts = []
+    if args.what in ("compute-curves", "compute-specific-curves"):
+        parts.append(specific_statistics(records, sched["stop_times"]))
+    if args.what in ("compute-curves", "compute-default-curves"):
+        parts.append(
+            default_statistics(enrich_records(records, sti), sched["routes"])
+        )
+    stats = parts[0]
+    for p in parts[1:]:
+        stats = stats.unionByName(p)
     path = os.path.join(args.dir, "curves")
     save_statistics(stats, path)
     try:
@@ -193,6 +227,8 @@ def cmd_predict(spark, args) -> None:
     stats = load_statistics(spark, os.path.join(args.dir, "curves"))
     sti = stop_indexed(sched["stop_times"])
     trips = sched["trips"].filter(F.col("trip_id") == args.trip_id)
+    if args.route_id:
+        trips = trips.filter(F.col("route_id") == args.route_id)
     req = (
         trips.join(sti, "trip_id")
         .join(sched["routes"].select("route_id", "route_type"), "route_id")
@@ -203,13 +239,31 @@ def cmd_predict(spark, args) -> None:
 
     event = EVENT_ARRIVAL if args.event_type == "arrival" else EVENT_DEPARTURE
     ts = F.lit(args.date_time).cast("timestamp")
+    # --start-stop-sequence: the realtime-basis position (the reference's
+    # `predict single --start-stop-sequence`, src/predictor/mod.rs:69-81)
+    # activates the curve-set interpolation rung together with
+    # --initial-delay
+    if args.start_stop_sequence is not None:
+        start_idx = (
+            sti.filter(
+                (F.col("trip_id") == args.trip_id)
+                & (F.col("stop_sequence") == args.start_stop_sequence)
+            )
+            .select("stop_index")
+            .first()
+        )
+        start_idx_lit = F.lit(
+            start_idx["stop_index"] if start_idx else None
+        ).cast("int")
+    else:
+        start_idx_lit = F.lit(None).cast("int")
     req = req.select(
         F.lit(args.source).alias("source"),
         "route_id",
         "route_variant",
         "route_type",
         "trip_id",
-        F.lit(None).cast("int").alias("start_stop_index"),
+        start_idx_lit.alias("start_stop_index"),
         F.col("stop_index").alias("end_stop_index"),
         "stop_sequence",
         "stop_id",
@@ -296,16 +350,30 @@ def main(argv: list[str] | None = None) -> None:
     a.add_argument("--route-ids", help="comma-separated route filter")
     a.add_argument(
         "--what",
-        choices=["compute-curves", "count"],
+        choices=[
+            "compute-curves",
+            "compute-specific-curves",
+            "compute-default-curves",
+            "count",
+            "draw-curves",
+        ],
         default="compute-curves",
-        help="count = per-interval record/delay report (analyse count)",
+        help="count = interval report; draw-curves = SVG per stored "
+        "curve group; specific/default = one statistics family only",
     )
     a.add_argument(
         "--interval", type=int, default=3600, help="count bucket seconds"
     )
     pr = sub.add_parser("predict", help="single prediction lookup")
     pr.add_argument("--trip-id", required=True)
+    pr.add_argument("--route-id", help="disambiguate non-unique trip ids")
     pr.add_argument("--stop-sequence", type=int)
+    pr.add_argument(
+        "--start-stop-sequence",
+        type=int,
+        help="realtime-basis stop (with --initial-delay activates the "
+        "curve-set interpolation rung)",
+    )
     pr.add_argument("--event-type", choices=["arrival", "departure"], default="departure")
     pr.add_argument("--date-time", required=True, help="YYYY-MM-DD HH:MM:SS")
     pr.add_argument("--initial-delay", type=float)

@@ -125,12 +125,31 @@ def test_full_cli_lifecycle(spark, data_dir, capsys):
     assert any("predictions" in d for d in out)
     assert os.path.exists(os.path.join(data_dir, "db", "predictions"))
 
+    # 3b. analyse variants: one-family trees and SVG rendering
+    out = _run(capsys, *base, "analyse", "--what", "compute-default-curves")
+    assert out[0]["statistics_rows"] > 0
+    out = _run(capsys, *base, "analyse")  # restore the full tree
+    full_rows = out[0]["statistics_rows"]
+    out = _run(capsys, *base, "analyse", "--what", "draw-curves")
+    assert out[0]["svg_files"] > 0
+    svg_dir = os.path.join(data_dir, "curves_svg")
+    one = os.path.join(svg_dir, sorted(os.listdir(svg_dir))[0])
+    assert open(one).read().startswith("<svg")
+
     # 4. predict: single lookup prints per-stop JSON rows
     out = _run(
         capsys, *base, "predict",
         "--trip-id", "ta", "--date-time", "2024-01-01 08:00:00",
     )
     assert out and all("precision_type" in d for d in out)
+    # with a realtime basis: the interpolation rung gets start_stop_index
+    out = _run(
+        capsys, *base, "predict",
+        "--trip-id", "ta", "--date-time", "2024-01-01 08:00:00",
+        "--start-stop-sequence", "1", "--initial-delay", "60",
+    )
+    assert out
+    assert full_rows > 0
 
     # 5. monitor: departure board JSON lines within the window
     out = _run(
