@@ -1540,10 +1540,27 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the hash family is Spark-private, so no portable SQL oracle exists).
 
 
+# the documents fingerprint keying the per-SF xxhash expecteds (same
+# key as the BPE family)
+_DOCS_FP_SQL = (
+    "(SELECT CAST(sum((doc_id + 1) * length(text)) AS BIGINT) FROM documents)"
+)
+
+
 @register(
     "minhash_near_dups_xxhash",
-    None,
-    covers="MinHash+LSH near-dup, production xxhash64 hash family (bench hot path)",
+    # differential oracle: single-node replica over a pure-Python
+    # xxHash64 (functions/xxh.py, validated bit-for-bit against Spark's
+    # F.xxhash64), keyed by the documents fingerprint
+    f"""
+    SELECT id_a, id_b, jaccard
+    FROM {_dt("expected_minhash_xxhash")}
+    WHERE corpus_fp = {_DOCS_FP_SQL}
+    ORDER BY id_a, id_b
+    """,
+    covers="MinHash+LSH near-dup, production xxhash64 hash family (bench "
+    "hot path) — hash-checked against an independent pure-Python xxHash64 "
+    "pipeline replica",
 )
 def q_minhash_near_dups_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -1554,8 +1571,15 @@ def q_minhash_near_dups_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_near_dups_xxhash",
-    None,
-    covers="SimHash near-dup, production xxhash64 hash family (bench hot path)",
+    f"""
+    SELECT id_a, id_b, hamming
+    FROM {_dt("expected_simhash_xxhash")}
+    WHERE corpus_fp = {_DOCS_FP_SQL}
+    ORDER BY id_a, id_b
+    """,
+    covers="SimHash near-dup, production xxhash64 hash family (bench hot "
+    "path) — hash-checked against an independent pure-Python xxHash64 "
+    "pipeline replica",
 )
 def q_simhash_near_dups_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

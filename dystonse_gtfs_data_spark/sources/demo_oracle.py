@@ -37,12 +37,17 @@ def _source_digest() -> str:
     for mod in ("demo.py", "demo_oracle.py", "demo_oracle_pipeline.py"):
         with open(os.path.join(base, mod), "rb") as fh:
             h.update(fh.read())
+    # the xxhash expecteds derive from the pure-Python hash implementation
+    xxh = os.path.join(os.path.dirname(base), "functions", "xxh.py")
+    with open(xxh, "rb") as fh:
+        h.update(fh.read())
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        p = os.path.join(TESTDATA_ROOT, sf, "embeddings.parquet")
-        if os.path.exists(p):
-            h.update(sf.encode())
-            with open(p, "rb") as fh:
-                h.update(fh.read())
+        for table in ("embeddings", "documents"):
+            p = os.path.join(TESTDATA_ROOT, sf, f"{table}.parquet")
+            if os.path.exists(p):
+                h.update(f"{sf}/{table}".encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
     return h.hexdigest()
 
 
@@ -276,6 +281,50 @@ def ensure_demo_oracle_dir() -> str:
             preserve_index=False,
         ),
         os.path.join(build_dir, "expected_bpe_tokens.parquet"),
+    )
+    # xxhash-family near-dup expecteds: pure-Python xxHash64 replicas
+    # (functions/xxh.py) keyed by the documents fingerprint — closes the
+    # oracle gap for the production hash path
+    from .demo_oracle_pipeline import (
+        expected_minhash_xxhash,
+        expected_simhash_xxhash,
+    )
+
+    mh_frames, sh_frames = [], []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = os.path.join(TESTDATA_ROOT, sf)
+        if os.path.exists(os.path.join(d, "documents.parquet")):
+            mh_frames.append(expected_minhash_xxhash(d))
+            sh_frames.append(expected_simhash_xxhash(d))
+    _MHX_EMPTY = pd.DataFrame(
+        {
+            "corpus_fp": pd.Series(dtype="int64"),
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64"),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat([_MHX_EMPTY, *mh_frames], ignore_index=True),
+            preserve_index=False,
+        ),
+        os.path.join(build_dir, "expected_minhash_xxhash.parquet"),
+    )
+    _SHX_EMPTY = pd.DataFrame(
+        {
+            "corpus_fp": pd.Series(dtype="int64"),
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "hamming": pd.Series(dtype="int64"),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat([_SHX_EMPTY, *sh_frames], ignore_index=True),
+            preserve_index=False,
+        ),
+        os.path.join(build_dir, "expected_simhash_xxhash.parquet"),
     )
     # GTFS CSV form of the schedule fixture (gtfs_csv/*.txt): drives the
     # S1 feed scanner under the driver gate — Spark reads it via

@@ -1226,3 +1226,144 @@ def expected_bpe_tokens(
         for i, (s, c) in enumerate(top, 1)
     ]
     return pd.DataFrame(out, columns=["corpus_fp", "token", "cnt", "rank"])
+
+
+def _java_mod(x: int, m: int) -> int:
+    """Java's % (remainder truncates toward zero; negative for negative x)."""
+    r = abs(x) % m
+    return -r if x < 0 else r
+
+
+def _doc_tokens_fp(sf_dir: str):
+    """(fingerprint, [(doc_id, tokens)]) shared by the xxhash replicas;
+    tokenization mirrors dedup.tokens(): split(lower(trim(text)), \\s+)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    fp, docs = 0, []
+    for did, text in zip(t["doc_id"], t["text"]):
+        text = str(text)
+        fp += (int(did) + 1) * len(text)
+        docs.append((int(did), re.split(r"\s+", text.strip().lower())))
+    return fp, docs
+
+
+def expected_minhash_xxhash(
+    sf_dir: str,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> pd.DataFrame:
+    """Independent single-node replica of
+    minhash_near_duplicates(base_hash='xxhash64'): pure-Python xxHash64
+    (functions/xxh.py, validated against Spark bit-for-bit) + numpy
+    affine permutations, banding, candidate join, exact-Jaccard verify.
+    Keyed by the documents fingerprint like the other per-SF expecteds."""
+    from ..functions.xxh import spark_abs_xxhash64
+    from ..operators.dedup import MERSENNE_P, _hash_family
+
+    fp, docs = _doc_tokens_fp(sf_dir)
+    fam = np.asarray(_hash_family(num_hashes), dtype=np.int64)  # (H, 2)
+    rows = num_hashes // num_bands
+    hcache: dict[str, int] = {}
+
+    def h_of(s: str) -> int:
+        v = hcache.get(s)
+        if v is None:
+            v = _java_mod(spark_abs_xxhash64(s), MERSENNE_P)
+            hcache[s] = v
+        return v
+
+    sigs: dict[int, np.ndarray] = {}
+    shingle_sets: dict[int, frozenset] = {}
+    for did, toks in docs:
+        if len(toks) < shingle_k:
+            sh = {" ".join(toks)}
+        else:
+            sh = {
+                " ".join(toks[i : i + shingle_k])
+                for i in range(len(toks) - shingle_k + 1)
+            }
+        shingle_sets[did] = frozenset(sh)
+        hv = np.asarray([h_of(s) for s in sh], dtype=np.int64)  # (S,)
+        # (S, H): h*a + b mod P — h, a < 2^31 so products stay in int64
+        perms = (hv[:, None] * fam[:, 0][None, :] + fam[:, 1][None, :]) % MERSENNE_P
+        sigs[did] = perms.min(axis=0)
+
+    buckets: dict[tuple, list[int]] = {}
+    for did, sig in sigs.items():
+        for b in range(num_bands):
+            key = (b, tuple(int(v) for v in sig[b * rows : (b + 1) * rows]))
+            buckets.setdefault(key, []).append(did)
+    cand = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cand.add((members[i], members[j]))
+
+    out = []
+    for id_a, id_b in sorted(cand):
+        sa, sb = shingle_sets[id_a], shingle_sets[id_b]
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= threshold:
+            out.append(
+                {"corpus_fp": fp, "id_a": id_a, "id_b": id_b, "jaccard": jac}
+            )
+    return pd.DataFrame(
+        out, columns=["corpus_fp", "id_a", "id_b", "jaccard"]
+    ).astype({"corpus_fp": "int64", "id_a": "int64", "id_b": "int64"})
+
+
+def expected_simhash_xxhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Independent single-node replica of
+    simhash_near_duplicates(base_hash='xxhash64'): signed xxHash64 per
+    token occurrence, per-bit ±1 votes (numpy), 4×16-bit chunk
+    pigeonhole, exact popcount."""
+    from collections import Counter
+
+    from ..functions.xxh import xxhash64
+
+    fp, docs = _doc_tokens_fp(sf_dir)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    hcache: dict[str, int] = {}
+    sigs: dict[int, int] = {}
+    for did, toks in docs:
+        counts = Counter(toks)
+        votes = np.zeros(64, dtype=np.int64)
+        for tok, n in counts.items():
+            v = hcache.get(tok)
+            if v is None:
+                v = xxhash64(tok.encode("utf-8")) & ((1 << 64) - 1)
+                hcache[tok] = v
+            bits = (np.uint64(v) >> bit_idx) & np.uint64(1)
+            votes += n * (2 * bits.astype(np.int64) - 1)
+        u = int(((votes > 0).astype(np.uint64) << bit_idx).sum(dtype=np.uint64))
+        sigs[did] = u
+
+    buckets: dict[tuple, list[int]] = {}
+    for did, u in sigs.items():
+        for c in range(4):
+            buckets.setdefault((c, (u >> (16 * c)) & 0xFFFF), []).append(did)
+    cand = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cand.add((members[i], members[j]))
+
+    out = []
+    for id_a, id_b in sorted(cand):
+        ham = bin(sigs[id_a] ^ sigs[id_b]).count("1")
+        if ham <= max_hamming:
+            out.append(
+                {"corpus_fp": fp, "id_a": id_a, "id_b": id_b, "hamming": ham}
+            )
+    return pd.DataFrame(
+        out, columns=["corpus_fp", "id_a", "id_b", "hamming"]
+    ).astype(
+        {"corpus_fp": "int64", "id_a": "int64", "id_b": "int64"}
+    )

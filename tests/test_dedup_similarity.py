@@ -377,3 +377,36 @@ def test_ivfpq_empty_corpus(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert ivfpq_topk(empty, empty, [], [], k=3).count() == 0
+
+
+class TestPureXxhash64:
+    def test_matches_spark_all_length_branches(self, spark):
+        from pyspark.sql import functions as F
+
+        from dystonse_gtfs_data_spark.functions.xxh import xxhash64
+
+        cases = [
+            "", "a", "abc", "hello world", "x" * 7, "y" * 8, "z" * 31,
+            "w" * 32, "q" * 100, "Grüße ünïcödé ✓",
+            "the quick brown fox " * 20,
+        ]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(cases)], ["i", "s"]
+        )
+        got = {
+            r["i"]: r["h"]
+            for r in df.select("i", F.xxhash64("s").alias("h")).collect()
+        }
+        for i, s in enumerate(cases):
+            assert xxhash64(s.encode("utf-8")) == got[i], repr(s[:20])
+
+    def test_signed_range_and_abs_edge(self):
+        from dystonse_gtfs_data_spark.functions.xxh import (
+            spark_abs_xxhash64,
+            xxhash64,
+        )
+
+        vals = [xxhash64(f"probe{i}".encode()) for i in range(200)]
+        assert all(-(1 << 63) <= v < (1 << 63) for v in vals)
+        assert any(v < 0 for v in vals)  # signed reinterpretation happens
+        assert all(spark_abs_xxhash64(f"probe{i}") >= 0 for i in range(200))
