@@ -5495,6 +5495,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "zorder_skipping",
     "stream_near_dup",
     "dedup_eval",
+    # upgraded this round from rows-only to hash-checked (pure-Python
+    # xxHash64 replicas) — their r3 rows predate the oracles
+    "minhash_near_dups_xxhash",
+    "simhash_near_dups_xxhash",
     "boilerplate_lines",
     "model_score",
     "trip_descriptors",
