@@ -4694,13 +4694,22 @@ REGISTRY["heat_strip_pixels"] = QuerySpec(
 
 @register(
     "heat_strip_render",
-    # rows-only: the PNG container needs zlib, which DuckDB lacks; the
-    # pixel math feeding it is hash-checked via heat_strip_pixels and the
-    # byte layer is pinned by golden tests (tests/test_render.py)
-    None,
+    # differential oracle: the INDEPENDENT DuckDB pixel twin's rows
+    # packed by a separate spec-based PNG writer at oracle-build time
+    # (demo_oracle_pipeline.expected_heat_strip_render), keyed by the
+    # events fingerprint
+    f"""
+    SELECT event_type, url_len, url_prefix
+    FROM {_dt("expected_heat_strip_render")}
+    WHERE corpus_fp = (
+      SELECT CAST(sum(event_id) + count(*) AS BIGINT) FROM events
+    )
+    ORDER BY event_type
+    """,
     covers="C18 byte packaging: pixel rows → 1×W RGBA PNG data-URL via a "
     "dependency-free stdlib-zlib encoder in an Arrow-batched pandas UDF "
-    "(operators/render.py:encode_png_rgba)",
+    "(operators/render.py:encode_png_rgba) — hash-checked against an "
+    "independent spec-based PNG writer over the pixel twin's rows",
 )
 def q_heat_strip_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.render import heat_strip_data_urls
@@ -4709,9 +4718,9 @@ def q_heat_strip_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = heat_strip_data_urls(px)
     return out.select(
         "event_type",
-        F.length("data_url").alias("url_len"),
+        F.length("data_url").cast("bigint").alias("url_len"),
         F.substring("data_url", 1, 22).alias("url_prefix"),
-    )
+    ).orderBy("event_type")
 
 
 @register(

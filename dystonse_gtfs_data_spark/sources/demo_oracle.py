@@ -42,7 +42,7 @@ def _source_digest() -> str:
     with open(xxh, "rb") as fh:
         h.update(fh.read())
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        for table in ("embeddings", "documents"):
+        for table in ("embeddings", "documents", "events"):
             p = os.path.join(TESTDATA_ROOT, sf, f"{table}.parquet")
             if os.path.exists(p):
                 h.update(f"{sf}/{table}".encode())
@@ -325,6 +325,30 @@ def ensure_demo_oracle_dir() -> str:
             preserve_index=False,
         ),
         os.path.join(build_dir, "expected_simhash_xxhash.parquet"),
+    )
+    # PNG packaging tail expecteds: independent spec-based PNG writer
+    # over the DuckDB pixel twin's rows, per SF events table
+    from .demo_oracle_pipeline import expected_heat_strip_render
+
+    hs_frames = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = os.path.join(TESTDATA_ROOT, sf)
+        if os.path.exists(os.path.join(d, "events.parquet")):
+            hs_frames.append(expected_heat_strip_render(d))
+    _HSR_EMPTY = pd.DataFrame(
+        {
+            "corpus_fp": pd.Series(dtype="int64"),
+            "event_type": pd.Series(dtype="object"),
+            "url_len": pd.Series(dtype="int64"),
+            "url_prefix": pd.Series(dtype="object"),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat([_HSR_EMPTY, *hs_frames], ignore_index=True),
+            preserve_index=False,
+        ),
+        os.path.join(build_dir, "expected_heat_strip_render.parquet"),
     )
     # GTFS CSV form of the schedule fixture (gtfs_csv/*.txt): drives the
     # S1 feed scanner under the driver gate — Spark reads it via

@@ -1367,3 +1367,70 @@ def expected_simhash_xxhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     ).astype(
         {"corpus_fp": "int64", "id_a": "int64", "id_b": "int64"}
     )
+
+
+def expected_heat_strip_render(sf_dir: str) -> pd.DataFrame:
+    """Differential oracle for the PNG packaging tail
+    (q_heat_strip_render): pixel rows come from the INDEPENDENT DuckDB
+    pixel twin (the heat_strip_pixels oracle SQL executed in-process
+    over the same events parquet), then a spec-based PNG writer —
+    written here from the public PNG layout, separate from
+    operators/render.py — packs the 1×W RGBA strip and the data URL.
+    zlib level 9 matches the engine's fixed compression level; zlib
+    itself is the same CPython module on both sides (deterministic).
+    Keyed by an events-table fingerprint."""
+    import base64
+    import struct
+    import zlib
+
+    import duckdb
+
+    from .. import queries as Q  # late import: queries.py is loaded by build time
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    px = con.execute(Q.REGISTRY["heat_strip_pixels"].oracle).df()
+    fp = int(
+        con.execute(
+            "SELECT CAST(sum(event_id) + count(*) AS BIGINT) FROM events"
+        ).fetchone()[0]
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    out = []
+    for et, g in px.sort_values(["event_type", "px"]).groupby(
+        "event_type", sort=True
+    ):
+        raw = b"".join(
+            bytes((int(r), int(gg), int(b), 255))
+            for r, gg, b in zip(g["r"], g["g"], g["b"])
+        )
+        w = len(g)
+        ihdr = struct.pack(">IIBBBBB", w, 1, 8, 6, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" + raw, 9))
+            + chunk(b"IEND", b"")
+        )
+        url = "data:image/png;base64," + base64.b64encode(png).decode("ascii")
+        out.append(
+            {
+                "corpus_fp": fp,
+                "event_type": et,
+                "url_len": len(url),
+                "url_prefix": url[:22],
+            }
+        )
+    return pd.DataFrame(
+        out, columns=["corpus_fp", "event_type", "url_len", "url_prefix"]
+    ).astype({"corpus_fp": "int64", "url_len": "int64"})
