@@ -51,11 +51,10 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 # with zlib, which DuckDB lacks — its pixel inputs ARE hash-checked
 # (heat_strip_pixels) and the PNG encoder is golden-tested
 # byte-for-byte in tests/test_render.py.
-ROWS_ONLY_BY_DESIGN = {
-    "minhash_near_dups_xxhash",
-    "simhash_near_dups_xxhash",
-    "heat_strip_render",
-}
+# round-4: emptied — the xxhash pipelines gained pure-Python xxHash64
+# replicas and the PNG tail a spec-based writer oracle; every catalog
+# entry is hash-checked
+ROWS_ONLY_BY_DESIGN: set[str] = set()
 
 
 def test_every_query_has_an_oracle():
