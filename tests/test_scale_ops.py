@@ -158,3 +158,63 @@ class TestPartitionCountInvariance:
         single = self._rows(Q.REGISTRY[name].fn(spark, sf_dir), keys)
         multi = self._rows(Q.REGISTRY[name].fn(spark, many_split_docs_dir), keys)
         assert single == multi, name
+
+
+class TestSkewStress:
+    """Adversarial skew: hot keys / giant groups that would OOM or
+    quadratically blow up a naive plan must complete with sane output."""
+
+    def test_ngram_jaccard_hot_shingle_valve(self, spark):
+        # 400 docs all sharing one stop-phrase shingle: without the df
+        # valve the inverted index joins 400² pairs on that shingle;
+        # with it, the hot shingle drops and only real dups surface
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            ngram_jaccard_near_duplicates,
+        )
+
+        docs = [(i, f"common stop phrase unique{i} filler{i} tail{i}") for i in range(398)]
+        docs += [(998, "real duplicate pair body text"), (999, "real duplicate pair body text")]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = ngram_jaccard_near_duplicates(
+            df, threshold=0.5, max_shingle_df=50
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in out} == {(998, 999)}
+
+    def test_semantic_dedup_one_giant_cluster(self, spark):
+        # every vector in ONE k-means cluster (identical directions):
+        # the intra-cluster join is the full pair space — must still
+        # finish and keep exactly the min id
+        from dystonse_gtfs_data_spark.operators.similarity import semantic_dedup
+
+        rows = [(i, [1.0 + (i % 7) * 1e-4] * 8) for i in range(300)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = semantic_dedup(df, k=4, rounds=1, threshold=0.99).toPandas()
+        assert len(out) == 300
+        assert sorted(out[out.keep].vec_id)[:1] == [0]
+
+    def test_reservoir_single_hot_key(self, spark):
+        # one key holds every row: the threshold prefilter must keep the
+        # exchange at ~k rows, and the result is exactly k
+        from dystonse_gtfs_data_spark.operators.sampling import (
+            deterministic_reservoir,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "hot") for i in range(20000)], ["doc_id", "lang"]
+        )
+        out = deterministic_reservoir(df, "lang", "doc_id", k=10).collect()
+        assert len(out) == 10
+        assert sorted(r["rn"] for r in out) == list(range(1, 11))
+
+    def test_boilerplate_every_line_everywhere(self, spark):
+        # pathological corpus: every line is boilerplate → empty output,
+        # no crash, no divide-by-zero
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            boilerplate_line_removal,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "same\nlines\neverywhere") for i in range(50)],
+            ["doc_id", "text"],
+        )
+        assert boilerplate_line_removal(df, max_df=2).count() == 0
