@@ -1702,6 +1702,57 @@ _finalize_boilerplate_oracle()
 
 
 @register(
+    "jsonl_roundtrip",
+    # losslessness proof: the Spark-side JSONL stage+read-back must
+    # reproduce the parquet corpus exactly — the oracle recomputes the
+    # same per-lang aggregate fingerprints from the parquet directly
+    f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(({portable_base_hash_sql("substr(md5(text), 1, 15)")})
+                    % 1000003) AS BIGINT) AS fp_sum,
+           CAST(sum(length(text)) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    covers="JSONL corpus source (sources/jsonl.py): schema-explicit read "
+    "(no inferSchema pass at corpus scale) with corrupt-record "
+    "quarantine; the catalog entry stages the documents table to JSONL, "
+    "reads it back, and proves losslessness — per-lang counts, portable "
+    "content-fingerprint sums, and char totals equal the parquet-derived "
+    "oracle aggregates",
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from .operators.dedup import portable_base_hash
+    from .sources.jsonl import (
+        jsonl_quarantine_split,
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    land = _tf.mkdtemp(prefix="jsonl_stage_")
+    path = _os.path.join(land, "documents_jsonl")
+    write_documents_jsonl(docs, path)
+    clean, _bad = jsonl_quarantine_split(read_documents_jsonl(spark, path))
+    return (
+        clean.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(portable_base_hash(F.col("text")) % 1000003).alias("fp_sum"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "dedup_eval",
     # composes the exact-Jaccard and minhash twins: banding recall,
     # measured — precision is 1 by construction (candidates are verified
@@ -5511,6 +5562,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "boilerplate_lines",
     "model_score",
     "trip_descriptors",
+    "jsonl_roundtrip",
     # green in round 2 only (dropped out of round 3's checked prefix)
     "stored_curve_quantiles",
     "gtfs_records",

@@ -494,3 +494,46 @@ class TestWireCodecProperties:
             assert wire_decoder(encode_feed_message(rows)) == rows
 
         roundtrip()
+
+
+class TestJsonlSource:
+    def test_read_and_quarantine(self, spark, tmp_path):
+        from dystonse_gtfs_data_spark.sources.jsonl import (
+            jsonl_quarantine_split,
+            read_documents_jsonl,
+        )
+
+        p = tmp_path / "corpus.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "lang": "en", "source": "web", "n_chars": 5, "text": "hello"}\n'
+            "this line is not json at all\n"
+            '{"doc_id": 2, "lang": "de", "source": "web", "n_chars": 4, "text": "hallo"}\n'
+            '{"doc_id": 3, "broken": \n'
+        )
+        clean, bad = jsonl_quarantine_split(
+            read_documents_jsonl(spark, str(p))
+        )
+        rows = {r["doc_id"]: r for r in clean.collect()}
+        assert set(rows) == {1, 2}
+        assert rows[1]["text"] == "hello" and rows[2]["lang"] == "de"
+        bad_lines = [r["raw_line"] for r in bad.collect()]
+        assert len(bad_lines) == 2
+        assert any("not json" in line for line in bad_lines)
+
+    def test_roundtrip_preserves_every_field(self, spark, tmp_path):
+        from dystonse_gtfs_data_spark.sources.jsonl import (
+            read_documents_jsonl,
+            write_documents_jsonl,
+        )
+        from dystonse_gtfs_data_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "lang", "source", "n_chars", "text"
+        )
+        path = str(tmp_path / "stage")
+        write_documents_jsonl(docs, path)
+        back = read_documents_jsonl(spark, path).drop("_corrupt")
+        assert back.count() == docs.count()
+        # exact set equality of full rows
+        assert back.exceptAll(docs).count() == 0
+        assert docs.exceptAll(back).count() == 0
