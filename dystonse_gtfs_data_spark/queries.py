@@ -1753,6 +1753,63 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tar_shards_roundtrip",
+    # same losslessness aggregates as jsonl_roundtrip: the WebDataset
+    # tar path must reproduce the parquet corpus exactly
+    f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(({portable_base_hash_sql("substr(md5(text), 1, 15)")})
+                    % 1000003) AS BIGINT) AS fp_sum,
+           CAST(sum(length(text)) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    covers="WebDataset-style tar-shard source (sources/shards.py): whole "
+    "shards to executors via binaryFile (the shard is the IO/parallelism "
+    "unit), stdlib-tarfile unpack in Arrow batches, one row per sample "
+    "with a member-bytes map — the multimodal training-set container; "
+    "losslessness proven by per-lang aggregate parity with the parquet "
+    "corpus (text member + from_json metadata member)",
+)
+def q_tar_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from .operators.dedup import portable_base_hash
+    from .sources.shards import read_tar_shards, write_tar_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.to_json(F.struct("lang", "source")).alias("meta"),
+    )
+    land = _tf.mkdtemp(prefix="tar_stage_")
+    path = _os.path.join(land, "shards")
+    write_tar_shards(
+        docs, path, members_from={"txt": "text", "json": "meta"}
+    )
+    samples = read_tar_shards(spark, path)
+    parsed = samples.select(
+        F.element_at("members", "txt").cast("string").alias("text"),
+        F.from_json(
+            F.element_at("members", "json").cast("string"),
+            "lang string, source string",
+        ).alias("m"),
+    )
+    return (
+        parsed.groupBy(F.col("m.lang").alias("lang"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(portable_base_hash(F.col("text")) % 1000003).alias("fp_sum"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "dedup_eval",
     # composes the exact-Jaccard and minhash twins: banding recall,
     # measured — precision is 1 by construction (candidates are verified
@@ -5563,6 +5620,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "model_score",
     "trip_descriptors",
     "jsonl_roundtrip",
+    "tar_shards_roundtrip",
     # green in round 2 only (dropped out of round 3's checked prefix)
     "stored_curve_quantiles",
     "gtfs_records",

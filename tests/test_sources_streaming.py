@@ -537,3 +537,62 @@ class TestJsonlSource:
         # exact set equality of full rows
         assert back.exceptAll(docs).count() == 0
         assert docs.exceptAll(back).count() == 0
+
+
+class TestTarShards:
+    def test_sample_grouping_and_multimodal_stitch(self, spark, tmp_path):
+        import io
+        import tarfile
+
+        import numpy as np
+
+        from dystonse_gtfs_data_spark.operators.multimodal import (
+            decode_and_featurize_images,
+            png_image_decode,
+        )
+        from dystonse_gtfs_data_spark.operators.render import encode_png_rgba
+        from dystonse_gtfs_data_spark.sources.shards import read_tar_shards
+
+        rng = np.random.default_rng(9)
+        shard = tmp_path / "shard-000000.tar"
+        with tarfile.open(shard, "w") as tf:
+            for i in range(3):
+                img = rng.integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+                png = encode_png_rgba(img.tobytes(), 4, 4)
+                meta = f'{{"label": {i}}}'.encode()
+                for name, data in ((f"{i:06d}.png", png), (f"{i:06d}.json", meta)):
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+        samples = read_tar_shards(spark, str(tmp_path))
+        rows = samples.collect()
+        assert len(rows) == 3
+        assert all(set(r["members"]) == {"png", "json"} for r in rows)
+        # stitch: shard samples → the real PNG kernel → features
+        from pyspark.sql import functions as F
+
+        assets = samples.select(
+            F.col("sample_key").cast("long").alias("asset_id"),
+            F.element_at("members", "png").alias("content"),
+        )
+        feats = decode_and_featurize_images(assets, decode=png_image_decode).collect()
+        assert len(feats) == 3
+        assert all((r["width"], r["height"]) == (4, 4) for r in feats)
+
+    def test_deterministic_write_sharding(self, spark, tmp_path):
+        import os
+
+        from dystonse_gtfs_data_spark.sources.shards import write_tar_shards
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(2500)], ["doc_id", "text"]
+        )
+        p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+        write_tar_shards(docs, p1, samples_per_shard=1000)
+        write_tar_shards(docs, p2, samples_per_shard=1000)
+        names = sorted(os.listdir(p1))
+        assert names == ["shard-000000.tar", "shard-000001.tar", "shard-000002.tar"]
+        for n in names:  # byte-identical re-staging (mtime pinned to 0)
+            assert open(os.path.join(p1, n), "rb").read() == open(
+                os.path.join(p2, n), "rb"
+            ).read()
