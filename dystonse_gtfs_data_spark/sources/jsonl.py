@@ -49,7 +49,11 @@ def jsonl_quarantine_split(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     the best-effort doc_id (NULL when the line parsed not at all) — the
     extra parsed column is also what keeps Spark's
     QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction satisfied without
-    caching the raw scan."""
+    caching the raw scan.
+
+    Caveat: ``bad.count()`` still trips the restriction (column pruning
+    reduces the scan to the corrupt column alone) — materialize with
+    ``collect()``/a write, or cache first, when a count is needed."""
     clean = raw.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     bad = raw.filter(F.col("_corrupt").isNotNull()).select(
         "doc_id", F.col("_corrupt").alias("raw_line")

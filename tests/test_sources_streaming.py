@@ -596,3 +596,25 @@ class TestTarShards:
             assert open(os.path.join(p1, n), "rb").read() == open(
                 os.path.join(p2, n), "rb"
             ).read()
+
+    def test_gzipped_jsonl_reads_transparently(self, spark, tmp_path):
+        # docstring claim, tested: Spark's json reader decompresses .gz
+        import gzip
+
+        from dystonse_gtfs_data_spark.sources.jsonl import (
+            jsonl_quarantine_split,
+            read_documents_jsonl,
+        )
+
+        p = tmp_path / "corpus.jsonl.gz"
+        with gzip.open(p, "wt") as fh:
+            fh.write(
+                '{"doc_id": 7, "lang": "en", "source": "web", "n_chars": 2, "text": "hi"}\n'
+            )
+        clean, bad = jsonl_quarantine_split(
+            read_documents_jsonl(spark, str(p))
+        )
+        assert [r["doc_id"] for r in clean.collect()] == [7]
+        # count() would prune the plan down to the corrupt-only column
+        # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); collect keeps doc_id referenced
+        assert bad.collect() == []
