@@ -66,8 +66,13 @@ def _merge_into_records(spark, records, records_path: str) -> None:
     else:
         merged = records
     tmp = records_path + ".staging"
+    shutil.rmtree(tmp, ignore_errors=True)  # stale staging from a crash
     merged.write.mode("overwrite").parquet(tmp)
     old = records_path + ".old"
+    # a crash between the two renames below leaves a populated '.old';
+    # os.rename onto a non-empty dir raises, so clear it first — one
+    # crashed import must not wedge every later one
+    shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(records_path):
         os.rename(records_path, old)
     os.rename(tmp, records_path)

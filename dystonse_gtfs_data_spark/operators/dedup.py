@@ -86,7 +86,15 @@ def _spread(df: DataFrame) -> DataFrame:
             )
         )
     except Exception:
-        return df.repartition(target)  # stats unavailable — spread anyway
+        # stats introspection unavailable — fall back to the physical
+        # partition count so a genuinely large input (or one already
+        # spread wide) never pays an unconditional corpus-wide shuffle
+        try:
+            if df.rdd.getNumPartitions() < target:
+                return df.repartition(target)
+        except Exception:
+            pass
+        return df
     if size < target * max_pb:
         return df.repartition(target)
     return df

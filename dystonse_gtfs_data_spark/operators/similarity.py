@@ -755,9 +755,16 @@ def semantic_dedup(
     dup_ids = (
         a.join(b, "cluster")
         .filter(F.col("id_b") < F.col("id_a"))
+        # round to 4 digits before the threshold test (the cosine_topk
+        # convention): DuckDB's list_cosine_similarity associates the
+        # sum/sqrt differently, so an unrounded pair within an ULP of
+        # the threshold could classify differently across engines
         .filter(
-            _dot(F.col("vec_a"), F.col("vec_b"))
-            / (F.col("nrm_a") * F.col("nrm_b"))
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                4,
+            )
             >= F.lit(threshold)
         )
         .select(F.col("id_a").alias("vid"))
@@ -795,8 +802,9 @@ def semantic_dedup_sql(
       JOIN assign b ON b.cluster = a.cluster AND b.{id_col} < a.{id_col}
       JOIN {table} ea ON ea.{id_col} = a.{id_col}
       JOIN {table} eb ON eb.{id_col} = b.{id_col}
-      WHERE list_cosine_similarity(CAST(ea.{vec_col} AS DOUBLE[]),
-                                   CAST(eb.{vec_col} AS DOUBLE[])) >= {threshold!r}
+      WHERE round(list_cosine_similarity(CAST(ea.{vec_col} AS DOUBLE[]),
+                                         CAST(eb.{vec_col} AS DOUBLE[])), 4)
+            >= {threshold!r}
     )
     SELECT a.{id_col}, a.cluster,
            (d.vid IS NULL) AS keep

@@ -443,7 +443,8 @@ def test_reservoir_threshold_prefilter_bounds_the_exchange(spark, sf_dir):
     plan = formatted_plan(df)
     assert "pythonudf" not in plan.lower()
     assert "collect_list" not in plan.lower(), plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
     # the per-key count aggregations ARE map-side combined
     assert "partial_count" in plan.lower() or "partial" in plan.lower(), plan
 
