@@ -40,57 +40,87 @@ def windowed_event_counts(
     )
 
 
-_BASIS_STATE_SCHEMA = "stop_sequence int, delay_departure int, tor_us long"
+_BASIS_STATE_SCHEMA = (
+    "stop_sequence int, delay_departure int, tor_us long, last_seen_ms long"
+)
 _BASIS_OUTPUT_SCHEMA = (
     "trip_id string, trip_start_date string, trip_start_time int, "
     "stop_sequence int, delay_departure int, time_of_recording_us long"
 )
 
 
-def _basis_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Emit a row only when the vehicle's (stop_sequence, delay) basis
-    changed — the incremental-skip the reference implements with a
-    mutex-guarded map (src/importer/per_schedule_importer.rs:266-313).
+def _make_basis_fn(ttl_ms: int | None):
+    """Closure factory (Python lambda default-args break HOF arity
+    elsewhere; here it just keeps ``ttl_ms`` out of the state row)."""
 
-    The retained basis is the GLOBAL latest observation by
-    (time_of_recording, stop_sequence) — state only advances in that
-    order, so a late-arriving micro-batch of stale data can never
-    clobber a newer basis, and the stream's final basis per vehicle is
-    exactly the batch `realtime_bases` latest-wins result regardless of
-    file arrival order."""
-    prev = state.get if state.exists else None
-    batch = pd.concat(list(pdfs), ignore_index=True).dropna(subset=["delay_departure"])
-    if batch.empty:
-        return
-    last = batch.sort_values(["time_of_recording", "stop_sequence"]).iloc[-1]
-    tor_us = int(pd.Timestamp(last["time_of_recording"]).value // 1_000)
-    best = (int(last["stop_sequence"]), int(last["delay_departure"]), tor_us)
-    if prev is not None and (best[2], best[0]) <= (prev[2], prev[0]):
-        return  # stale (late) data → keep the newer retained basis
-    state.update(best)
-    if prev is not None and (prev[0], prev[1]) == (best[0], best[1]):
-        return  # unchanged basis → no output, no re-prediction
-    trip_id, start_date, start_time = key
-    yield pd.DataFrame(
-        [
-            {
-                "trip_id": trip_id,
-                "trip_start_date": start_date,
-                "trip_start_time": int(start_time),
-                "stop_sequence": best[0],
-                "delay_departure": best[1],
-                "time_of_recording_us": best[2],
-            }
-        ]
-    )
+    def _basis_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Emit a row only when the vehicle's (stop_sequence, delay) basis
+        changed — the incremental-skip the reference implements with a
+        mutex-guarded map (src/importer/per_schedule_importer.rs:266-313).
+
+        The retained basis is the GLOBAL latest observation by
+        (time_of_recording, stop_sequence) — state only advances in that
+        order, so a late-arriving micro-batch of stale data can never
+        clobber a newer basis, and the stream's final basis per vehicle is
+        exactly the batch `realtime_bases` latest-wins result regardless of
+        file arrival order.
+
+        With ``ttl_ms`` set, a vehicle idle past the TTL is dropped from
+        the state store (ProcessingTimeTimeout) — the reference's T4
+        retention for finished trips (src/importer/mod.rs:174-198);
+        state stays O(active vehicles), not O(vehicles ever seen)."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        now = int(state.getCurrentProcessingTimeMs()) if ttl_ms else 0
+        prev = state.get if state.exists else None
+        if prev is not None and ttl_ms and now - int(prev[3]) > ttl_ms:
+            prev = None  # aged-out basis: the vehicle restarts fresh
+        batch = pd.concat(list(pdfs), ignore_index=True).dropna(
+            subset=["delay_departure"]
+        )
+        if batch.empty:
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        last = batch.sort_values(["time_of_recording", "stop_sequence"]).iloc[-1]
+        tor_us = int(pd.Timestamp(last["time_of_recording"]).value // 1_000)
+        best = (int(last["stop_sequence"]), int(last["delay_departure"]), tor_us)
+        if prev is not None and (best[2], best[0]) <= (prev[2], prev[0]):
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+            return  # stale (late) data → keep the newer retained basis
+        state.update((*best, now))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        if prev is not None and (prev[0], prev[1]) == (best[0], best[1]):
+            return  # unchanged basis → no output, no re-prediction
+        trip_id, start_date, start_time = key
+        yield pd.DataFrame(
+            [
+                {
+                    "trip_id": trip_id,
+                    "trip_start_date": start_date,
+                    "trip_start_time": int(start_time),
+                    "stop_sequence": best[0],
+                    "delay_departure": best[1],
+                    "time_of_recording_us": best[2],
+                }
+            ]
+        )
+
+    return _basis_fn
 
 
-def stateful_basis_stream(updates: DataFrame) -> DataFrame:
+def stateful_basis_stream(
+    updates: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """updates: streaming RT_UPDATES-shaped frame (trip_id, start_date,
     start_time parsed to seconds upstream).  Output: one row per basis
-    *change* per vehicle."""
+    *change* per vehicle.  ``ttl_ms`` bounds the state store: vehicles
+    idle past it are evicted (and a later reappearance starts fresh)."""
     keyed = updates.select(
         "trip_id",
         F.col("start_date").alias("trip_start_date"),
@@ -104,60 +134,98 @@ def stateful_basis_stream(updates: DataFrame) -> DataFrame:
         "departure_delay",
         F.col("header_timestamp").alias("time_of_recording"),
     ).withColumnRenamed("departure_delay", "delay_departure")
-    return keyed.groupBy("trip_id", "trip_start_date", "trip_start_time").applyInPandasWithState(
-        _basis_fn,
+    return keyed.groupBy(
+        "trip_id", "trip_start_date", "trip_start_time"
+    ).applyInPandasWithState(
+        _make_basis_fn(ttl_ms),
         outputStructType=_BASIS_OUTPUT_SCHEMA,
         stateStructType=_BASIS_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
-_NEARDUP_STATE_SCHEMA = "first_id long"
+_NEARDUP_STATE_SCHEMA = "first_id long, last_seen_ms long"
 _NEARDUP_OUTPUT_SCHEMA = "doc_id long, band_id int, dup_of long"
 
 
-def _near_dup_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Keyed by (band_id, band_sig): remember the FIRST doc id that ever
-    produced this signature; every later doc sharing it is a near-dup
-    candidate and emits a (doc, band, dup_of) hit.  Originals emit
-    nothing — the stream's output is exactly the duplicate set.
+def _make_near_dup_fn(ttl_ms: int | None):
+    def _near_dup_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Keyed by (band_id, band_sig): remember the FIRST doc id that
+        ever produced this signature; every later doc sharing it is a
+        near-dup candidate and emits a (doc, band, dup_of) hit.
+        Originals emit nothing — the stream's output is exactly the
+        duplicate set.
 
-    Arrival-order contract: micro-batches replay in document order
-    (landing files are id-ranged), so "first" is the min id, matching
-    the batch oracle's earlier-doc-by-id rule.  In a production feed the
-    order is ingestion time, which IS the dedup semantic there."""
-    first = int(state.get[0]) if state.exists else None
-    batch = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
-    out = []
-    for did in batch["doc_id"]:
-        did = int(did)
-        if first is None:
-            first = did
-        elif did != first:
-            out.append(
-                {"doc_id": did, "band_id": int(key[0]), "dup_of": first}
-            )
-    state.update((first,))
-    if out:
-        yield pd.DataFrame(out)
+        Arrival-order contract: micro-batches replay in document order
+        (landing files are id-ranged), so "first" is the min id, matching
+        the batch oracle's earlier-doc-by-id rule.  In a production feed
+        the order is ingestion time, which IS the dedup semantic there.
+
+        With ``ttl_ms``, a signature unseen past the TTL ages out of the
+        index two ways: idle groups are evicted by the state-store
+        timeout (hasTimedOut → remove), and a re-arrival whose retained
+        entry is older than the TTL treats the arriving doc as a NEW
+        original — so the index holds only signatures seen inside the
+        dedup horizon, O(recent signatures) at corpus scale."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        now = int(state.getCurrentProcessingTimeMs()) if ttl_ms else 0
+        first = int(state.get[0]) if state.exists else None
+        if (
+            first is not None
+            and ttl_ms
+            and now - int(state.get[1]) > ttl_ms
+        ):
+            first = None  # aged-out signature: arriving doc is a new original
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        out = []
+        for did in batch["doc_id"]:
+            did = int(did)
+            if first is None:
+                first = did
+            elif did != first:
+                out.append(
+                    {"doc_id": did, "band_id": int(key[0]), "dup_of": first}
+                )
+        state.update((first, now))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return _near_dup_fn
 
 
-def streaming_near_dup(bands: DataFrame) -> DataFrame:
+def streaming_near_dup(bands: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Streaming minhash near-dup detection (the incremental form of the
     batch minhash+LSH pipeline): ``bands`` is the stateless per-row
     signature projection (operators/dedup.rowwise_minhash_bands) over a
     streaming source; the keyed state store holds one row per distinct
     (band_id, band_sig) ever seen — the accumulating LSH index.  State
-    is O(distinct signatures), not O(documents × bands), and a
-    production deployment bounds it with a TTL timeout (stale
-    signatures age out of the index)."""
+    is O(distinct signatures), not O(documents × bands).
+
+    ``ttl_ms`` bounds the index for unbounded feeds: signatures idle
+    past the TTL are evicted from the state store
+    (ProcessingTimeTimeout), and a doc re-presenting an expired
+    signature is treated as a new original — the sliding dedup horizon
+    a production crawl pipeline runs with (reference analog: the T4
+    retention semantics, src/importer/mod.rs:174-198)."""
     return bands.groupBy("band_id", "band_sig").applyInPandasWithState(
-        _near_dup_fn,
+        _make_near_dup_fn(ttl_ms),
         outputStructType=_NEARDUP_OUTPUT_SCHEMA,
         stateStructType=_NEARDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms
+            else GroupStateTimeout.NoTimeout
+        ),
     )

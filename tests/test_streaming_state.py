@@ -276,30 +276,185 @@ class TestStreamingNearDup:
         # batch 1 emits nothing, the batch-2 duplicate emits a hit
         import pandas as pd
 
-        from dystonse_gtfs_data_spark.streaming.aggregations import _near_dup_fn
+        from dystonse_gtfs_data_spark.streaming.aggregations import (
+            _make_near_dup_fn,
+        )
 
-        class FakeState:
-            def __init__(self):
-                self.exists = False
-                self._v = None
-
-            @property
-            def get(self):
-                return self._v
-
-            def update(self, v):
-                self._v = v
-                self.exists = True
-
+        fn = _make_near_dup_fn(None)
         st = FakeState()
-        b1 = list(
-            _near_dup_fn((0, "sig"), iter([pd.DataFrame({"doc_id": [7]})]), st)
-        )
-        assert b1 == [] and st.get == (7,)
-        b2 = list(
-            _near_dup_fn((0, "sig"), iter([pd.DataFrame({"doc_id": [9]})]), st)
-        )
+        b1 = list(fn((0, "sig"), iter([pd.DataFrame({"doc_id": [7]})]), st))
+        assert b1 == [] and st.get == (7, 0)
+        b2 = list(fn((0, "sig"), iter([pd.DataFrame({"doc_id": [9]})]), st))
         assert len(b2) == 1
         row = b2[0].iloc[0]
         assert (row["doc_id"], row["band_id"], row["dup_of"]) == (9, 0, 7)
-        assert st.get == (7,)  # the first id is sticky
+        assert st.get == (7, 0)  # the first id is sticky
+
+
+class FakeState:
+    """Minimal GroupState double for pure-pandas state-fn tests."""
+
+    def __init__(self, now_ms: int = 0, has_timed_out: bool = False):
+        self.exists = False
+        self._v = None
+        self.hasTimedOut = has_timed_out
+        self.now_ms = now_ms
+        self.timeout_duration: int | None = None
+        self.removed = False
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+    def remove(self):
+        self._v = None
+        self.exists = False
+        self.removed = True
+
+    def getCurrentProcessingTimeMs(self):
+        return self.now_ms
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_duration = ms
+
+
+class TestStreamingNearDupTTL:
+    def test_within_ttl_duplicate_flagged(self):
+        import pandas as pd
+
+        from dystonse_gtfs_data_spark.streaming.aggregations import (
+            _make_near_dup_fn,
+        )
+
+        fn = _make_near_dup_fn(5_000)
+        st = FakeState(now_ms=1_000)
+        assert list(fn((0, "sig"), iter([pd.DataFrame({"doc_id": [7]})]), st)) == []
+        assert st.get == (7, 1_000) and st.timeout_duration == 5_000
+        st.now_ms = 4_000  # 3 s later, inside the 5 s TTL
+        out = list(fn((0, "sig"), iter([pd.DataFrame({"doc_id": [9]})]), st))
+        assert len(out) == 1 and out[0].iloc[0]["dup_of"] == 7
+        assert st.get == (7, 4_000)  # last_seen refreshed by the arrival
+
+    def test_expired_signature_rearrival_is_new_original(self):
+        import pandas as pd
+
+        from dystonse_gtfs_data_spark.streaming.aggregations import (
+            _make_near_dup_fn,
+        )
+
+        fn = _make_near_dup_fn(5_000)
+        st = FakeState(now_ms=1_000)
+        list(fn((0, "sig"), iter([pd.DataFrame({"doc_id": [7]})]), st))
+        st.now_ms = 7_001  # 6.001 s later — past the TTL
+        out = list(fn((0, "sig"), iter([pd.DataFrame({"doc_id": [9]})]), st))
+        assert out == []  # NOT a dup: the retained entry aged out
+        assert st.get == (9, 7_001)  # doc 9 is the new original
+
+    def test_timed_out_group_removes_state(self):
+        from dystonse_gtfs_data_spark.streaming.aggregations import (
+            _make_near_dup_fn,
+        )
+
+        fn = _make_near_dup_fn(5_000)
+        st = FakeState(has_timed_out=True)
+        st.update((7, 1_000))
+        assert list(fn((0, "sig"), iter([]), st)) == []
+        assert st.removed and not st.exists
+
+    def test_basis_ttl_expiry_restarts_vehicle(self):
+        import pandas as pd
+
+        from dystonse_gtfs_data_spark.streaming.aggregations import (
+            _make_basis_fn,
+        )
+
+        fn = _make_basis_fn(5_000)
+        key = ("t1", "20240101", 28800)
+        b1 = pd.DataFrame(
+            {
+                "time_of_recording": [pd.Timestamp("2024-01-01 08:00:00")],
+                "stop_sequence": [3],
+                "delay_departure": [60],
+            }
+        )
+        st = FakeState(now_ms=1_000)
+        assert len(list(fn(key, iter([b1]), st))) == 1  # first basis emits
+        # same basis but an OLDER recording arriving after expiry: with a
+        # live state it would be swallowed twice over (stale AND
+        # unchanged); after TTL expiry the vehicle restarts fresh, so the
+        # stale-guard and unchanged-guard both reset and it emits
+        b2 = pd.DataFrame(
+            {
+                "time_of_recording": [pd.Timestamp("2024-01-01 07:00:00")],
+                "stop_sequence": [3],
+                "delay_departure": [60],
+            }
+        )
+        st.now_ms = 7_001
+        assert len(list(fn(key, iter([b2]), st))) == 1
+
+    def test_streaming_ttl_end_to_end(self, spark, tmp_path):
+        """Real multi-run Structured Streaming expiry: run 1 indexes a
+        signature; after sleeping past the TTL, run 2 (same checkpoint —
+        a parquet sink, since the memory sink can't recover) replays the
+        SAME text from a new doc — with the entry expired it must be
+        treated as a new original, not a duplicate."""
+        import time
+
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            rowwise_minhash_bands,
+        )
+        from dystonse_gtfs_data_spark.streaming.aggregations import (
+            streaming_near_dup,
+        )
+
+        land = tmp_path / "land"
+        land.mkdir()
+        ck = str(tmp_path / "ck")
+        out = str(tmp_path / "out")
+        text = "the quick brown fox jumps over the lazy dog"
+
+        def run_once() -> None:
+            src = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(land) + "/*")
+            )
+            q = (
+                streaming_near_dup(
+                    rowwise_minhash_bands(src, num_hashes=16), ttl_ms=2_000
+                )
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        def hit_ids() -> set:
+            return {
+                r[0]
+                for r in spark.read.parquet(out)
+                .select("doc_id")
+                .distinct()
+                .collect()
+            }
+
+        spark.createDataFrame(
+            [(1, text), (2, text)], ["doc_id", "text"]
+        ).coalesce(1).write.parquet(str(land / "b0"))
+        run_once()
+        assert hit_ids() == {2}  # in-TTL duplicate flagged
+
+        time.sleep(3)  # let the 2 s TTL lapse in processing time
+        spark.createDataFrame([(3, text)], ["doc_id", "text"]).coalesce(
+            1
+        ).write.parquet(str(land / "b1"))
+        run_once()  # recovers from the checkpoint, processes only b1
+        assert hit_ids() == {2}  # expired signature: doc 3 is a new original
