@@ -5054,9 +5054,16 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     land = _tf.mkdtemp(prefix="streamneardup_land_")
     step = (int(hi) // 2) + 1
     for b in range(2):
+        bdir = _os.path.join(land, f"b{b:03d}")
         docs.filter(
             (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
-        ).coalesce(1).write.parquet(_os.path.join(land, f"b{b:03d}"))
+        ).coalesce(1).write.parquet(bdir)
+        # FileStreamSource replays files in MTIME order; back-to-back
+        # writes can share an mtime, making "first seen == min id" (and
+        # the oracle parity) timing-dependent — pin distinct mtimes.
+        for root, _dirs, names in _os.walk(bdir):
+            for name in names:
+                _os.utime(_os.path.join(root, name), (1_000_000 + b, 1_000_000 + b))
     schema = spark.read.parquet(_os.path.join(land, "b000")).schema
     src = (
         spark.readStream.schema(schema)
@@ -5556,72 +5563,26 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The driver's per-round CORRECTNESS gate checks a ~50-entry prefix of this
-# catalog.  Rounds 2-3 green-lit 62 distinct entries; the names below have
-# never had a driver row (41 round-2/3 additions registered past the checked
-# prefix + the new journey_chain), followed by the 12 entries whose only
-# green row is round-2's.  queries()/oracle_sql() emit these FIRST so round
-# 4's prefix covers them; the 50 entries already green in CORRECTNESS_r03
-# keep their evidence on record and move to the back.
+# catalog.  After round 4, 110 of 115 entries have a green driver row; the
+# only 5 without one sat at positions 50-54, just past r4's checked prefix.
+# Round 5's order: those 5 FIRST (completing the 115/115 driver-evidence
+# union), then any round-5 additions, then the 12 entries whose only green
+# row is round-2's, then round-3-latest entries to fill the prefix with a
+# healthy re-confirmation sample; round-4-green entries move to the back
+# (their evidence is freshest).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-checked (registered past the r2/r3 prefix)
-    "gap_fill_records",
-    "realtime_basis",
-    "basis_stream",
-    "skipped_updates",
-    "pii_redaction",
-    "repetition_signals",
-    "url_domains",
-    "tfidf_terms",
-    "gtfs_schedule_scan",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "statistics_tree_roundtrip",
-    "clean_corpus",
-    "winnow_passage_overlap",
-    "decontaminate",
-    "stratified_sample",
-    "dataset_mixture",
-    "pack_sequences",
-    "bigram_lm_score",
-    "dedup_clusters",
-    "hll_distinct",
-    "hll_merge",
-    "quantile_sketch",
-    "kmeans_clusters",
-    "heavy_hitters",
-    "zorder_layout",
-    "heat_strip_pixels",
-    "heat_strip_render",
-    "curve_svg_render",
-    "bloom_semi_prune",
-    "stream_dedup",
-    "bpe_merges",
-    "bpe_tokenize",
-    "reservoir_per_key",
-    "curriculum_deciles",
-    "weighted_sample",
-    "robust_outliers",
-    "grouping_sets_report",
-    "rank_correlation",
-    "edit_distance_dedup",
-    "chunk_documents",
-    "journey_chain",
-    "semantic_dedup",
-    "ann_recall",
-    "corpus_diff",
-    "zorder_skipping",
-    "stream_near_dup",
-    "dedup_eval",
-    # upgraded this round from rows-only to hash-checked (pure-Python
-    # xxHash64 replicas) — their r3 rows predate the oracles
-    "minhash_near_dups_xxhash",
-    "simhash_near_dups_xxhash",
+    # never driver-checked (registered past r4's prefix)
     "boilerplate_lines",
     "model_score",
     "trip_descriptors",
     "jsonl_roundtrip",
     "tar_shards_roundtrip",
-    # green in round 2 only (dropped out of round 3's checked prefix)
+    # new in round 5
+    "jsonl_quarantine",
+    "tar_shards_dist_write",
+    "stream_near_dup_ttl",
+    "monitor_http",
+    # latest green row is round-2's
     "stored_curve_quantiles",
     "gtfs_records",
     "gtfs_statistics",
@@ -5634,6 +5595,56 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "visual_schedule",
     "trip_resolution",
     "departure_board",
+    # latest green row is round-3's (fill the ~50 prefix)
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "pair_count_matrix",
+    "latest_wins_dedup",
+    "forward_fill",
+    "running_totals",
+    "interval_counts",
+    "time_slots",
+    "asof_join",
+    "delay_rounding",
+    "route_sections",
+    "extended_stops",
+    "rollup_revenue",
+    "pivot_revenue",
+    "delay_quantiles",
+    "ecdf_per_type",
+    "inactive_customers",
+    "autocomplete",
+    "fallback_lookup",
+    "sessionize",
+    "token_counts",
+    "quality_scores",
+    "lang_id",
+    "fingerprint_dedup",
+    "duration_parse",
+    "percent_encoding",
+    "image_stats",
+    "image_phash_dedup",
+    "video_frame_stats",
+    "audio_rms",
+    "cosine_topk",
+    "embedding_near_dups",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "ngram_jaccard_dedup",
+    "winnow_fingerprints",
+    "lsh_topk",
+    "ivf_topk",
+    "ivfpq_topk",
+    "make_curve_ecdf",
+    "curve_codec_roundtrip",
+    "simplify_curves",
+    "transfer_probability_matrix",
+    "average_curves_groups",
+    # r3 streaming entries (heavier; keep behind the batch refreshes)
+    "windowed_counts_stream",
+    "stream_stream_join",
+    "session_window_stream",
 )
 
 
