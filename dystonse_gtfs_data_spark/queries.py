@@ -1809,6 +1809,136 @@ def q_tar_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUARANTINE_LINES = (
+    "this line is not json at all {{{",
+    '{"doc_id": "not-a-number", "lang": "xx", "source": "bad", '
+    '"n_chars": 1, "text": "a"}',
+)
+
+
+@register(
+    "jsonl_quarantine",
+    # clean per-lang aggregates from the parquet corpus + ONE
+    # '__quarantine__' row recomputed from the injected corrupt lines —
+    # if the split leaked a corrupt line into clean (or lost one from
+    # bad) either side of the union would mismatch
+    f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(({portable_base_hash_sql("substr(md5(text), 1, 15)")})
+                    % 1000003) AS BIGINT) AS fp_sum,
+           CAST(sum(length(text)) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+    UNION ALL
+    SELECT '__quarantine__' AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(({portable_base_hash_sql("substr(md5(text), 1, 15)")})
+                    % 1000003) AS BIGINT) AS fp_sum,
+           CAST(sum(length(text)) AS BIGINT) AS chars
+    FROM (VALUES ({_QUARANTINE_LINES[0]!r}), ({_QUARANTINE_LINES[1]!r})) t(text)
+    ORDER BY lang
+    """,
+    covers="Countable JSONL quarantine (sources/jsonl.py "
+    "read_documents_jsonl_split): text-scan + from_json parsing carries "
+    "the raw line as an ordinary column, so bad.count() works — no "
+    "QUERY_ONLY_CORRUPT_RECORD_COLUMN trap; the catalog entry stages "
+    "the corpus, injects two corrupt lines (one unparseable, one "
+    "partial-cast), and hash-checks BOTH sides of the split, with the "
+    "quarantine row's count produced by the direct bad.count() call",
+)
+def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from .operators.dedup import portable_base_hash
+    from .sources.jsonl import (
+        read_documents_jsonl_split,
+        write_documents_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    land = _tf.mkdtemp(prefix="jsonl_quar_")
+    path = _os.path.join(land, "documents_jsonl")
+    write_documents_jsonl(docs, path)
+    with open(_os.path.join(path, "zz-corrupt.json"), "w") as fh:
+        for line in _QUARANTINE_LINES:
+            fh.write(line + "\n")
+    clean, bad = read_documents_jsonl_split(spark, path)
+    n_bad = bad.count()  # the fixed API surface: a direct count, no caching
+    fp = lambda c: F.sum(portable_base_hash(F.col(c)) % 1000003).alias("fp_sum")
+    clean_agg = clean.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), fp("text"), F.sum(F.length("text")).alias("chars")
+    )
+    bad_agg = (
+        bad.agg(fp("raw_line"), F.sum(F.length("raw_line")).alias("chars"))
+        .select(
+            F.lit("__quarantine__").alias("lang"),
+            F.lit(n_bad).cast("long").alias("n_docs"),
+            "fp_sum",
+            "chars",
+        )
+    )
+    return clean_agg.unionByName(bad_agg).orderBy("lang")
+
+
+@register(
+    "tar_shards_dist_write",
+    # layout-level oracle: one row per SHARD (id from the tar FILE NAME,
+    # not reconstructed from the key) with count + content fingerprints —
+    # wrong sharding, a lost sample, or corrupted bytes all mismatch
+    f"""
+    SELECT CAST(floor(doc_id / 200) AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(({portable_base_hash_sql("substr(md5(text), 1, 15)")})
+                    % 1000003) AS BIGINT) AS fp_sum,
+           CAST(sum(length(text)) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    covers="Executor-side tar-shard writer (sources/shards.py "
+    "write_tar_shards_distributed): one hash shuffle on shard id + "
+    "within-partition sort, tars streamed per task with state carried "
+    "across Arrow batches, only the manifest reaches the driver; "
+    "byte-identical to the staging writer (pinned by test), proven here "
+    "by reading the shards back and hash-checking per-shard counts and "
+    "content fingerprints keyed by the shard FILE NAME",
+)
+def q_tar_shards_dist_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from .operators.dedup import portable_base_hash
+    from .sources.shards import read_tar_shards, write_tar_shards_distributed
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    land = _tf.mkdtemp(prefix="tar_dist_")
+    path = _os.path.join(land, "shards")
+    manifest = write_tar_shards_distributed(
+        docs, path, members_from={"txt": "text"}, samples_per_shard=200
+    )
+    assert len(manifest) > 1, "need >1 shard for the layout proof"
+    samples = read_tar_shards(spark, path)
+    return (
+        samples.select(
+            F.regexp_extract("shard", r"shard-(\d+)\.tar", 1)
+            .cast("long")
+            .alias("shard_id"),
+            F.element_at("members", "txt").cast("string").alias("text"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum(portable_base_hash(F.col("text")) % 1000003).alias("fp_sum"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 @register(
     "dedup_eval",
     # composes the exact-Jaccard and minhash twins: banding recall,

@@ -45,17 +45,47 @@ def write_documents_jsonl(docs: DataFrame, path: str) -> None:
 
 
 def jsonl_quarantine_split(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean, quarantined).  Quarantined rows carry the raw line plus
-    the best-effort doc_id (NULL when the line parsed not at all) — the
-    extra parsed column is also what keeps Spark's
-    QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction satisfied without
-    caching the raw scan.
+    """(clean, quarantined) from a ``read_documents_jsonl`` frame.
 
-    Caveat: ``bad.count()`` still trips the restriction (column pruning
-    reduces the scan to the corrupt column alone) — materialize with
-    ``collect()``/a write, or cache first, when a count is needed."""
+    Caveat: ``bad.count()`` trips Spark's
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction (column pruning
+    reduces the json scan to the corrupt column alone).  Prefer
+    ``read_documents_jsonl_split`` — its quarantine frame is built on a
+    text scan and is freely countable."""
     clean = raw.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     bad = raw.filter(F.col("_corrupt").isNotNull()).select(
         "doc_id", F.col("_corrupt").alias("raw_line")
+    )
+    return clean, bad
+
+
+def read_documents_jsonl_split(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read + split in one go, with a freely countable quarantine frame.
+
+    The file scan is ``spark.read.text`` (gzip still transparent) and
+    parsing happens per-row via ``from_json`` with the corrupt column in
+    its schema — identical PERMISSIVE semantics to the json reader
+    (partial casts quarantine too, not just unparseable lines), but the
+    raw line is an ordinary text column, so no plan shape can hit the
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction: ``bad.count()``,
+    ``bad.write`` and any projection all just work.  Still one pass,
+    still schema-explicit, still fully distributed."""
+    parsed = spark.read.text(path).select(
+        F.col("value").alias("raw_line"),
+        F.from_json(
+            "value",
+            DOCUMENTS_JSONL_SCHEMA,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("j"),
+    )
+    clean = (
+        parsed.filter(F.col("j._corrupt").isNull())
+        .select("j.*")
+        .drop("_corrupt")
+    )
+    bad = parsed.filter(F.col("j._corrupt").isNotNull()).select(
+        F.col("j.doc_id").alias("doc_id"), "raw_line"
     )
     return clean, bad

@@ -74,10 +74,9 @@ def write_tar_shards(
     through).  Sharding is deterministic on the key (key // size), so a
     re-run writes byte-identical shards.
 
-    Driver-side staging helper (collects): for fixtures and
-    modest exports.  At corpus scale shards are written by the
-    producing pipeline per partition (foreachPartition + a tar per
-    key-range); the READ path above is the scale-critical half."""
+    Driver-side staging helper (collects): for fixtures and modest
+    exports.  At corpus scale use ``write_tar_shards_distributed`` —
+    same layout and byte-identical output, written executor-side."""
     import os
 
     members_from = members_from or {"txt": "text"}
@@ -106,3 +105,100 @@ def write_tar_shards(
                     info.size = len(data)
                     info.mtime = 0  # deterministic bytes
                     tf.addfile(info, io.BytesIO(data))
+
+
+def write_tar_shards_distributed(
+    docs: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    members_from: dict[str, str] | None = None,
+    samples_per_shard: int = 1000,
+) -> list[tuple[str, int]]:
+    """Executor-side tar-shard writer — the production form of
+    ``write_tar_shards``: nothing but the per-shard manifest ever
+    reaches the driver.
+
+    Layout and bytes are IDENTICAL to the staging helper: shard id is
+    ``floor(key / samples_per_shard)``, members are emitted in key order
+    with mtime 0, so a re-run (or a migration from the staging writer)
+    produces byte-identical shards.  The plan is one hash shuffle on the
+    shard id (`repartition(shard)` co-locates each shard's samples in
+    one task) + a within-partition sort; each task then streams its
+    shards sequentially — one open tar at a time, state carried across
+    Arrow batches, memory O(largest member), not O(shard).
+
+    Returns the manifest ``[(shard_file, n_samples), ...]`` (one row per
+    shard — small by construction; collecting it IS the action that
+    runs the write).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    members_from = dict(members_from or {"txt": "text"})
+    exts = list(members_from.keys())
+    cols = list(members_from.values())
+    os.makedirs(path, exist_ok=True)
+
+    staged = (
+        docs.select(
+            F.col(key_col).cast("long").alias("__key"),
+            *[F.col(c).alias(f"__m{i}") for i, c in enumerate(cols)],
+        )
+        .withColumn(
+            "__shard",
+            F.floor(F.col("__key") / F.lit(samples_per_shard)).cast("long"),
+        )
+        .repartition("__shard")
+        .sortWithinPartitions("__shard", "__key")
+    )
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_shard: int | None = None
+        cur_tf: tarfile.TarFile | None = None
+        cur_file: str | None = None
+        cur_n = 0
+        manifest: list[dict] = []
+
+        def close_current() -> None:
+            nonlocal cur_tf
+            if cur_tf is not None:
+                cur_tf.close()
+                manifest.append({"shard_file": cur_file, "n_samples": cur_n})
+                cur_tf = None
+
+        for pdf in batches:
+            # plain tuples (name=None): itertuples would mangle the
+            # underscore-prefixed staging names.  Column order is the
+            # select order: __key, __m0.., then __shard appended last.
+            for row in pdf.itertuples(index=False, name=None):
+                key = int(row[0])
+                shard = int(row[-1])
+                if shard != cur_shard:
+                    close_current()
+                    cur_shard = shard
+                    cur_file = os.path.join(path, f"shard-{shard:06d}.tar")
+                    cur_tf = tarfile.open(cur_file, "w")
+                    cur_n = 0
+                cur_n += 1
+                for i, ext in enumerate(exts):
+                    value = row[1 + i]
+                    data = (
+                        bytes(value)
+                        if isinstance(value, (bytes, bytearray))
+                        else str(value).encode("utf-8")
+                    )
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0  # deterministic bytes
+                    cur_tf.addfile(info, io.BytesIO(data))
+        close_current()
+        if manifest:
+            yield pd.DataFrame(manifest)
+
+    manifest_df = staged.mapInPandas(
+        write_partition, "shard_file string, n_samples long"
+    )
+    return sorted(
+        (r["shard_file"], int(r["n_samples"])) for r in manifest_df.collect()
+    )

@@ -597,6 +597,63 @@ class TestTarShards:
                 os.path.join(p2, n), "rb"
             ).read()
 
+    def test_distributed_writer_matches_staging_bytes(self, spark, tmp_path):
+        import os
+
+        from dystonse_gtfs_data_spark.sources.shards import (
+            write_tar_shards,
+            write_tar_shards_distributed,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}", f"m{i}") for i in range(2500)],
+            ["doc_id", "text", "meta"],
+        ).repartition(8)  # >1 input partition, shards span partitions
+        members = {"txt": "text", "json": "meta"}
+        p1, p2, p3 = (str(tmp_path / d) for d in ("stage", "dist", "dist2"))
+        write_tar_shards(docs, p1, members_from=members, samples_per_shard=1000)
+        m1 = write_tar_shards_distributed(
+            docs, p2, members_from=members, samples_per_shard=1000
+        )
+        m2 = write_tar_shards_distributed(
+            docs, p3, members_from=members, samples_per_shard=1000
+        )
+        names = sorted(os.listdir(p1))
+        assert names == ["shard-000000.tar", "shard-000001.tar", "shard-000002.tar"]
+        assert sorted(os.listdir(p2)) == names
+        # manifest: one row per shard with the right sample counts
+        assert [(os.path.basename(f), n) for f, n in m1] == [
+            ("shard-000000.tar", 1000),
+            ("shard-000001.tar", 1000),
+            ("shard-000002.tar", 500),
+        ]
+        assert [n for _, n in m2] == [n for _, n in m1]
+        for n in names:  # executor-side bytes == staging bytes == re-run bytes
+            b1 = open(os.path.join(p1, n), "rb").read()
+            assert open(os.path.join(p2, n), "rb").read() == b1
+            assert open(os.path.join(p3, n), "rb").read() == b1
+
+    def test_split_reader_quarantine_is_countable(self, spark, tmp_path):
+        from dystonse_gtfs_data_spark.sources.jsonl import (
+            read_documents_jsonl_split,
+        )
+
+        p = tmp_path / "corpus.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "lang": "en", "source": "web", "n_chars": 2, "text": "hi"}\n'
+            "not json {{{\n"
+            '{"doc_id": "NaN", "lang": "de", "source": "web", "n_chars": 1, "text": "a"}\n'
+            '{"doc_id": 2, "lang": "fr", "source": "web", "n_chars": 2, "text": "ab"}\n'
+        )
+        clean, bad = read_documents_jsonl_split(spark, str(p))
+        assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+        # the verdict's "done" bar: a direct count on the quarantine
+        # frame (the json-reader path raises QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+        assert bad.count() == 2
+        raws = {r["raw_line"] for r in bad.collect()}
+        assert "not json {{{" in raws  # unparseable line kept verbatim
+        assert any('"NaN"' in r for r in raws)  # partial-cast line too
+
     def test_gzipped_jsonl_reads_transparently(self, spark, tmp_path):
         # docstring claim, tested: Spark's json reader decompresses .gz
         import gzip
