@@ -218,7 +218,12 @@ def deterministic_reservoir(
     # data-derived only (count, not partition layout) → the sample is
     # invariant under repartitioning, as the determinism contract demands
     budget = float(k) + 6.0 * float(k) ** 0.5 + 64.0
-    counts = base.groupBy(key_col).agg(F.count("*").alias("_n"))
+    from ..cache import tracked_persist
+
+    # O(keys) bytes — cached so the exactness probe below reads this
+    # instead of re-running the corpus aggregation (the probe used to
+    # cost a second full pass; now it is a cache-only micro-job)
+    counts = tracked_persist(base.groupBy(key_col).agg(F.count("*").alias("_n")))
     thresh = counts.withColumn(
         "_t",
         F.when(F.col("_n") <= F.lit(budget), F.lit(_HASH_SPACE))
@@ -230,8 +235,6 @@ def deterministic_reservoir(
     # survivors are ~budget rows per key — persist the tiny set so the
     # exactness count and the ranking window both read the cache instead
     # of rescanning the corpus (harnesses release via cache module)
-    from ..cache import tracked_persist
-
     surv = tracked_persist(
         base.join(F.broadcast(thresh), key_col)
         .where(F.col("hv") < F.col("_t"))
@@ -240,11 +243,12 @@ def deterministic_reservoir(
 
     # exactness gate: a key whose survivor count fell below min(k, n) had
     # its top-k clipped by the threshold — re-rank that key's full rows.
-    # The probe is a bounded driver-side scalar over the CACHED survivor
-    # set (clipping probability < 1e-8 per key at the chosen margin), so
-    # the common path never pays the fallback's extra corpus scan — AQE
-    # does not prune an empty-broadcast semi join branch at runtime, a
-    # full wasted scan at corpus scale if left in the plan.
+    # The probe is a bounded driver-side scalar over the CACHED counts
+    # and survivor sets only (clipping probability < 1e-8 per key at the
+    # chosen margin) — no corpus rescan on the happy path; it exists
+    # because AQE does not prune an empty-broadcast semi-join branch at
+    # runtime, so leaving the fallback in the plan would cost a full
+    # wasted corpus scan at scale even when no key needs it.
     bad = (
         counts.join(
             surv.groupBy(key_col).agg(F.count("*").alias("_s")), key_col, "left"

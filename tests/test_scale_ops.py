@@ -36,6 +36,31 @@ class TestSaltedJoin:
             assert a[k][0] == b[k][0]
             assert a[k][1] == pytest.approx(b[k][1])
 
+    def test_identical_duplicate_rows_still_spread(self, spark):
+        # adversarial shape from the round-4 verdict: a hot key whose
+        # volume is BYTE-IDENTICAL rows.  A columns-only salt hash sends
+        # them all to one bucket; the per-row discriminator must spread
+        # them near-uniformly across the salts.
+        from dystonse_gtfs_data_spark.operators.skew import _row_salt
+
+        dup = (
+            spark.range(4000)
+            .select(F.lit("hot").alias("k"), F.lit("same payload").alias("v"))
+            .repartition(8)
+        )
+        spread = (
+            dup.withColumn("__salt", _row_salt(dup, 16))
+            .groupBy("__salt")
+            .count()
+            .collect()
+        )
+        sizes = {r["__salt"]: r["count"] for r in spread}
+        assert len(sizes) == 16  # every salt bucket used
+        assert max(sizes.values()) < 2 * (4000 / 16)  # no funneling
+        # and the partial counts still sum exactly
+        out = salted_count(dup, "k", num_salts=16).collect()
+        assert [(r["k"], r["count"]) for r in out] == [("hot", 4000)]
+
     def test_salted_count_matches_group_count(self, spark, sf_dir):
         ev = load_table(spark, sf_dir, "events")
         plain = {r["event_type"]: r["count"] for r in ev.groupBy("event_type").agg(F.count("*").alias("count")).collect()}
