@@ -5112,12 +5112,10 @@ _SND_FAM_SQL = "fam(i, a, b) AS (VALUES " + ", ".join(
     f"({i}, {a}, {b})" for i, (a, b) in enumerate(_hash_family(16))
 ) + ")"
 
-
-@register(
-    "stream_near_dup",
-    # exact batch twin: with id-ordered micro-batch replay, "first doc
-    # ever seen with this band signature" == "min doc_id with it"
-    f"""
+# shared CTE chain ending in hits(doc_id, dup_of) — the exact batch twin
+# of the streaming LSH index over `documents` (used by stream_near_dup
+# and, shifted per epoch, by stream_near_dup_ttl)
+_SND_HITS_SQL = f"""
     WITH {_SND_FAM_SQL},
     tokd AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
@@ -5155,6 +5153,15 @@ _SND_FAM_SQL = "fam(i, a, b) AS (VALUES " + ", ".join(
       FROM bands b JOIN firsts f USING (band_id, sig)
       WHERE f.first_id < b.doc_id
     )
+"""
+
+
+@register(
+    "stream_near_dup",
+    # exact batch twin: with id-ordered micro-batch replay, "first doc
+    # ever seen with this band signature" == "min doc_id with it"
+    f"""
+    {_SND_HITS_SQL}
     SELECT doc_id, CAST(min(dup_of) AS BIGINT) AS dup_of,
            CAST(count(*) AS BIGINT) AS bands_matched
     FROM hits GROUP BY doc_id
@@ -5223,6 +5230,112 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     return (
         spark.table(sink)
+        .groupBy("doc_id")
+        .agg(
+            F.min("dup_of").alias("dup_of"),
+            F.count("*").alias("bands_matched"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: epoch-2 docs in stream_near_dup_ttl are the SAME texts re-presented
+#: under doc_id + _SND_TTL_OFFSET after the dedup horizon lapsed
+_SND_TTL_OFFSET = 1_000_000
+
+
+@register(
+    "stream_near_dup_ttl",
+    # TTL semantics, hash-checked: epoch 1 is the plain batch twin; the
+    # whole corpus is then RE-PRESENTED (ids shifted) after the TTL
+    # lapsed, so no epoch-2 doc may match an epoch-1 original — its hits
+    # are exactly the epoch-1 hits shifted by the id offset.  A broken
+    # expiry (epoch-2 docs flagged against epoch-1 firsts) changes both
+    # dup_of values and bands_matched counts → hash mismatch.
+    f"""
+    {_SND_HITS_SQL},
+    all_hits AS (
+      SELECT doc_id, dup_of FROM hits
+      UNION ALL
+      SELECT doc_id + {_SND_TTL_OFFSET}, dup_of + {_SND_TTL_OFFSET} FROM hits
+    )
+    SELECT doc_id, CAST(min(dup_of) AS BIGINT) AS dup_of,
+           CAST(count(*) AS BIGINT) AS bands_matched
+    FROM all_hits GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    covers="Streaming near-dup TTL (streaming/aggregations.py): "
+    "ProcessingTimeTimeout evicts idle signatures and an expired "
+    "re-arrival is treated as a new original — the sliding dedup "
+    "horizon; exercised with TWO availableNow runs over one checkpoint "
+    "(parquet sink), the corpus re-presented under shifted ids after "
+    "the TTL lapsed, hash-checked against the per-epoch batch twin",
+)
+def q_stream_near_dup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+    import time as _time
+
+    from .operators.dedup import rowwise_minhash_bands
+    from .streaming.aggregations import streaming_near_dup
+    from .streaming.pipeline import (
+        drain_availablenow_stream,
+        stream_state_partitions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    land = _tf.mkdtemp(prefix="streamttl_land_")
+    work = _tf.mkdtemp(prefix="streamttl_work_")
+    ck = _os.path.join(work, "ck")
+    out_dir = _os.path.join(work, "out")
+    ttl_ms = 2_000
+
+    def _land(df, name: str, mtime: int) -> None:
+        bdir = _os.path.join(land, name)
+        df.coalesce(1).write.parquet(bdir)
+        for root, _dirs, names in _os.walk(bdir):  # deterministic replay order
+            for n in names:
+                _os.utime(_os.path.join(root, n), (mtime, mtime))
+
+    def _run() -> None:
+        src = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land + "/*")
+        )
+        sig = rowwise_minhash_bands(
+            src.repartition(spark.sparkContext.defaultParallelism),
+            num_hashes=16,
+        )
+        with stream_state_partitions(spark, 8):
+            q = (
+                streaming_near_dup(sig, ttl_ms=ttl_ms)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out_dir)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            # ProcessingTimeTimeout makes availableNow loop cleanup
+            # batches forever — drain + stop instead of awaitTermination;
+            # expect_data: each run lands exactly one new file, so an
+            # empty batch only proves drain AFTER a data batch ran
+            drain_availablenow_stream(q, timeout_s=600, expect_data=True)
+
+    # epoch 1: the corpus; epoch 2 (after the horizon lapsed): the same
+    # texts under shifted ids — dup only within their own epoch
+    _land(docs, "b000", 1_000_000)
+    _run()
+    _time.sleep(ttl_ms / 1000.0 + 1.5)
+    _land(
+        docs.select((F.col("doc_id") + _SND_TTL_OFFSET).alias("doc_id"), "text"),
+        "b001",
+        1_000_001,
+    )
+    _run()  # checkpoint recovery: only the epoch-2 file is new
+    return (
+        spark.read.parquet(out_dir)
         .groupBy("doc_id")
         .agg(
             F.min("dup_of").alias("dup_of"),

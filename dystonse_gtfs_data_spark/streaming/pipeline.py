@@ -52,6 +52,61 @@ def stream_state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def drain_availablenow_stream(
+    query, timeout_s: float = 300.0, expect_data: bool = False
+) -> None:
+    """Wait for an availableNow query to exhaust its source, then stop it.
+
+    A stateful operator configured with ``ProcessingTimeTimeout`` always
+    reports "run another batch" (processing time keeps advancing, so a
+    timeout could always fire next batch —
+    FlatMapGroupsWithStateExecBase.shouldRunAnotherBatch); under
+    ``Trigger.AvailableNow`` the multi-batch executor therefore loops
+    zero-input "cleaning up state" batches forever and the query NEVER
+    self-terminates.  ``awaitTermination`` alone deadlocks.
+
+    This helper polls progress until a zero-input batch has committed
+    (availableNow pins the file set at start, so an empty batch proves
+    every pending file was processed), then stops the query.  Stopping
+    there loses no output: timeout-fired groups only ``state.remove()``
+    — all data-driven output is already committed to the sink.  Safe for
+    ``NoTimeout`` queries too (they just terminate on their own first).
+
+    ``expect_data=True`` additionally requires a batch with input rows in
+    THIS run before an empty batch counts as proof: a restart from a
+    stopped checkpoint first re-runs the pending (empty) cleanup batch
+    from the offset WAL, which would otherwise be mistaken for "source
+    exhausted" before newly-landed files are even read.  Pass it whenever
+    the caller knows unprocessed data is waiting.
+    """
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    while _time.monotonic() < deadline:
+        if not query.isActive:
+            return  # self-terminated (NoTimeout path)
+        progresses = query.recentProgress  # this run only — resets on start
+        last = progresses[-1] if progresses else None
+        drained = (
+            last is not None
+            and last["numInputRows"] == 0
+            and (
+                not expect_data
+                or any(p["numInputRows"] > 0 for p in progresses)
+            )
+        )
+        if drained:
+            query.stop()
+            query.awaitTermination(60)
+            return
+        _time.sleep(0.2)
+    query.stop()
+    raise TimeoutError(
+        f"stream did not drain within {timeout_s} s (lastProgress="
+        f"{query.lastProgress})"
+    )
+
+
 def stream_rt_updates(spark: SparkSession, rt_dir: str) -> DataFrame:
     """File-source stream of flattened rt updates (parquet landing zone).
     For wire protobuf feeds use :func:`stream_wire_feeds` instead."""

@@ -402,7 +402,12 @@ class TestStreamingNearDupTTL:
         signature; after sleeping past the TTL, run 2 (same checkpoint —
         a parquet sink, since the memory sink can't recover) replays the
         SAME text from a new doc — with the entry expired it must be
-        treated as a new original, not a duplicate."""
+        treated as a new original, not a duplicate.
+
+        availableNow + ProcessingTimeTimeout never self-terminates (the
+        state operator always requests another cleanup batch), so each
+        run is drained with drain_availablenow_stream instead of a bare
+        awaitTermination."""
         import time
 
         from dystonse_gtfs_data_spark.operators.dedup import (
@@ -410,6 +415,9 @@ class TestStreamingNearDupTTL:
         )
         from dystonse_gtfs_data_spark.streaming.aggregations import (
             streaming_near_dup,
+        )
+        from dystonse_gtfs_data_spark.streaming.pipeline import (
+            drain_availablenow_stream,
         )
 
         land = tmp_path / "land"
@@ -435,7 +443,7 @@ class TestStreamingNearDupTTL:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(180)
+            drain_availablenow_stream(q, timeout_s=180, expect_data=True)
 
         def hit_ids() -> set:
             return {
