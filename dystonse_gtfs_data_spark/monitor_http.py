@@ -1,0 +1,140 @@
+"""Thin HTTP shell over the monitor data paths.
+
+The reference's monitor subcommand serves HTTP (src/monitor/mod.rs:
+102-190): a search page, ``/autocomplete``, a ``/stop-by-name``
+redirect, and per-stop departure pages.  This shell exposes the same
+DATA endpoints as JSON over stdlib ``http.server`` — the HTML/static
+layer is presentation the engine doesn't own, but the queries behind
+each route are the exact operators the CLI ``monitor`` command runs
+(operators/monitor.py), so a web frontend can sit directly on it.
+
+Routes:
+    GET /                → endpoint index (JSON)
+    GET /autocomplete?q=term+term   → {"names": [...]}      (mod.rs:155)
+    GET /stop-by-name?start=NAME    → 302 → /departures?... (mod.rs:157-170)
+    GET /departures?stop_ids=a,b&start=...&end=...
+                         → JSON array of departure-board rows (mod.rs:426-591)
+
+Scale note: the server is a driver-side shell — each request runs a
+Spark query whose heavy lifting (window overlap, dedup, median sort)
+executes on the cluster; only the page-sized board rows are collected.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _parse_dt(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s.replace("T", " "))
+
+
+def board_rows_json(board: DataFrame) -> list[dict]:
+    """Collect a departure-board frame into JSON-safe dicts — the same
+    projection the ``departure_board`` catalog entry hash-checks
+    (timestamps as unix micros, enums as ints)."""
+    out = board.select(
+        "stop_id",
+        "stop_sequence",
+        F.col("event_type").cast("int").alias("event_type"),
+        "trip_id",
+        F.col("trip_start_date").cast("string").alias("trip_start_date"),
+        "trip_start_time",
+        F.col("precision_type").cast("int").alias("precision_type"),
+        F.col("origin_type").cast("int").alias("origin_type"),
+        F.unix_micros("median_time").alias("median_time_us"),
+    )
+    return [row.asDict() for row in out.collect()]
+
+
+class _MonitorHandler(BaseHTTPRequestHandler):
+    # context injected by start_monitor_server via subclassing
+    spark = None
+    predictions: DataFrame | None = None
+    stops: DataFrame | None = None
+    trip_max_sequences: DataFrame | None = None
+
+    def log_message(self, fmt, *args):  # quiet under pytest
+        pass
+
+    def _send_json(self, payload, status: int = 200) -> None:
+        body = json.dumps(payload, default=str).encode("utf-8")
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib naming)
+        try:
+            url = urllib.parse.urlsplit(self.path)
+            params = dict(urllib.parse.parse_qsl(url.query))
+            route = url.path.rstrip("/") or "/"
+            if route == "/":
+                self._send_json(
+                    {"endpoints": ["/autocomplete", "/stop-by-name", "/departures"]}
+                )
+            elif route == "/autocomplete":
+                from .operators.monitor import autocomplete_stops
+
+                terms = params.get("q", "").split()
+                names = autocomplete_stops(self.stops, terms).collect()
+                self._send_json({"names": [r["stop_name"] for r in names]})
+            elif route == "/stop-by-name":
+                # the reference's form-POST shim: redirect to the pretty
+                # URL for the named stop (mod.rs:157-170)
+                stop = params.get("start", "")
+                loc = "/departures?" + urllib.parse.urlencode(
+                    {"stop_ids": stop}
+                )
+                self.send_response(302)
+                self.send_header("Location", loc)
+                self.end_headers()
+            elif route == "/departures":
+                from .operators.monitor import departure_board
+
+                board = departure_board(
+                    self.predictions,
+                    stop_ids=params["stop_ids"].split(","),
+                    window_min=_parse_dt(params["start"]),
+                    window_max=_parse_dt(params["end"]),
+                    trip_max_sequences=self.trip_max_sequences,
+                )
+                self._send_json(board_rows_json(board))
+            else:
+                self._send_json({"error": f"unknown route {route}"}, status=404)
+        except Exception as exc:  # the reference's generate_error_page
+            self._send_json({"error": str(exc)}, status=500)
+
+
+def start_monitor_server(
+    spark,
+    predictions: DataFrame,
+    stops: DataFrame | None = None,
+    trip_max_sequences: DataFrame | None = None,
+    port: int = 0,
+) -> tuple[ThreadingHTTPServer, int]:
+    """Start the monitor HTTP server on ``port`` (0 = ephemeral) in a
+    daemon thread; returns (server, bound_port).  Stop with
+    ``server.shutdown()``."""
+    handler = type(
+        "BoundMonitorHandler",
+        (_MonitorHandler,),
+        {
+            "spark": spark,
+            "predictions": predictions,
+            "stops": stops,
+            "trip_max_sequences": trip_max_sequences,
+        },
+    )
+    server = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, server.server_address[1]

@@ -3593,6 +3593,70 @@ def q_departure_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MONITOR_HTTP_SCHEMA = (
+    "stop_id string, stop_sequence int, event_type int, trip_id string, "
+    "trip_start_date string, trip_start_time int, precision_type int, "
+    "origin_type int, median_time_us long"
+)
+
+
+@register(
+    "monitor_http",
+    # same differential oracle as departure_board: the HTTP shell must
+    # serve EXACTLY the engine's board rows, so a round-trip through the
+    # live server is hash-checked against the pandas reimplementation
+    f"""
+    SELECT * FROM {_dt("expected_departure_board")}
+    ORDER BY median_time_us, trip_id, stop_sequence, event_type
+    """,
+    covers="Monitor HTTP shell (src/monitor/mod.rs:102-190): departure "
+    "board served by a live stdlib http.server on an ephemeral port; the "
+    "query GETs /departures and re-frames the JSON payload — identical "
+    "rows to the direct operator path (monitor_http.py)",
+)
+def q_monitor_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from .monitor_http import start_monitor_server
+    from .operators.predict import generate_realtime_predictions
+    from .operators.specific_curves import stop_indexed
+    from .sources.demo import build_records as demo_records
+    from .sources.demo import build_schedule
+
+    sched = build_schedule(spark)
+    sti = stop_indexed(sched["stop_times"])
+    preds = generate_realtime_predictions(
+        demo_records(spark), sti, sched["routes"], sched["trips"],
+        demo_statistics(spark),
+    )
+    max_seq = sched["stop_times"].groupBy("trip_id").agg(
+        F.max("stop_sequence").alias("max_stop_sequence")
+    )
+    server, port = start_monitor_server(
+        spark, preds, stops=sched["stops"], trip_max_sequences=max_seq
+    )
+    try:
+        qs = urllib.parse.urlencode(
+            {
+                "stop_ids": ",".join(f"s{i}" for i in range(16)),
+                "start": "2024-01-01T08:00:00",
+                "end": "2024-01-06T10:00:00",
+            }
+        )
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/departures?{qs}", timeout=600
+        ) as resp:
+            rows = json.load(resp)
+    finally:
+        server.shutdown()
+    return (
+        spark.createDataFrame(rows, schema=_MONITOR_HTTP_SCHEMA)
+        .orderBy("median_time_us", "trip_id", "stop_sequence", "event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data scrubbing / corpus analysis (round-3 additions)
 # ---------------------------------------------------------------------------
