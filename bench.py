@@ -107,6 +107,12 @@ BENCH_QUERIES = [
     "stream_near_dup",         # streaming minhash LSH index (keyed state)
     "boilerplate_lines",       # C4-style corpus-frequency line removal
     "model_score",             # classifier-inference seam (Arrow batches)
+    # round-5 additions (stream_near_dup_ttl and monitor_http are
+    # catalog-gated but not benched: the former's runtime is dominated by
+    # a fixed TTL sleep and the latter by demo-fixture construction —
+    # neither measures sf-scaled throughput)
+    "jsonl_quarantine",        # JSONL corpus source + corrupt quarantine
+    "tar_shards_dist_write",   # executor-side WebDataset shard writer
 ]
 
 

@@ -5713,7 +5713,11 @@ def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wx).alias("rx"),
         F.row_number().over(wy).alias("ry"),
     )
-    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    # row_number() is int32: the squared rank gap overflows ANSI int32
+    # once groups pass ~46k rows (caught by the sf1 rehearsal) — compute
+    # in int64 like the DuckDB twin's BIGINT row_number does
+    dx = F.col("rx").cast("long") - F.col("ry").cast("long")
+    d2 = dx * dx
     n = F.count("*")
     return (
         r.groupBy("event_type")
