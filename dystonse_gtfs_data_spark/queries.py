@@ -1108,7 +1108,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers="document fingerprinting + exact dedup hash-groupBy",
 )
 def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from .operators.dedup import _spread
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", Ft.fingerprint(F.col("text")).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -1145,7 +1147,10 @@ _DURATION_STR_SQL = """
     "total microseconds, pure JVM higher-order functions",
 )
 def q_duration_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    from .operators.dedup import _spread
+
+    # grammar parse is per-row regex/HOF CPU on a one-split scan
+    o = _spread(load_table(spark, sf_dir, "orders"))
     o.createOrReplaceTempView("__dp_orders")
     durs = spark.sql(
         f"SELECT o_orderkey, {_DURATION_STR_SQL} AS dur_str FROM __dp_orders"
@@ -1179,7 +1184,10 @@ def q_duration_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all JVM expressions",
 )
 def q_percent_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load_table(spark, sf_dir, "part")
+    from .operators.dedup import _spread
+
+    # byte-wise HOF encode/decode is per-row CPU on a one-split scan
+    p = _spread(load_table(spark, sf_dir, "part"))
     raw = F.concat(
         F.col("p_name"),
         F.lit("/"),
@@ -1388,7 +1396,11 @@ _COSINE_TOPK_SQL = """
     covers="brute-force cosine top-k ANN baseline (zip_with/aggregate dot product)",
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    from .operators.dedup import _spread
+
+    # the dot-product fold against every corpus row is the CPU; spread
+    # the one-split corpus scan (queries stay tiny and broadcast)
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < 5)
     return cosine_topk(q, emb, k=5)
 
@@ -1628,7 +1640,7 @@ _NGRAM_JACCARD_SQL = """
     "self-join (no LSH recall loss; pairs meet only on shared shingles)",
 )
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents")  # operator spreads internally
     return ngram_jaccard_near_duplicates(d, threshold=0.5).orderBy("id_a", "id_b")
 
 
@@ -1637,9 +1649,13 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # replaced below (built from the scoring module's SQL twin)
 )
 def q_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import _spread
     from .operators.scoring import score_documents
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # inference batches should cover every core, not one scan split
+    docs = _spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return score_documents(docs).orderBy("doc_id")
 
 
@@ -2022,7 +2038,7 @@ _WINNOW_FPS_CTE = f"""
     "consecutive character k-gram hashes, all JVM-side HOFs",
 )
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents")  # operator spreads internally
     return winnow_fingerprints(d, kgram=_WINNOW_K, window=_WINNOW_W).orderBy(
         "doc_id", "fp"
     )
@@ -4342,9 +4358,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partitioning; counts-only training (no float model state).",
 )
 def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import _spread
     from .sources.tables import maybe_broadcast
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     inst = (
         d.select("doc_id", toks.alias("toks"))
@@ -4419,7 +4436,7 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clustering import dedup_clusters
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents")  # minhash spreads internally
     pairs = minhash_near_duplicates(d, threshold=0.5, base_hash="md5")
     return dedup_clusters(pairs)
 
@@ -4549,9 +4566,10 @@ _finalize_sampling_oracles()
     None,  # replaced below (built from the sketch module's SQL twin)
 )
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import _spread
     from .operators.sketches import kmv_quantiles
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = _spread(load_table(spark, sf_dir, "events"))
     return kmv_quantiles(
         ev, "value", "event_id", ["event_type"], qs=(0.5, 0.9, 0.99)
     )
@@ -4646,9 +4664,11 @@ _finalize_semantic_dedup_oracle()
     None,  # replaced below (built from the sketch module's SQL twin)
 )
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import _spread
     from .operators.sketches import countmin_topk
 
-    d = load_table(spark, sf_dir, "documents")
+    # sketch update is per-term CPU; spread the one-split scan first
+    d = _spread(load_table(spark, sf_dir, "documents"))
     words = d.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
     )
@@ -5527,7 +5547,9 @@ def q_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one sort partition)",
 )
 def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from .operators.dedup import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     # quantize the score AND the interpolated cuts to 6 dp before the
     # strict compare: percentile vs quantile_cont can differ in the last
     # ulp, and a tied-value cut lands exactly on a score — rounding both
@@ -5660,7 +5682,9 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "four separate scan+agg jobs with one",
 )
 def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    from .operators.dedup import _spread
+
+    ev = _spread(load_table(spark, sf_dir, "events"))
     ev.createOrReplaceTempView("__gs_events")
     return spark.sql(
         """
@@ -5847,7 +5871,10 @@ _CHUNK_STEP = _CHUNK_SIZE - _CHUNK_OVERLAP
     "in place), the shape that chunks a 100 TB corpus in one pass",
 )
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from .operators.dedup import _spread
+
+    # the per-row window explode multiplies CPU on a one-split scan
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     starts = F.explode(
         F.sequence(
             F.lit(0),

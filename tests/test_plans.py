@@ -419,13 +419,15 @@ def test_bpe_round_is_bounded_shuffle_no_python(spark, sf_dir):
 
 
 def test_chunk_documents_is_map_only_before_output_sort(spark, sf_dir):
-    # chunking must multiply rows in place: no Python, no join, and the
-    # only exchange is the presentation orderBy
+    # chunking must multiply rows in place: no Python, no join; the only
+    # exchanges are the deliberate small-input _spread (round-robin to
+    # cluster parallelism before the per-row window explode — a no-op on
+    # multi-split inputs) and the presentation orderBy
     df = Q.REGISTRY["chunk_documents"].fn(spark, sf_dir)
     plan = formatted_plan(df)
     assert "pythonudf" not in plan.lower()
     assert "Join" not in plan, plan
-    assert shuffle_count(df) <= 1, plan
+    assert shuffle_count(df) <= 2, plan
 
 
 def test_reservoir_threshold_prefilter_bounds_the_exchange(spark, sf_dir):
