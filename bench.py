@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     # neither measures sf-scaled throughput)
     "jsonl_quarantine",        # JSONL corpus source + corrupt quarantine
     "tar_shards_dist_write",   # executor-side WebDataset shard writer
+    "banding_plan",            # LSH S-curve planner over measured pairs
 ]
 
 

@@ -794,3 +794,180 @@ def boilerplate_line_removal_sql(
     FROM kept k JOIN totals t ON t.{id_col} = k.{id_col}
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# LSH banding planner — choose (bands x rows) BEFORE the 100 TB run
+# ---------------------------------------------------------------------------
+
+
+def _pow_sq_expr(expr: str, k: int) -> str:
+    """``expr`` raised to the 2**k power by repeated squaring — every
+    step is ONE IEEE-754 multiply, so Spark and any oracle engine
+    evaluating the identical expression produce identical bits (unlike
+    pow(), whose last-ulp behavior is implementation-defined)."""
+    for _ in range(k):
+        expr = f"(({expr}) * ({expr}))"
+    return expr
+
+
+def banding_combos(num_hashes: int) -> list[tuple[int, int]]:
+    """(bands, rows_per_band) factorizations of a power-of-two signature
+    budget, widest-banding first."""
+    assert num_hashes & (num_hashes - 1) == 0, "num_hashes must be a power of 2"
+    out = []
+    r = 1
+    while r <= num_hashes:
+        out.append((num_hashes // r, r))
+        r *= 2
+    return out
+
+
+def banding_collision_sql(bands: int, rows: int, sim: str = "s") -> str:
+    """Collision probability 1 - (1 - s^r)^b as a pure
+    repeated-squaring expression (requires power-of-two bands/rows) —
+    valid Spark SQL and DuckDB SQL alike, bit-identical in both."""
+    sr = _pow_sq_expr(f"({sim})", rows.bit_length() - 1)
+    # the base MUST carry its own parens: at bands=1 no squaring wraps
+    # it, and a bare  1.0 - 1.0 - s^r  would parse as  -s^r
+    miss = _pow_sq_expr(f"(1.0 - {sr})", bands.bit_length() - 1)
+    return f"1.0 - {miss}"
+
+
+def banding_plan(
+    pairs: DataFrame,
+    num_hashes: int = 64,
+    dup_threshold: float = 0.5,
+    sim_col: str = "jaccard",
+) -> DataFrame:
+    """Evaluate every (bands x rows) split of a minhash budget against
+    the corpus's MEASURED pair-similarity distribution — the
+    tune-before-you-build step for LSH dedup (the S-curve math is
+    standard, e.g. Leskovec/Rajaraman/Ullman, *Mining of Massive
+    Datasets* §3.4; the reference has no LSH — its exact upserts are
+    S5-S7 — so this extends the dedup suite, like dedup_eval).
+
+    ``pairs`` carries one row per candidate pair with its exact
+    similarity (from :func:`ngram_jaccard_near_duplicates` at a LOW
+    threshold, so the sub-threshold mass is present).  For each
+    factorization the output reports, per the expected-value of the
+    collision probability 1-(1-s^r)^b over the observed pairs:
+
+    - ``expected_recall``  over true pairs (s >= dup_threshold): the
+      fraction of real dups the banding would surface;
+    - ``expected_near_miss_candidates`` over sub-threshold pairs: the
+      verification work the banding wastes on non-dups.
+
+    Determinism contract: probabilities use repeated-squaring only
+    (bit-exact across engines), are quantized to integer micro-units
+    per pair, and summed as int64 — no float aggregation order anywhere.
+
+    Scale shape: one narrow aggregation over the pair frame (which the
+    inverted-index join already bounded); the planner adds no shuffle
+    beyond a scalar agg, so it runs casually even where a wrong (b, r)
+    choice would cost a cluster-day.
+    """
+    combos = banding_combos(num_hashes)
+    s = pairs.select(F.col(sim_col).cast("double").alias("s"))
+    aggs = [
+        F.count(F.when(F.col("s") >= dup_threshold, 1)).alias("true_pairs"),
+        F.count(F.when(F.col("s") < dup_threshold, 1)).alias("near_miss_pairs"),
+    ]
+    for i, (b, r) in enumerate(combos):
+        pu = (
+            f"CAST(round(({banding_collision_sql(b, r)}) * 1000000.0) "
+            "AS BIGINT)"
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.expr(f"CASE WHEN s >= {dup_threshold!r} THEN {pu} END")),
+                F.lit(0),
+            ).alias(f"hit_units_{i}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.expr(f"CASE WHEN s < {dup_threshold!r} THEN {pu} END")),
+                F.lit(0),
+            ).alias(f"fp_units_{i}")
+        )
+    agg = s.agg(*aggs)
+    stacked = ", ".join(
+        f"{b}, {r}, CAST({round((1.0 / b) ** (1.0 / r), 6)!r} AS DOUBLE), "
+        f"hit_units_{i}, fp_units_{i}"
+        for i, (b, r) in enumerate(combos)
+    )
+    return agg.select(
+        "true_pairs",
+        "near_miss_pairs",
+        F.expr(
+            f"stack({len(combos)}, {stacked}) AS "
+            "(bands, rows_per_band, s_mid, hit_units, fp_units)"
+        ),
+    ).select(
+        F.col("bands").cast("int").alias("bands"),
+        F.col("rows_per_band").cast("int").alias("rows_per_band"),
+        "s_mid",
+        F.col("true_pairs").cast("long").alias("true_pairs"),
+        F.round(
+            F.col("hit_units") / 1000000.0 / F.greatest("true_pairs", F.lit(1)),
+            6,
+        ).alias("expected_recall"),
+        F.col("near_miss_pairs").cast("long").alias("near_miss_pairs"),
+        F.round(F.col("fp_units") / 1000000.0, 4).alias(
+            "expected_near_miss_candidates"
+        ),
+    ).filter(
+        # no observed pairs -> no plan rows (degenerate-input contract)
+        (F.col("true_pairs") + F.col("near_miss_pairs")) > 0
+    )
+
+
+def banding_plan_sql(
+    pairs_cte: str,
+    num_hashes: int = 64,
+    dup_threshold: float = 0.5,
+    sim_col: str = "jaccard",
+) -> str:
+    """DuckDB twin of :func:`banding_plan` — identical repeated-squaring
+    expressions over a pair CTE yielding ``sim_col``."""
+    combos = banding_combos(num_hashes)
+    sums = []
+    for i, (b, r) in enumerate(combos):
+        pu = (
+            f"CAST(round(({banding_collision_sql(b, r, sim='s')}) * "
+            "1000000.0) AS BIGINT)"
+        )
+        sums.append(
+            f"coalesce(sum(CASE WHEN s >= {dup_threshold!r} THEN {pu} END), 0)"
+            f" AS hit_units_{i}"
+        )
+        sums.append(
+            f"coalesce(sum(CASE WHEN s < {dup_threshold!r} THEN {pu} END), 0)"
+            f" AS fp_units_{i}"
+        )
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({b} AS INTEGER) AS bands,
+           CAST({r} AS INTEGER) AS rows_per_band,
+           CAST({round((1.0 / b) ** (1.0 / r), 6)!r} AS DOUBLE) AS s_mid,
+           true_pairs,
+           round(hit_units_{i} / 1000000.0 / greatest(true_pairs, 1), 6)
+             AS expected_recall,
+           near_miss_pairs,
+           round(fp_units_{i} / 1000000.0, 4)
+             AS expected_near_miss_candidates
+    FROM agg"""
+        for i, (b, r) in enumerate(combos)
+    )
+    return f"""
+    WITH pairs AS ({pairs_cte}),
+    agg AS (
+      SELECT CAST(count(CASE WHEN s >= {dup_threshold!r} THEN 1 END) AS BIGINT)
+               AS true_pairs,
+             CAST(count(CASE WHEN s < {dup_threshold!r} THEN 1 END) AS BIGINT)
+               AS near_miss_pairs,
+             {", ".join(sums)}
+      FROM (SELECT CAST({sim_col} AS DOUBLE) AS s FROM pairs)
+    )
+    SELECT * FROM (
+{rows}
+    ) WHERE true_pairs + near_miss_pairs > 0"""

@@ -1600,7 +1600,14 @@ def q_simhash_near_dups_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NGRAM_JACCARD_SQL = """
+def _jaccard_sql(threshold: float) -> str:
+    """Exact 3-gram Jaccard pair CTE (DuckDB), parameterized threshold —
+    shared by ngram_jaccard_dedup (0.5), dedup_eval, and banding_plan
+    (0.25: the planner needs the sub-threshold mass too)."""
+    return _NGRAM_JACCARD_SQL_T.replace("__JT__", repr(threshold))
+
+
+_NGRAM_JACCARD_SQL_T = """
     WITH tokd AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
       FROM documents
@@ -1629,8 +1636,10 @@ _NGRAM_JACCARD_SQL = """
     FROM inter i
     JOIN sizes za ON za.doc_id = i.id_a
     JOIN sizes zb ON zb.doc_id = i.id_b
-    WHERE CAST(i.ni AS DOUBLE) / (za.n + zb.n - i.ni) >= 0.5
+    WHERE CAST(i.ni AS DOUBLE) / (za.n + zb.n - i.ni) >= __JT__
     """
+
+_NGRAM_JACCARD_SQL = _jaccard_sql(0.5)
 
 
 @register(
@@ -1879,15 +1888,22 @@ def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     land = _tf.mkdtemp(prefix="jsonl_quar_")
     path = _os.path.join(land, "documents_jsonl")
     write_documents_jsonl(docs, path)
-    with open(_os.path.join(path, "zz-corrupt.json"), "w") as fh:
-        for line in _QUARANTINE_LINES:
-            fh.write(line + "\n")
+    # inject corrupt lines only alongside a real corpus: on empty input
+    # the whole result (both split sides) must be empty, not a synthetic
+    # quarantine row
+    has_rows = docs.limit(1).count() > 0
+    if has_rows:
+        with open(_os.path.join(path, "zz-corrupt.json"), "w") as fh:
+            for line in _QUARANTINE_LINES:
+                fh.write(line + "\n")
     clean, bad = read_documents_jsonl_split(spark, path)
     n_bad = bad.count()  # the fixed API surface: a direct count, no caching
     fp = lambda c: F.sum(portable_base_hash(F.col(c)) % 1000003).alias("fp_sum")
     clean_agg = clean.groupBy("lang").agg(
         F.count("*").alias("n_docs"), fp("text"), F.sum(F.length("text")).alias("chars")
     )
+    if not has_rows:
+        return clean_agg.orderBy("lang")  # empty, same schema
     bad_agg = (
         bad.agg(fp("raw_line"), F.sum(F.length("raw_line")).alias("chars"))
         .select(
@@ -1936,6 +1952,10 @@ def q_tar_shards_dist_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = write_tar_shards_distributed(
         docs, path, members_from={"txt": "text"}, samples_per_shard=200
     )
+    if not manifest:  # empty corpus → zero shards, empty result
+        return spark.createDataFrame(
+            [], "shard_id long, n_samples bigint, fp_sum bigint, chars bigint"
+        )
     assert len(manifest) > 1, "need >1 shard for the layout proof"
     samples = read_tar_shards(spark, path)
     return (
@@ -1990,6 +2010,48 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.count("_hit")).alias("missed_pairs"),
         (F.count("_hit") / F.count("*")).alias("recall"),
     )
+
+
+def _banding_plan_oracle() -> str:
+    from .operators.dedup import banding_plan_sql
+
+    return (
+        banding_plan_sql(_jaccard_sql(0.25), num_hashes=64, dup_threshold=0.5)
+        + "\n    ORDER BY bands DESC"
+    )
+
+
+@register(
+    "banding_plan",
+    None,  # replaced below (built from the dedup module's SQL twin)
+)
+def q_banding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import banding_plan
+
+    d = load_table(spark, sf_dir, "documents")
+    # low-threshold exact pairs so the planner sees the sub-threshold
+    # mass too (the verification-cost side of the S-curve trade)
+    pairs = ngram_jaccard_near_duplicates(d, threshold=0.25)
+    return banding_plan(pairs, num_hashes=64, dup_threshold=0.5).orderBy(
+        F.col("bands").desc()
+    )
+
+
+def _finalize_banding_plan_oracle() -> None:
+    spec = REGISTRY["banding_plan"]
+    REGISTRY["banding_plan"] = QuerySpec(
+        fn=spec.fn,
+        oracle=_banding_plan_oracle(),
+        covers="LSH banding planner (MMDS §3.4 S-curve): expected recall "
+        "and wasted-verification mass of every (bands x rows) split of a "
+        "64-hash budget, measured against the corpus's exact Jaccard "
+        "pair distribution — repeated-squaring probabilities quantized "
+        "to int64 micro-units, so the expectation is bit-exact across "
+        "engines; the tune-before-you-build number next to dedup_eval",
+    )
+
+
+_finalize_banding_plan_oracle()
 
 
 _WINNOW_K, _WINNOW_W = 8, 16
@@ -5920,6 +5982,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tar_shards_dist_write",
     "stream_near_dup_ttl",
     "monitor_http",
+    "banding_plan",
     # latest green row is round-2's
     "stored_curve_quantiles",
     "gtfs_records",

@@ -410,3 +410,87 @@ class TestPureXxhash64:
         assert all(-(1 << 63) <= v < (1 << 63) for v in vals)
         assert any(v < 0 for v in vals)  # signed reinterpretation happens
         assert all(spark_abs_xxhash64(f"probe{i}") >= 0 for i in range(200))
+
+
+class TestBandingPlan:
+    """LSH banding planner: S-curve expectations measured over a pair
+    frame (MMDS §3.4)."""
+
+    def test_combos_cover_the_budget(self):
+        from dystonse_gtfs_data_spark.operators.dedup import banding_combos
+
+        combos = banding_combos(64)
+        assert combos[0] == (64, 1) and combos[-1] == (1, 64)
+        assert all(b * r == 64 for b, r in combos) and len(combos) == 7
+
+    def test_collision_sql_matches_closed_form(self, spark):
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            banding_collision_sql,
+        )
+
+        import pyspark.sql.functions as F
+
+        df = spark.range(1).select(
+            *[
+                F.expr(
+                    banding_collision_sql(b, r, sim=f"CAST({s} AS DOUBLE)")
+                ).alias(f"p_{b}_{r}_{i}")
+                for i, s in enumerate([0.2, 0.5, 0.8, 0.95])
+                for b, r in [(16, 4), (8, 8), (4, 16)]
+            ]
+        )
+        row = df.collect()[0]
+        for i, s in enumerate([0.2, 0.5, 0.8, 0.95]):
+            for b, r in [(16, 4), (8, 8), (4, 16)]:
+                expect = 1.0 - (1.0 - s**r) ** b
+                assert abs(row[f"p_{b}_{r}_{i}"] - expect) < 1e-12
+
+    def test_plan_expectations_on_known_pairs(self, spark):
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            banding_combos,
+            banding_plan,
+        )
+
+        sims = [0.9, 0.7, 0.55, 0.4, 0.2]
+        pairs = spark.createDataFrame([(s,) for s in sims], ["jaccard"])
+        out = {
+            (r["bands"], r["rows_per_band"]): r
+            for r in banding_plan(pairs, 64, dup_threshold=0.5).collect()
+        }
+        for b, r in banding_combos(64):
+            hits = [
+                round((1.0 - (1.0 - s**r) ** b) * 1e6) for s in sims if s >= 0.5
+            ]
+            fps = [
+                round((1.0 - (1.0 - s**r) ** b) * 1e6) for s in sims if s < 0.5
+            ]
+            got = out[(b, r)]
+            assert got["true_pairs"] == 3 and got["near_miss_pairs"] == 2
+            assert got["expected_recall"] == round(sum(hits) / 1e6 / 3, 6)
+            assert got["expected_near_miss_candidates"] == round(
+                sum(fps) / 1e6, 4
+            )
+
+    def test_wider_banding_trades_recall_for_waste(self, spark):
+        from dystonse_gtfs_data_spark.operators.dedup import banding_plan
+
+        pairs = spark.createDataFrame(
+            [(0.6,), (0.55,), (0.45,), (0.3,)], ["jaccard"]
+        )
+        rows = {
+            r["bands"]: r for r in banding_plan(pairs, 64, 0.5).collect()
+        }
+        # more bands (fewer rows each) = flatter S-curve: catches more
+        # true pairs AND wastes more verification on near-misses
+        assert rows[64]["expected_recall"] >= rows[1]["expected_recall"]
+        assert (
+            rows[64]["expected_near_miss_candidates"]
+            >= rows[1]["expected_near_miss_candidates"]
+        )
+
+    def test_empty_pairs_frame(self, spark):
+        from dystonse_gtfs_data_spark.operators.dedup import banding_plan
+
+        pairs = spark.createDataFrame([], "jaccard double")
+        # no observed pairs -> no plan rows (degenerate-input contract)
+        assert banding_plan(pairs, 64, 0.5).count() == 0

@@ -30,6 +30,7 @@ NOT_SF_TABLE_DRIVEN = {
     "journey_chain",
     "journey_transfers",
     "master_variants",
+    "monitor_http",
     "realtime_basis",
     "scheduled_predictions",
     "skipped_updates",
@@ -43,6 +44,7 @@ STREAMING = {
     "stream_stream_join",
     "stream_dedup",
     "stream_near_dup",
+    "stream_near_dup_ttl",
 }
 EMPTY_SWEEP = sorted(set(Q.REGISTRY) - NOT_SF_TABLE_DRIVEN - STREAMING)
 
