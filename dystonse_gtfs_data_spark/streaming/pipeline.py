@@ -52,6 +52,63 @@ def stream_state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def rocksdb_state(spark: SparkSession, changelog_checkpointing: bool = True):
+    """Run streaming queries with the RocksDB state store provider.
+
+    The default HDFSBackedStateStoreProvider keeps every state
+    partition's full map (and recent versions) in EXECUTOR HEAP — fine
+    for thousands of keys, fatal when the near-dup signature index or
+    the per-vehicle basis store grows to corpus scale.  RocksDB keeps
+    state on local disk with a block cache, so state volume is bounded
+    by disk, not heap; ``changelog_checkpointing`` uploads per-batch
+    deltas instead of re-snapshotting full SST files (the production
+    knob for low-latency commits).
+
+    The provider is part of a query's checkpoint contract: pick it
+    BEFORE the first run of a query; an existing checkpoint keeps the
+    provider it started with.  The conf is session-wide while the block
+    is open (queries read it at ``start()``) and restored afterwards.
+    """
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    prev_changelog = spark.conf.get(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+        None,
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+        "true" if changelog_checkpointing else "false",
+    )
+    try:
+        yield
+    finally:
+        for key, prev in (
+            ("spark.sql.streaming.stateStore.providerClass", prev_provider),
+            (
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                prev_changelog,
+            ),
+        ):
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+
 def drain_availablenow_stream(
     query, timeout_s: float = 300.0, expect_data: bool = False
 ) -> None:

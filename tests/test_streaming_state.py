@@ -466,3 +466,78 @@ class TestStreamingNearDupTTL:
         ).write.parquet(str(land / "b1"))
         run_once()  # recovers from the checkpoint, processes only b1
         assert hit_ids() == {2}  # expired signature: doc 3 is a new original
+
+
+class TestRocksDBStateStore:
+    def test_rocksdb_provider_same_results_and_engaged(self, spark, tmp_path):
+        """streaming_near_dup under the RocksDB provider: identical
+        output to the default provider, and the progress metrics prove
+        RocksDB actually backed the state operator."""
+        import pandas as pd
+
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            rowwise_minhash_bands,
+        )
+        from dystonse_gtfs_data_spark.streaming.aggregations import (
+            streaming_near_dup,
+        )
+        from dystonse_gtfs_data_spark.streaming.pipeline import (
+            rocksdb_state,
+            stream_state_partitions,
+        )
+
+        land = tmp_path / "land"
+        land.mkdir()
+        text = "the quick brown fox jumps over the lazy dog"
+        spark.createDataFrame(
+            [(1, text), (2, text), (3, "completely different words here")],
+            ["doc_id", "text"],
+        ).coalesce(1).write.parquet(str(land / "b0"))
+
+        def run(ck: str, out: str, provider_ctx):
+            src = spark.readStream.schema("doc_id long, text string").parquet(
+                str(land) + "/*"
+            )
+            with provider_ctx, stream_state_partitions(spark, 4):
+                q = (
+                    streaming_near_dup(rowwise_minhash_bands(src, num_hashes=16))
+                    .writeStream.format("parquet")
+                    .outputMode("append")
+                    .option("path", out)
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(180)
+                return q.lastProgress
+
+        import contextlib
+
+        p_default = run(
+            str(tmp_path / "ck_d"), str(tmp_path / "out_d"),
+            contextlib.nullcontext(),
+        )
+        p_rocks = run(
+            str(tmp_path / "ck_r"), str(tmp_path / "out_r"),
+            rocksdb_state(spark),
+        )
+        rows_d = sorted(
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / "out_d")).collect()
+        )
+        rows_r = sorted(
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / "out_r")).collect()
+        )
+        assert rows_d == rows_r and len(rows_r) > 0
+        rocks_metrics = p_rocks["stateOperators"][0]["customMetrics"]
+        assert any("rocksdb" in k.lower() for k in rocks_metrics)
+        default_metrics = p_default["stateOperators"][0]["customMetrics"]
+        assert not any("rocksdb" in k.lower() for k in default_metrics)
+        # the context restored the session conf
+        assert (
+            spark.conf.get(
+                "spark.sql.streaming.stateStore.providerClass", "unset-ok"
+            )
+            == "unset-ok"
+        )
