@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "jsonl_quarantine",        # JSONL corpus source + corrupt quarantine
     "tar_shards_dist_write",   # executor-side WebDataset shard writer
     "banding_plan",            # LSH S-curve planner over measured pairs
+    "compact_small_files",     # OPTIMIZE-style small-file compaction
 ]
 
 

@@ -1976,6 +1976,58 @@ def q_tar_shards_dist_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "compact_small_files",
+    # content-preservation oracle: per-lang aggregates read AFTER the
+    # atomic compaction swap must equal the parquet corpus exactly — a
+    # lost row, dup row, or corrupted text mismatches count/fp/chars
+    f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(({portable_base_hash_sql("substr(md5(text), 1, 15)")})
+                    % 1000003) AS BIGINT) AS fp_sum,
+           CAST(sum(length(text)) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    covers="OPTIMIZE-style small-file compaction "
+    "(sources/layout.py compact_parquet_dir): a 48-way shredded copy of "
+    "the corpus is compacted to byte-targeted files (range-partitioned + "
+    "sorted by (lang, doc_id) for min-max skipping), swapped in "
+    "atomically behind a staged row-count check; the query returns "
+    "aggregates read from the COMPACTED directory",
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    from .operators.dedup import portable_base_hash
+    from .sources.layout import compact_parquet_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    land = _tf.mkdtemp(prefix="compact_")
+    path = _os.path.join(land, "docs")
+    docs.repartition(48).write.parquet(path)  # the fragmented sink state
+    stats = compact_parquet_dir(
+        spark, path, target_file_bytes=8 * 1024 * 1024,
+        sort_within=["lang", "doc_id"],
+    )
+    assert stats["files_after"] <= stats["files_before"]
+    after = spark.read.parquet(path)
+    return (
+        after.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(portable_base_hash(F.col("text")) % 1000003).alias("fp_sum"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "dedup_eval",
     # composes the exact-Jaccard and minhash twins: banding recall,
     # measured — precision is 1 by construction (candidates are verified
@@ -5983,6 +6035,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_near_dup_ttl",
     "monitor_http",
     "banding_plan",
+    "compact_small_files",
     # latest green row is round-2's
     "stored_curve_quantiles",
     "gtfs_records",

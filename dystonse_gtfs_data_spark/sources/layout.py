@@ -161,3 +161,76 @@ def skipping_stats(
         F.sum(F.when(hit, 1).otherwise(0)).alias("files_hit"),
         F.sum(F.when(hit, F.col("_rows")).otherwise(0)).alias("rows_in_hit_files"),
     )
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE-style small-file compaction for a parquet directory —
+    the lakehouse maintenance pass every streaming/upsert sink needs:
+    micro-batch appends and per-key merges leave thousands of KB-sized
+    files whose per-file open cost (footer read, task schedule) comes to
+    dominate scans long before data volume does.
+
+    Bin count = ceil(on-disk bytes / ``target_file_bytes``), so output
+    files land near the target regardless of input fragmentation.  With
+    ``sort_within``, rows are range-partitioned and sorted by those
+    columns (repartitionByRange samples the key distribution — hot keys
+    don't produce giant files) so the compacted files ALSO carry tight
+    min-max footer stats for data skipping; without it a plain
+    round-robin repartition spreads rows evenly.
+
+    The rewrite goes to a ``.compacting`` staging dir first and swaps in
+    atomically (stale staging/old dirs from a crashed prior run are
+    cleared up front — the _merge_into_records rename-guard pattern), so
+    readers never observe a half-compacted directory.
+
+    Returns {files_before, files_after, bytes, rows} — ``rows`` is
+    counted from the STAGED copy before the swap, so a short write
+    surfaces as a hard error here, not as silent data loss later.
+    """
+    import math
+    import os
+    import shutil
+
+    def _data_files(d: str) -> list[str]:
+        return [
+            os.path.join(r, n)
+            for r, _dirs, names in os.walk(d)
+            for n in names
+            if n.endswith(".parquet")
+        ]
+
+    before = _data_files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    in_rows = df.count()
+
+    staging, old = path + ".compacting", path + ".old"
+    shutil.rmtree(staging, ignore_errors=True)  # crashed prior run
+    shutil.rmtree(old, ignore_errors=True)
+    if sort_within:
+        shaped = df.repartitionByRange(n_files, *sort_within).sortWithinPartitions(
+            *sort_within
+        )
+    else:
+        shaped = df.repartition(n_files)
+    shaped.write.mode("overwrite").parquet(staging)
+    out_rows = spark.read.parquet(staging).count()
+    if out_rows != in_rows:  # never swap in a short write
+        raise RuntimeError(
+            f"compaction row mismatch: {in_rows} in, {out_rows} staged"
+        )
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_data_files(path)),
+        "bytes": total,
+        "rows": out_rows,
+    }

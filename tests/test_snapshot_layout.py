@@ -187,3 +187,88 @@ class TestModelScoring:
             docs, kernel=lambda s: s.str.len() * 2.0
         ).collect()
         assert {r["doc_id"]: r["model_score"] for r in out} == {1: 4.0, 2: 8.0}
+
+
+class TestCompaction:
+    def _shred(self, spark, tmp_path, n=600, files=40):
+        import pyspark.sql.functions as F
+
+        path = str(tmp_path / "frag")
+        spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        ).repartition(files).write.parquet(path)
+        return path
+
+    def test_compaction_preserves_content_and_shrinks_files(
+        self, spark, tmp_path
+    ):
+        from dystonse_gtfs_data_spark.sources.layout import (
+            compact_parquet_dir,
+        )
+
+        path = self._shred(spark, tmp_path)
+        before = sorted(
+            tuple(r) for r in spark.read.parquet(path).collect()
+        )
+        stats = compact_parquet_dir(
+            spark, path, target_file_bytes=1 << 30, sort_within=["g", "k"]
+        )
+        after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+        assert after == before
+        assert stats["files_after"] < stats["files_before"]
+        assert stats["rows"] == len(before)
+        import os
+
+        assert not os.path.exists(path + ".compacting")
+        assert not os.path.exists(path + ".old")
+
+    def test_compaction_sorted_files_have_tight_footer_ranges(
+        self, spark, tmp_path
+    ):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from dystonse_gtfs_data_spark.sources.layout import (
+            compact_parquet_dir,
+        )
+
+        path = self._shred(spark, tmp_path)
+        # force several output files, range-partitioned by g
+        compact_parquet_dir(
+            spark, path, target_file_bytes=4096, sort_within=["g", "k"]
+        )
+        ranges = []
+        for root, _d, names in os.walk(path):
+            for n in names:
+                if n.endswith(".parquet"):
+                    md = pq.ParquetFile(os.path.join(root, n)).metadata
+                    if md.num_rows == 0:
+                        continue
+                    names = [c.name for c in md.schema.to_arrow_schema()]
+                    col = md.row_group(0).column(names.index("g"))
+                    st = col.statistics
+                    ranges.append((st.min, st.max))
+        assert len(ranges) > 1
+        # range partitioning: file g-ranges may touch at boundaries but
+        # never strictly interleave
+        ranges.sort()
+        for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+            assert lo2 >= lo1 and hi1 <= lo2 + 1
+
+    def test_compaction_cleans_stale_staging_dirs(self, spark, tmp_path):
+        import os
+
+        from dystonse_gtfs_data_spark.sources.layout import (
+            compact_parquet_dir,
+        )
+
+        path = self._shred(spark, tmp_path, n=50, files=5)
+        os.makedirs(path + ".compacting/junk")  # crashed prior run
+        os.makedirs(path + ".old/junk")
+        stats = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+        assert stats["rows"] == 50
+        assert not os.path.exists(path + ".compacting")
+        assert not os.path.exists(path + ".old")
