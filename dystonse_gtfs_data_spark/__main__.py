@@ -10,9 +10,10 @@ Mirrors ``dystonse-gtfs-data {import|analyse|predict|monitor}``
     {dir}/db/predictions  PREDICTIONS     (import/predict write)
     {dir}/curves       statistics tree    (analyse writes, S8 layout)
 
-Deviations (ARCHITECTURE.md): the monitor is a query command printing
-JSON lines, not an HTTP server — the departure-board/journey data paths
-are the same operators the web layer would call.  ``import`` here is
+``monitor`` prints JSON lines by default; ``monitor --serve`` starts
+the reference's HTTP mode (src/monitor/mod.rs:102-190) via
+monitor_http.py — /autocomplete, /stop-by-name, /departures served
+from the same operators.  ``import`` here is
 the reference's batch mode; the streaming path (automatic mode) lives
 in streaming/pipeline.start_records_stream and is exercised by tests.
 
@@ -294,7 +295,9 @@ def cmd_predict(spark, args) -> None:
 
 def cmd_monitor(spark, args) -> None:
     """Departure board query — the stop page's data
-    (src/monitor/mod.rs:426-591) as JSON lines."""
+    (src/monitor/mod.rs:426-591) as JSON lines; with ``--serve``, the
+    reference's HTTP mode (mod.rs:102-190): /autocomplete,
+    /stop-by-name, /departures served live from the same operators."""
     from pyspark.sql import functions as F
 
     from .operators.monitor import departure_board
@@ -302,6 +305,7 @@ def cmd_monitor(spark, args) -> None:
 
     preds = load_predictions(spark, os.path.join(args.dir, "db", "predictions"))
     trip_max = None
+    stops = None
     sched_path = _schedule_path(args) if args.schedule or glob.glob(
         os.path.join(args.dir, "schedules", "*")
     ) else None
@@ -309,8 +313,29 @@ def cmd_monitor(spark, args) -> None:
         from .sources.gtfs import read_gtfs
 
         sched = read_gtfs(spark, sched_path)
+        stops = sched.get("stops")
         trip_max = sched["stop_times"].groupBy("trip_id").agg(
             F.max("stop_sequence").alias("max_stop_sequence")
+        )
+    if getattr(args, "serve", False):
+        import threading
+
+        from .monitor_http import start_monitor_server
+
+        server, port = start_monitor_server(
+            spark, preds, stops=stops, trip_max_sequences=trip_max,
+            port=args.port,
+        )
+        print(json.dumps({"serving": {"port": port}}), flush=True)
+        # block like the reference's server loop; tests set the env var
+        # and drive the live port directly
+        if os.environ.get("SPARK_GRAFT_MONITOR_NO_BLOCK") != "1":
+            threading.Event().wait()
+        return
+    if not (args.stop_ids and args.window_start and args.window_end):
+        raise SystemExit(
+            "monitor: --stop-ids/--window-start/--window-end required "
+            "unless --serve"
         )
     board = departure_board(
         preds,
@@ -382,10 +407,17 @@ def main(argv: list[str] | None = None) -> None:
     pr.add_argument("--event-type", choices=["arrival", "departure"], default="departure")
     pr.add_argument("--date-time", required=True, help="YYYY-MM-DD HH:MM:SS")
     pr.add_argument("--initial-delay", type=float)
-    m = sub.add_parser("monitor", help="departure board as JSON lines")
-    m.add_argument("--stop-ids", required=True, help="comma-separated stop ids")
-    m.add_argument("--window-start", required=True)
-    m.add_argument("--window-end", required=True)
+    m = sub.add_parser(
+        "monitor", help="departure board as JSON lines, or --serve for HTTP"
+    )
+    m.add_argument("--stop-ids", help="comma-separated stop ids")
+    m.add_argument("--window-start")
+    m.add_argument("--window-end")
+    m.add_argument(
+        "--serve", action="store_true",
+        help="serve the monitor HTTP endpoints (reference mod.rs:102-190)",
+    )
+    m.add_argument("--port", type=int, default=3000)
 
     args = p.parse_args(argv)
 

@@ -161,3 +161,30 @@ def test_full_cli_lifecycle(spark, data_dir, capsys):
     assert out
     for d in out:
         assert d["stop_id"] in {"s1", "s2", "s3"}
+
+    # 6. monitor --serve: the reference's HTTP mode — same rows as the
+    # CLI board, served from a live ephemeral port
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    monkey_env = "SPARK_GRAFT_MONITOR_NO_BLOCK"
+    os.environ[monkey_env] = "1"
+    try:
+        served = _run(capsys, *base, "monitor", "--serve", "--port", "0")
+        port = served[0]["serving"]["port"]
+        qs = urllib.parse.urlencode(
+            {
+                "stop_ids": "s1,s2,s3",
+                "start": "2024-01-01T00:00:00",
+                "end": "2024-01-02T00:00:00",
+            }
+        )
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/departures?{qs}", timeout=300
+        ) as resp:
+            rows = _json.load(resp)
+        assert len(rows) == len(out)
+        assert {r["stop_id"] for r in rows} <= {"s1", "s2", "s3"}
+    finally:
+        os.environ.pop(monkey_env, None)
