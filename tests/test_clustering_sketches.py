@@ -143,6 +143,23 @@ class TestKmeans:
         # leak dups across clusters
         assert out.groupby("cluster").keep.sum().tolist() == [1, 1]
 
+    def test_semantic_dedup_auto_k_matches_explicit_sqrt_n(self, spark):
+        from dystonse_gtfs_data_spark.operators.similarity import semantic_dedup
+
+        # 100 vectors in 10 duplicate-blobs; k=None must resolve to
+        # max(8, round(sqrt(100))) = 10 and give the same keep decisions
+        # as the explicit k
+        rows = [
+            (i, [1.0 if j == i % 10 else 0.001 * (i % 3) for j in range(10)])
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        auto = semantic_dedup(df, k=None, rounds=2, threshold=0.95).toPandas()
+        explicit = semantic_dedup(df, k=10, rounds=2, threshold=0.95).toPandas()
+        key = lambda p: p.sort_values("vec_id")[["vec_id", "keep"]].reset_index(drop=True)
+        assert key(auto).equals(key(explicit))
+        assert not auto.keep.all() and auto.keep.any()
+
     def test_semantic_dedup_all_unique_when_orthogonal(self, spark):
         from dystonse_gtfs_data_spark.operators.similarity import semantic_dedup
 
