@@ -56,19 +56,40 @@ _RECORDS_KEY = [
 def _merge_into_records(spark, records, records_path: str) -> None:
     """Latest-wins merge of ``records`` into the parquet table via a
     staging write + atomic rename (the MERGE the reference does row-wise
-    against MySQL, src/importer/batched_statements.rs:40-107)."""
+    against MySQL, src/importer/batched_statements.rs:40-107).
+
+    The rewrite is compacted as it lands: file count tracks the table's
+    on-disk bytes (never the shuffle width — a micro-batch sink would
+    otherwise rewrite a small table as 32 near-empty files every batch),
+    range-partitioned and sorted by the merge key so files carry tight
+    trip_id min-max footer stats for pruned reads."""
+    import math
     import shutil
 
     from .operators.records import merge_records
 
+    target_file_bytes = 128 * 1024 * 1024
     if os.path.exists(records_path):
         existing = spark.read.parquet(records_path)
         merged = merge_records(existing, records, key=_RECORDS_KEY)
+        total = sum(
+            os.path.getsize(os.path.join(r, n))
+            for r, _d, names in os.walk(records_path)
+            for n in names
+            if n.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(total * 1.1 / target_file_bytes))
     else:
         merged = records
+        n_files = 1  # a first batch is far below the file-size target
     tmp = records_path + ".staging"
     shutil.rmtree(tmp, ignore_errors=True)  # stale staging from a crash
-    merged.write.mode("overwrite").parquet(tmp)
+    (
+        merged.repartitionByRange(n_files, *_RECORDS_KEY)
+        .sortWithinPartitions(*_RECORDS_KEY)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
     old = records_path + ".old"
     # a crash between the two renames below leaves a populated '.old';
     # os.rename onto a non-empty dir raises, so clear it first — one

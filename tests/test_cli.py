@@ -89,6 +89,12 @@ def test_automatic_import_matches_batch(spark, data_dir, capsys):
     out = _run(capsys, *base, "import", "--automatic")
     n_stream = out[0]["records"]
     assert n_stream > 0
+    # the merge compacts as it lands: a small table is one byte-targeted
+    # file, not shuffle-width near-empty fragments per micro-batch
+    import glob as _glob
+
+    parts = _glob.glob(f"{data_dir}/db/records/*.parquet")
+    assert len(parts) == 1, parts
     # exactly-once: a re-run reprocesses nothing (checkpoint), count holds
     out = _run(capsys, *base, "import", "--automatic")
     assert out[0]["records"] == n_stream
