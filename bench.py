@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "tar_shards_dist_write",   # executor-side WebDataset shard writer
     "banding_plan",            # LSH S-curve planner over measured pairs
     "compact_small_files",     # OPTIMIZE-style small-file compaction
+    "best_of_cluster",         # quality-aware dedup survivor selection
+    "domain_caps",             # per-domain keep-first-n cap
 ]
 
 

@@ -13,7 +13,7 @@ component, independent of iteration order or partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -282,4 +282,40 @@ def kmeans_assign_sql(
     SELECT a.vid AS {id_col}, a.cid AS cluster, s.cluster_size
     FROM assign{rounds} a JOIN sizes s USING (cid)
     """
+    )
+
+
+def keep_best_per_cluster(
+    members: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware survivor selection: keep the HIGHEST-quality member
+    of each near-dup cluster instead of :func:`dedup_clusters`' min-id
+    canonical (RefinedWeb/C4-style curation keeps the longest or
+    best-scored variant of a template family, not the one with the
+    smallest crawl id).  Ties break on min id so the choice is total and
+    engine-independent.
+
+    ``members``: (id, cluster) from :func:`dedup_clusters` (or any
+    blocking structure); ``quality``: (id, score).  Output: one row per
+    member with its score and a ``keep`` flag.
+
+    Scale shape: an equi-join on id then one window over the cluster
+    shuffle — both keyed, no pair space, no driver state.
+    """
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        members.join(quality, id_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            id_col,
+            cluster_col,
+            score_col,
+            (F.col("_rk") == 1).alias("keep"),
+        )
     )

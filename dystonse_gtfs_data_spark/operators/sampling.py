@@ -369,3 +369,32 @@ def weighted_sample_sql(
     WHERE CAST(({fold}) // {1 << _WS_SHIFT} AS HUGEINT) * s.wtot
           < CAST({weight_col} AS HUGEINT) * CAST({scale} AS HUGEINT) * s.n
     """
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+    order_cols: list,
+) -> DataFrame:
+    """Deterministic per-key cap — the anti-spam / anti-domination pass
+    a crawl pipeline runs before mixing (CommonCrawl-derived sets cap
+    documents per registered domain so no host dominates the corpus).
+
+    Keeps the first ``n`` rows of each key group in ``order_cols`` order
+    (rank them best-first: quality desc, then an id tie-break so the cut
+    is total and engine-independent), emitting ``key_rank`` so callers
+    can audit how deep each key ran.
+
+    Scale shape: one hash shuffle on the key + a within-partition sort —
+    the standard window top-n.  A pathologically hot key concentrates
+    its sort in one task; at that point pre-prune with the two-phase
+    trick (cap per (key, salt) at n first — any row ranked > n within
+    its salt bucket cannot rank <= n globally — then re-rank the
+    survivors, <= salt x n rows per key, exactly).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("key_rank", F.row_number().over(w))
+        .filter(F.col("key_rank") <= n)
+    )

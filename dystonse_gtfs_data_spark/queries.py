@@ -4521,10 +4521,9 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    f"""
-    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE_SQL}),
+# recursive-CTE connected components over the minhash pair oracle,
+# ending in cc(id, cluster) — shared by dedup_clusters / best_of_cluster
+_CC_CTE_SQL = f"""WITH RECURSIVE pairs AS ({_MINHASH_ORACLE_SQL}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
@@ -4535,7 +4534,13 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
     ),
-    cc AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+    cc AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    {_CC_CTE_SQL},
     sizes AS (SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY cluster)
     SELECT cc.id AS doc_id, cc.cluster, s.cluster_size,
            cc.id = cc.cluster AS keep
@@ -4553,6 +4558,78 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")  # minhash spreads internally
     pairs = minhash_near_duplicates(d, threshold=0.5, base_hash="md5")
     return dedup_clusters(pairs)
+
+
+@register(
+    "best_of_cluster",
+    # same transitive clusters, different survivor rule: the HIGHEST-
+    # quality member wins (length proxy; ties -> min id) — a wrong keep
+    # flips booleans and hash-mismatches
+    f"""
+    {_CC_CTE_SQL},
+    scored AS (
+      SELECT cc.id AS doc_id, cc.cluster,
+             CAST(length(d.text) AS BIGINT) AS score
+      FROM cc JOIN documents d ON d.doc_id = cc.id
+    )
+    SELECT doc_id, cluster, score,
+           (row_number() OVER (PARTITION BY cluster
+                               ORDER BY score DESC, doc_id) = 1) AS keep
+    FROM scored
+    ORDER BY doc_id
+    """,
+    covers="Quality-aware dedup survivor selection "
+    "(operators/clustering.keep_best_per_cluster): RefinedWeb-style "
+    "keep-the-best-variant per near-dup cluster (score = doc length, "
+    "ties min-id) instead of the min-id canonical — equi-join + one "
+    "cluster window, no pair space",
+)
+def q_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import dedup_clusters, keep_best_per_cluster
+
+    d = load_table(spark, sf_dir, "documents")  # minhash spreads internally
+    pairs = minhash_near_duplicates(d, threshold=0.5, base_hash="md5")
+    members = dedup_clusters(pairs).select("doc_id", "cluster")
+    quality = d.select("doc_id", F.length("text").cast("long").alias("score"))
+    return keep_best_per_cluster(members, quality).orderBy("doc_id")
+
+
+@register(
+    "domain_caps",
+    # deterministic per-source cap: rank best-first (longest doc, then
+    # id) and keep the first 10 per source — rank and membership both
+    # hash-checked
+    """
+    SELECT doc_id, source, key_rank
+    FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY length(text) DESC, doc_id) AS INTEGER) AS key_rank
+      FROM documents
+    )
+    WHERE key_rank <= 10
+    ORDER BY source, key_rank
+    """,
+    covers="Per-domain document cap (operators/sampling.cap_per_key): "
+    "the anti-domination pass crawl pipelines run per registered domain "
+    "before mixing — quality-ranked keep-first-n with a total, "
+    "engine-independent order; one keyed window, two-phase salted "
+    "pre-prune documented for pathological hot keys",
+)
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import cap_per_key
+
+    d = load_table(spark, sf_dir, "documents")
+    capped = cap_per_key(
+        d.select("doc_id", "source", "text"),
+        ["source"],
+        10,
+        [F.length("text").desc(), F.col("doc_id")],
+    )
+    return capped.select("doc_id", "source", "key_rank").orderBy(
+        "source", "key_rank"
+    )
 
 
 @register(
@@ -6036,6 +6113,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "monitor_http",
     "banding_plan",
     "compact_small_files",
+    "best_of_cluster",
+    "domain_caps",
     # latest green row is round-2's
     "stored_curve_quantiles",
     "gtfs_records",

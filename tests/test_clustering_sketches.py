@@ -212,3 +212,26 @@ def test_hll_merge_invariant_to_sharding(spark):
             ).collect()
         }
         assert merged == direct, shards
+
+
+class TestKeepBestPerCluster:
+    def test_highest_score_wins_ties_min_id(self, spark):
+        from dystonse_gtfs_data_spark.operators.clustering import (
+            keep_best_per_cluster,
+        )
+
+        members = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+            "doc_id long, cluster long",
+        )
+        quality = spark.createDataFrame(
+            [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)],
+            "doc_id long, score long",
+        )
+        out = keep_best_per_cluster(members, quality).toPandas()
+        kept = sorted(out[out.keep].doc_id)
+        # cluster 1: score tie 9 between 2 and 3 -> min id 2;
+        # cluster 10: tie 4 -> min id 10
+        assert kept == [2, 10]
+        assert out.groupby("cluster").keep.sum().tolist() == [1, 1]
+        assert len(out) == 5

@@ -279,3 +279,33 @@ class TestWeightedSample:
 
         df = spark.createDataFrame([], "doc_id long, w long")
         assert weighted_sample(df, 0.5, "w").count() == 0
+
+
+class TestCapPerKey:
+    def test_keeps_first_n_best_ranked(self, spark):
+        import pyspark.sql.functions as F
+
+        from dystonse_gtfs_data_spark.operators.sampling import cap_per_key
+
+        rows = [(k, i, (i * 7) % 10) for k in ("a", "b") for i in range(8)]
+        df = spark.createDataFrame(rows, "k string, id long, q long")
+        out = cap_per_key(
+            df, ["k"], 3, [F.col("q").desc(), F.col("id")]
+        ).toPandas()
+        assert sorted(out.groupby("k").size()) == [3, 3]
+        for k in ("a", "b"):
+            grp = out[out.k == k].sort_values("key_rank")
+            best = sorted(
+                [r for r in rows if r[0] == k],
+                key=lambda r: (-r[2], r[1]),
+            )[:3]
+            assert list(zip(grp.id, grp.q)) == [(i, q) for _k, i, q in best]
+            assert list(grp.key_rank) == [1, 2, 3]
+
+    def test_cap_above_group_size_keeps_all(self, spark):
+        import pyspark.sql.functions as F
+
+        from dystonse_gtfs_data_spark.operators.sampling import cap_per_key
+
+        df = spark.createDataFrame([("a", 1), ("a", 2)], "k string, id long")
+        assert cap_per_key(df, ["k"], 10, [F.col("id")]).count() == 2
