@@ -472,3 +472,35 @@ def test_edit_distance_dedup_is_blocked_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "levenshtein" in plan.lower(), plan
+
+
+def test_domain_caps_is_one_keyed_window(spark, sf_dir):
+    # per-key cap: hash exchange on the key + within-partition sort, the
+    # presentation orderBy, and the deliberate small-input _spread at
+    # most — no join, no python, no pair space
+    df = Q.REGISTRY["domain_caps"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "pythonudf" not in plan.lower()
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) <= 3, plan
+
+
+def test_banding_plan_is_scalar_agg_over_pair_frame(spark, sf_dir):
+    # the planner itself must add only aggregation on top of the
+    # inverted-index pair join: no extra joins, no python, and the
+    # repeated-squaring probability columns stay in codegen
+    df = Q.REGISTRY["banding_plan"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "pythonudf" not in plan.lower()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_best_of_cluster_no_pair_space_beyond_candidates(spark, sf_dir):
+    # survivor selection joins (id, cluster) to (id, score) and windows
+    # over the cluster — no cartesian/BNLJ anywhere in the composed plan
+    df = Q.REGISTRY["best_of_cluster"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "pythonudf" not in plan.lower()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
