@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "compact_small_files",     # OPTIMIZE-style small-file compaction
     "best_of_cluster",         # quality-aware dedup survivor selection
     "domain_caps",             # per-domain keep-first-n cap
+    "ivfpq_recall",            # recall@5 of the IVF-PQ coded path
 ]
 
 

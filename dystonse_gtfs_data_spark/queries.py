@@ -2323,6 +2323,44 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ivfpq_recall",
+    # recall@5 of the IVF-PQ coded path against brute-force cosine —
+    # composes the brute-force SQL twin with the IVF-PQ differential
+    # table (the same bit-exact replica ivfpq_topk hash-checks against)
+    f"""
+    WITH exact AS ({_COSINE_TOPK_SQL}),
+    approx AS (
+      SELECT query_id, neighbor_id FROM {_dt("expected_ivfpq_topk")}
+      WHERE corpus_fp = {_CORPUS_FP_SQL}
+    )
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS DOUBLE) / 5 AS recall
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+    covers="ANN quality measurement for the coded path — recall@k of "
+    "IVF-PQ (codes + ADC scoring) against brute-force cosine, per "
+    "query: the quantization-loss number that decides m_sub/ksub/"
+    "n_probe before a billion-vector index build (completes the eval "
+    "matrix next to ann_recall's LSH measurement)",
+)
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_ivfpq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg((F.count("_hit") / F.lit(5.0)).alias("recall"))
+        .orderBy("query_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Curve UDAF against a SQL oracle (A3 make_curve semantics)
 # ---------------------------------------------------------------------------
@@ -6115,6 +6153,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "compact_small_files",
     "best_of_cluster",
     "domain_caps",
+    "ivfpq_recall",
     # latest green row is round-2's
     "stored_curve_quantiles",
     "gtfs_records",
