@@ -4475,9 +4475,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bigram_lm_score",
-    r"""
+# shared by bigram_lm_score and perplexity_buckets: per-bigram add-one
+# log-probs (DECIMAL-exact terms), ending in the `scored` CTE
+_BIGRAM_SCORED_CTE = r"""
     WITH tokd AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
       FROM documents
@@ -4499,6 +4499,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN c1 ON c1.w1 = i.w1
       CROSS JOIN vocab
     )
+"""
+
+
+@register(
+    "bigram_lm_score",
+    _BIGRAM_SCORED_CTE
+    + r"""
     SELECT doc_id, count(*) AS n_bigrams,
            CAST(sum(lp) AS DOUBLE) AS sum_logprob,
            round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
@@ -4510,6 +4517,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partitioning; counts-only training (no float model state).",
 )
 def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bigram_scored(spark, sf_dir)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("lp").cast("double").alias("sum_logprob"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+def _bigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bigram add-one log-probs (`doc_id`, `lp` DECIMAL(18,6)) —
+    the Spark twin of ``_BIGRAM_SCORED_CTE``."""
     from .operators.dedup import _spread
     from .sources.tables import maybe_broadcast
 
@@ -4550,13 +4570,7 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lp"),
         )
     )
-    return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.sum("lp").cast("double").alias("sum_logprob"),
-        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias(
-            "avg_logprob"
-        ),
-    )
+    return scored
 
 
 # recursive-CTE connected components over the minhash pair oracle,
@@ -6125,6 +6139,130 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.selection import (  # noqa: E402 (grouped with its entries)
+    dsir_logweights_sql,
+    gopher_quality_rules_sql,
+)
+
+
+@register(
+    "gopher_rules",
+    gopher_quality_rules_sql() + "\n    ORDER BY doc_id",
+    covers="Gopher document-quality rule set (arXiv:2112.11446 §A1.1): "
+    "word-count / mean-word-length bounds, symbol-to-word ratio, "
+    "bullet & ellipsis line ratios, alphabetic-word ratio, "
+    "distinct-stopword floor — every signal, per-rule verdict, and the "
+    "conjunction, as pure JVM expressions (map-only at any scale; the "
+    "audit columns let a pipeline report WHICH rule rejected each doc)",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.selection import gopher_quality_rules
+
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_quality_rules(d).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_ratio",
+        "ellipsis_ratio",
+        "alpha_ratio",
+        "n_stopwords",
+        "r_word_count",
+        "r_mean_word_len",
+        "r_symbol",
+        "r_bullet",
+        "r_ellipsis",
+        "r_alpha",
+        "r_stopwords",
+        "passes_gopher",
+    ).orderBy("doc_id")
+
+
+_DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+_DSIR_TOP_K = 100
+
+
+@register(
+    "dsir_selection",
+    dsir_logweights_sql(
+        target_pred="source IN ('src0', 'src1', 'src2', 'src3')",
+        top_k=_DSIR_TOP_K,
+    )
+    + "\n    ORDER BY doc_id",
+    covers="DSIR importance resampling (arXiv:2302.03169): hashed "
+    "unigram+bigram bucket models (portable md5 fold, add-one "
+    "smoothing) over a target/raw split, per-doc importance "
+    "log-weights, and deterministic Gumbel-top-k selection — the "
+    "weighted-without-replacement draw of the paper with hash-derived "
+    "(retry-stable) noise instead of rand()",
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.selection import dsir_logweights
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_logweights(
+        d,
+        F.col("source").isin(*_DSIR_TARGET_SOURCES),
+        top_k=_DSIR_TOP_K,
+    ).orderBy("doc_id")
+
+
+@register(
+    "perplexity_buckets",
+    _BIGRAM_SCORED_CTE
+    + r"""
+    , perdoc AS (
+      SELECT doc_id,
+             round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+      FROM scored GROUP BY 1
+    )
+    SELECT doc_id, lang, avg_logprob, tercile,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM (
+      SELECT p.doc_id, d.lang, p.avg_logprob,
+             CAST(ntile(3) OVER (PARTITION BY d.lang
+                                 ORDER BY p.avg_logprob DESC, p.doc_id)
+                  AS INT) AS tercile
+      FROM perdoc p JOIN documents d USING (doc_id)
+    )
+    ORDER BY doc_id
+    """,
+    covers="CCNet-style perplexity bucketing (arXiv:1911.00359 §4.3): "
+    "per-language head/middle/tail terciles of the corpus-trained "
+    "bigram-LM score (head = lowest perplexity).  Reuses the "
+    "bigram_lm_score stage; the bucketing itself is one window over "
+    "(lang) — shuffle keyed by language, skew-safe because ntile "
+    "needs only a per-language sort, not a global one",
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import maybe_broadcast
+
+    scored = _bigram_scored(spark, sf_dir)
+    perdoc = scored.groupBy("doc_id").agg(
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias(
+            "avg_logprob"
+        )
+    )
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    return (
+        perdoc.join(maybe_broadcast(langs), "doc_id")
+        .withColumn("tercile", F.ntile(3).over(w))
+        .withColumn(
+            "ppl_bucket",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail"),
+        )
+        .select("doc_id", "lang", "avg_logprob", "tercile", "ppl_bucket")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__
 # ---------------------------------------------------------------------------
@@ -6154,6 +6292,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "best_of_cluster",
     "domain_caps",
     "ivfpq_recall",
+    "gopher_rules",
+    "dsir_selection",
+    "perplexity_buckets",
     # latest green row is round-2's
     "stored_curve_quantiles",
     "gtfs_records",
