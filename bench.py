@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "best_of_cluster",         # quality-aware dedup survivor selection
     "domain_caps",             # per-domain keep-first-n cap
     "ivfpq_recall",            # recall@5 of the IVF-PQ coded path
+    "gopher_rules",            # Gopher quality-rule audit (map-only)
+    "dsir_selection",          # DSIR hashed-ngram importance resampling
+    "perplexity_buckets",      # CCNet head/middle/tail LM terciles
 ]
 
 

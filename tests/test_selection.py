@@ -148,3 +148,101 @@ class TestPerplexityBuckets:
             heads = [r.avg_logprob for r in rows if r.ppl_bucket == "head"]
             tails = [r.avg_logprob for r in rows if r.ppl_bucket == "tail"]
             assert min(heads) >= max(tails), lang
+
+
+class TestTwinParity:
+    """Randomized cross-engine parity: the DuckDB twins must reproduce
+    the Spark outputs on adversarial ASCII corpora (regex-dialect and
+    list-function edge cases the fixed testdata can't reach)."""
+
+    ALPHABET = (
+        "abcdefghij THE the of and that with have be to #.*-\n0123456789"
+    )
+
+    def _random_corpus(self) -> list[str]:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        texts: list[str] = []
+
+        @given(st.text(alphabet=self.ALPHABET, min_size=0, max_size=120))
+        @settings(max_examples=80, deadline=None)
+        def collect(s):
+            texts.append(s)
+
+        collect()
+        return texts
+
+    def test_gopher_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from dystonse_gtfs_data_spark.operators.selection import (
+            gopher_quality_rules_sql,
+        )
+
+        texts = self._random_corpus()
+        pdf = pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": texts}
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = con.execute(
+            gopher_quality_rules_sql() + " ORDER BY doc_id"
+        ).df()
+        got = (
+            gopher_quality_rules(
+                spark.createDataFrame(pdf)
+            )
+            .drop("text")
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        got = got[list(want.columns)]
+        for c in want.columns:
+            a, b = got[c], want[c]
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                assert ((a - b).abs() < 1e-9).all(), c
+            else:
+                assert (a.astype(object) == b.astype(object)).all(), c
+
+    def test_dsir_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from dystonse_gtfs_data_spark.operators.selection import (
+            dsir_logweights,
+            dsir_logweights_sql,
+        )
+
+        texts = self._random_corpus()
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "src": ["t" if i % 3 == 0 else "r" for i in range(len(texts))],
+            }
+        )
+        con = duckdb.connect()
+        con.register("docs", pdf)
+        want = con.execute(
+            dsir_logweights_sql(
+                table="docs", target_pred="src = 't'", top_k=10
+            )
+            + " ORDER BY doc_id"
+        ).df()
+        got = (
+            dsir_logweights(
+                spark.createDataFrame(pdf), F.col("src") == "t", top_k=10
+            )
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        got = got[list(want.columns)]
+        assert len(got) == len(want)
+        for c in want.columns:
+            a, b = got[c], want[c]
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                assert ((a.astype(float) - b.astype(float)).abs() < 1e-9).all(), c
+            else:
+                assert (a.astype(object) == b.astype(object)).all(), c
