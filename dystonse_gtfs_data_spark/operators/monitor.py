@@ -147,5 +147,11 @@ def departure_board(
     return (
         p.withColumn("median_time", F.timestamp_seconds(base + F.col("_q50")))
         .drop("_q05", "_q95")
-        .orderBy("median_time")
+        # total order: ties on median_time would otherwise surface in
+        # whatever partition order the shuffle produced that run, so two
+        # executions of the same board could interleave tied rows
+        # differently (the HTTP shell vs the direct path, or a rerun vs
+        # its oracle).  The tiebreakers match the differential oracle's
+        # ORDER BY exactly.
+        .orderBy("median_time", "trip_id", "stop_sequence", "event_type")
     )
