@@ -797,6 +797,325 @@ def boilerplate_line_removal_sql(
 
 
 # ---------------------------------------------------------------------------
+# Segment-level exact dedup: paragraph keep-first + ExactSubstr spans
+# ---------------------------------------------------------------------------
+
+#: positions-per-document bound for the scalar (doc, pos) order key used
+#: by the segment/substring dedup ops.  Documents longer than this many
+#: segments/tokens would alias order keys; 10^6 tokens ≈ 4 MB of text,
+#: far past any pretraining document.  int64 headroom: doc_id up to
+#: ~9.2e12 still fits (1e6 × 9.2e12 < 2^63).
+POSITIONS_PER_DOC = 1_000_000
+
+
+def _pos_key(id_col: str, pos_col: str):
+    return F.col(id_col) * POSITIONS_PER_DOC + F.col(pos_col)
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup, keep-first (the MassiveText
+    recipe, Rae et al. 2021 arXiv:2112.11446 §A1.2: exact duplicate
+    *segments* are removed, one occurrence survives).
+
+    Differs from :func:`boilerplate_line_removal` (C4) in both rule and
+    shape: C4 drops a frequent line EVERYWHERE (a document-frequency
+    threshold, small-set broadcast); here every distinct segment keeps
+    exactly its first occurrence — ordered by (doc_id, position) — and
+    later copies are removed, so the decision set is the full distinct
+    segment table and must stay distributed.
+
+    One shuffle: a window partitioned by the segment text computes the
+    corpus-wide first occurrence in the same pass that carries the
+    segment to its reassembly group — no second join.  Reassembly is
+    per-document (bounded by document size).  Documents whose every
+    segment was seen earlier disappear from the output entirely (the
+    document-level signal a curation pipeline wants).
+
+    Output: (id, clean_text, n_kept, n_removed).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("ord", "seg"),
+    )
+    w = Window.partitionBy("seg")
+    kept = (
+        lines.withColumn("_pk", _pos_key(id_col, "ord"))
+        .withColumn("_first", F.min("_pk").over(w))
+        .filter(F.col("_pk") == F.col("_first"))
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("_n_segs"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "seg"))),
+                lambda x: x["seg"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return rebuilt.join(totals, id_col).select(
+        id_col,
+        "clean_text",
+        "n_kept",
+        (F.col("_n_segs") - F.col("n_kept")).alias("n_removed"),
+    )
+
+
+def paragraph_dedup_sql(
+    table: str,
+    sep: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`paragraph_dedup` (literal-split ``sep``)."""
+    return f"""
+    WITH segs AS (
+      SELECT {id_col},
+             unnest(string_split({text_col}, '{sep}')) AS seg,
+             generate_subscripts(string_split({text_col}, '{sep}'), 1) - 1 AS ord
+      FROM {table}
+    ),
+    keyed AS (
+      SELECT {id_col}, seg, ord,
+             {id_col} * {POSITIONS_PER_DOC} + ord AS pk,
+             min({id_col} * {POSITIONS_PER_DOC} + ord) OVER (PARTITION BY seg) AS first_pk
+      FROM segs
+    ),
+    totals AS (SELECT {id_col}, count(*) AS n_segs FROM segs GROUP BY 1)
+    SELECT k.{id_col} AS {id_col},
+           string_agg(k.seg, '{sep}' ORDER BY k.ord) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(any_value(t.n_segs) - count(*) AS BIGINT) AS n_removed
+    FROM keyed k JOIN totals t ON t.{id_col} = k.{id_col}
+    WHERE k.pk = k.first_pk
+    GROUP BY 1
+    """
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, arXiv:2107.06499 §4.1,
+    public method): remove every token span that repeats elsewhere in
+    the corpus at length ≥ ``min_len`` tokens, keeping the corpus-wide
+    first occurrence of each repeated window.
+
+    The paper builds a suffix array — inherently sequential and
+    single-machine.  The Spark-native equivalent: every length-
+    ``min_len`` sliding token window is an occurrence; a window whose
+    text occurs more than once is duplicated, and all its occurrences
+    EXCEPT the global (doc_id, pos)-first are marked.  Marked windows
+    merge into maximal spans per document (classic gaps-and-islands),
+    and covered tokens are cut.  Any repeated substring of length
+    ≥ min_len contains a repeated min_len-window at every offset, so
+    marked-window union == the paper's "duplicated span ≥ min_len"
+    (modulo the keep-first exemption, which the paper leaves as a
+    free policy choice).
+
+    Scale shape — the full-volume stages never shuffle text:
+    1. gram hashing is a JVM HOF projection (no explode of gram TEXT);
+       the corpus-wide shuffle carries (hash, pos_key) = 16 bytes per
+       token, regardless of min_len;
+    2. only occurrences whose HASH collides (count > 1) re-derive their
+       gram text (a join back to the token arrays, candidate volume
+       only) and are verified by exact text equality — hash collisions
+       cannot create false spans;
+    3. interval merge is windowed per document; reassembly is a
+       higher-order filter over the token array (document-bounded).
+
+    Output: one row per input document — (id, clean_text, n_tokens,
+    removed_tokens, n_spans); untouched documents pass through with
+    n_spans = 0.
+    """
+    arr = F.split(F.col(text_col), sep)
+    base = docs.select(F.col(id_col), arr.alias("_arr"))
+
+    def _gram(i):
+        return F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.concat_ws(sep, F.slice(F.col("_arr"), i + 1, min_len))).alias(
+                "gh"
+            ),
+        )
+
+    occ = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_arr") >= min_len,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_arr") - min_len), _gram
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
+        ).alias("_g"),
+    ).select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
+
+    # stage 1: hash-level candidates (the only corpus-volume shuffle)
+    wh = Window.partitionBy("gh")
+    cand = (
+        occ.withColumn("_c", F.count("*").over(wh))
+        .filter(F.col("_c") > 1)
+        .drop("_c", "gh")
+    )
+    # stage 2: exact-text verification on candidates only
+    withtext = cand.join(base, id_col).select(
+        F.col(id_col),
+        "pos",
+        F.concat_ws(
+            sep, F.slice(F.col("_arr"), F.col("pos") + 1, min_len)
+        ).alias("gtext"),
+    )
+    wt = Window.partitionBy("gtext")
+    dups = (
+        withtext.withColumn("_pk", _pos_key(id_col, "pos"))
+        .withColumn("_n", F.count("*").over(wt))
+        .withColumn("_first", F.min("_pk").over(wt))
+        .filter((F.col("_n") > 1) & (F.col("_pk") != F.col("_first")))
+        .select(id_col, "pos", (F.col("pos") + min_len).alias("end"))
+    )
+    # stage 3: merge overlapping windows into maximal spans per document
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("end").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        dups.withColumn(
+            "_new", (prev_max.isNull() | (F.col("pos") > prev_max)).cast("int")
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "_island")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("_ivs"))
+    )
+
+    def _keep(tok):
+        return ~F.exists(
+            "_ivs", lambda v: (tok["i"] >= v["s"]) & (tok["i"] < v["e"])
+        )
+
+    idxed = F.transform(
+        F.col("_arr"), lambda x, i: F.struct(i.alias("i"), x.alias("t"))
+    )
+    kept = F.filter(idxed, _keep)
+    return (
+        base.join(islands, id_col, "left")
+        .withColumn("_ivs", F.coalesce(F.col("_ivs"), F.array()))
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(kept, lambda s: s["t"]), sep
+            ).alias("clean_text"),
+            F.size("_arr").cast("long").alias("n_tokens"),
+            (F.size("_arr") - F.size(kept)).cast("long").alias("removed_tokens"),
+            F.size("_ivs").cast("long").alias("n_spans"),
+        )
+    )
+
+
+def exact_substring_dedup_sql(
+    table: str,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> str:
+    """DuckDB twin of :func:`exact_substring_dedup`.
+
+    The twin groups windows by gram TEXT directly (the single-node
+    luxury); the Spark path's hash-prefilter + text-verify reaches the
+    same duplicate set because verification is exact string equality —
+    collisions only ever ADD candidates to re-check, never results.
+    """
+    return f"""
+    WITH arrs AS (
+      SELECT {id_col}, string_split({text_col}, '{sep}') AS arr
+      FROM {table}
+    ),
+    grams AS (
+      SELECT {id_col},
+             unnest([{{'pos': i - 1,
+                       'g': array_to_string(arr[i : i + {min_len} - 1], '{sep}')}}
+                     for i in generate_series(1, greatest(len(arr) - {min_len} + 1, 0))]) AS gr
+      FROM arrs
+    ),
+    keyed AS (
+      SELECT {id_col}, gr.pos AS pos, gr.g AS g,
+             {id_col} * {POSITIONS_PER_DOC} + gr.pos AS pk
+      FROM grams
+    ),
+    marked AS (
+      SELECT *,
+             count(*) OVER (PARTITION BY g) AS n,
+             min(pk) OVER (PARTITION BY g) AS first_pk
+      FROM keyed
+    ),
+    dups AS (
+      SELECT {id_col}, pos, pos + {min_len} AS e
+      FROM marked WHERE n > 1 AND pk <> first_pk
+    ),
+    flagged AS (
+      SELECT {id_col}, pos, e,
+             CASE WHEN max(e) OVER (PARTITION BY {id_col} ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                  OR pos > max(e) OVER (PARTITION BY {id_col} ORDER BY pos
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM dups
+    ),
+    islands AS (
+      SELECT {id_col}, pos, e,
+             sum(new_island) OVER (PARTITION BY {id_col} ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT {id_col}, min(pos) AS s, max(e) AS e
+      FROM islands GROUP BY {id_col}, island
+    ),
+    toks AS (
+      SELECT {id_col}, unnest(arr) AS tok,
+             generate_subscripts(arr, 1) - 1 AS idx
+      FROM arrs
+    ),
+    kept AS (
+      SELECT t.{id_col}, t.tok, t.idx
+      FROM toks t LEFT JOIN merged m
+        ON m.{id_col} = t.{id_col} AND t.idx >= m.s AND t.idx < m.e
+      WHERE m.s IS NULL
+    ),
+    kept_agg AS (
+      SELECT {id_col}, string_agg(tok, '{sep}' ORDER BY idx) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY 1
+    ),
+    span_agg AS (
+      SELECT {id_col}, count(*) AS n_spans FROM merged GROUP BY 1
+    )
+    SELECT a.{id_col} AS {id_col},
+           coalesce(k.clean_text, '') AS clean_text,
+           CAST(len(a.arr) AS BIGINT) AS n_tokens,
+           CAST(len(a.arr) - coalesce(k.n_kept, 0) AS BIGINT) AS removed_tokens,
+           CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans
+    FROM arrs a
+    LEFT JOIN kept_agg k ON k.{id_col} = a.{id_col}
+    LEFT JOIN span_agg s ON s.{id_col} = a.{id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
 # LSH banding planner — choose (bands x rows) BEFORE the 100 TB run
 # ---------------------------------------------------------------------------
 

@@ -398,3 +398,212 @@ def cap_per_key(
         df.withColumn("key_rank", F.row_number().over(w))
         .filter(F.col("key_rank") <= n)
     )
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = SAMPLE_BUCKETS,
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023,
+    arXiv:2304.09151): split a total token budget across languages as
+    uniformly as possible subject to a per-language repeat cap —
+    water-filling where language L contributes ``min(cap_L, t)`` tokens,
+    ``cap_L = tokens_L x max_epochs``, and the water level ``t`` solves
+    ``sum(min(cap_L, t)) = budget``.
+
+    The allocation math runs on the per-language aggregate frame (one
+    row per language — tiny by construction), entirely as window
+    functions: rank languages by capacity ascending; the candidate
+    level with the first ``i-1`` languages fully capped is
+    ``t_i = (B - prefix_cap) / (N - i + 1)``, and the true level is the
+    first candidate satisfying ``t_i <= cap_i`` (none ⇒ the budget
+    covers every cap).  No driver collect, no join: the level is
+    selected with two more windows over the same frame.
+
+    The allocation then turns into an actual selection: ``alloc_L``
+    tokens means ``floor(alloc/total)`` full epochs of language L plus a
+    partial epoch chosen by the repo's deterministic hash-rate filter
+    (``bucket(id) x total < remainder x buckets`` — exact int64
+    arithmetic, map-side, identical in any engine).  The corpus itself
+    never shuffles: the only aggregations are per-language sums.
+
+    Output: one row per language — totals, cap, the exact allocation,
+    full-epoch count, and the partial-epoch document/token counts.
+    """
+    n_tok = ws_token_count(F.col(text_col))
+    per_doc = docs.select(
+        F.col(lang_col), F.col(id_col), n_tok.alias("_n_tok")
+    )
+    totals = per_doc.groupBy(lang_col).agg(
+        F.count("*").alias("n_docs"), F.sum("_n_tok").alias("tot_tokens")
+    )
+    # water-filling on the tiny per-language frame (window functions on
+    # an intentionally global window: N = number of languages)
+    w_all = Window.partitionBy(F.lit(1))
+    w_ord = w_all.orderBy("cap_tokens", lang_col)
+    ranked = (
+        totals.withColumn(
+            "cap_tokens", F.col("tot_tokens") * F.lit(int(max_epochs))
+        )
+        .withColumn("_rn", F.row_number().over(w_ord))
+        .withColumn("_nl", F.count("*").over(w_all))
+        .withColumn(
+            "_pref",
+            F.sum("cap_tokens").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "_t",
+            (
+                F.lit(int(budget_tokens))
+                - (F.col("_pref") - F.col("cap_tokens"))
+            ).cast("double")
+            / (F.col("_nl") - F.col("_rn") + 1),
+        )
+    )
+    # the true level is the FIRST (by rank) candidate satisfying
+    # t_i <= cap_i.  Selected with two more windows over the same tiny
+    # frame rather than a join: a literal-keyed 1-row join would
+    # constant-fold its equi-condition away and degenerate to a
+    # BroadcastNestedLoopJoin.  Sentinel 8e18: "budget covers every
+    # cap" — large enough that least() always picks the cap, small
+    # enough to floor/cast into int64 in BOTH engines (1e308 would
+    # overflow the BIGINT cast).
+    alloc = (
+        ranked.withColumn(
+            "_vrn",
+            F.min(
+                F.when(F.col("_t") <= F.col("cap_tokens"), F.col("_rn"))
+            ).over(w_all),
+        )
+        .withColumn(
+            "_level",
+            F.max(
+                F.when(F.col("_rn") == F.col("_vrn"), F.col("_t"))
+            ).over(w_all),
+        )
+        .withColumn(
+            "alloc_tokens",
+            F.least(
+                F.col("cap_tokens"),
+                F.floor(F.coalesce(F.col("_level"), F.lit(8.0e18)))
+                .cast("long"),
+            ),
+        )
+        .withColumn(
+            "full_epochs", F.floor(F.col("alloc_tokens") / F.col("tot_tokens"))
+        )
+        .withColumn(
+            "_rem", F.col("alloc_tokens") % F.col("tot_tokens")
+        )
+        .select(
+            lang_col, "n_docs", "tot_tokens", "cap_tokens",
+            "alloc_tokens", "full_epochs", "_rem",
+        )
+    )
+    partial = (
+        per_doc.join(F.broadcast(alloc), lang_col)
+        .where(
+            sample_bucket(F.col(id_col), buckets) * F.col("tot_tokens")
+            < F.col("_rem") * F.lit(buckets)
+        )
+        .groupBy(lang_col)
+        .agg(
+            F.count("*").alias("partial_docs"),
+            F.sum("_n_tok").alias("partial_tokens"),
+        )
+    )
+    return (
+        alloc.join(partial, lang_col, "left")
+        .select(
+            lang_col, "n_docs", "tot_tokens", "cap_tokens", "alloc_tokens",
+            "full_epochs",
+            F.coalesce("partial_docs", F.lit(0)).alias("partial_docs"),
+            F.coalesce("partial_tokens", F.lit(0)).alias("partial_tokens"),
+            F.round(
+                F.col("alloc_tokens").cast("double") / F.col("tot_tokens"), 4
+            ).alias("epochs_r"),
+        )
+    )
+
+
+def unimax_oracle_sql(
+    budget_tokens: int,
+    max_epochs: int = 4,
+    buckets: int = SAMPLE_BUCKETS,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`unimax_allocation` — identical window
+    formulation, identical int64 partial-epoch inequality; the water
+    level is a single IEEE-754 division in both engines, so comparisons
+    against it agree bit-for-bit."""
+    return f"""
+    WITH per_doc AS (
+      SELECT lang, doc_id, {ws_token_count_sql('text')} AS n_tok FROM {table}
+    ),
+    totals AS (
+      SELECT lang, count(*) AS n_docs, sum(n_tok) AS tot_tokens,
+             sum(n_tok) * {int(max_epochs)} AS cap_tokens
+      FROM per_doc GROUP BY lang
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY cap_tokens, lang) AS rn,
+             count(*) OVER () AS nl,
+             sum(cap_tokens) OVER (ORDER BY cap_tokens, lang
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref
+      FROM totals
+    ),
+    lev AS (
+      SELECT *,
+             CAST({int(budget_tokens)} - (pref - cap_tokens) AS DOUBLE)
+               / (nl - rn + 1) AS t
+      FROM ranked
+    ),
+    vrn AS (
+      SELECT *,
+             min(CASE WHEN t <= cap_tokens THEN rn END) OVER () AS valid_rn
+      FROM lev
+    ),
+    levelled AS (
+      SELECT *,
+             max(CASE WHEN rn = valid_rn THEN t END) OVER () AS level
+      FROM vrn
+    ),
+    alloc AS (
+      SELECT lang, n_docs, tot_tokens, cap_tokens,
+             least(cap_tokens,
+                   CAST(floor(coalesce(level, 8e18)) AS BIGINT))
+               AS alloc_tokens
+      FROM levelled
+    ),
+    alloc2 AS (
+      SELECT *,
+             CAST(floor(alloc_tokens / tot_tokens) AS BIGINT) AS full_epochs,
+             alloc_tokens % tot_tokens AS rem
+      FROM alloc
+    ),
+    partial AS (
+      SELECT d.lang, count(*) AS partial_docs, sum(d.n_tok) AS partial_tokens
+      FROM per_doc d JOIN alloc2 a ON a.lang = d.lang
+      WHERE {sample_bucket_sql('d.doc_id', buckets)} * a.tot_tokens
+            < a.rem * {buckets}
+      GROUP BY d.lang
+    )
+    SELECT a.lang AS lang,
+           CAST(a.n_docs AS BIGINT) AS n_docs,
+           CAST(a.tot_tokens AS BIGINT) AS tot_tokens,
+           CAST(a.cap_tokens AS BIGINT) AS cap_tokens,
+           CAST(a.alloc_tokens AS BIGINT) AS alloc_tokens,
+           CAST(a.full_epochs AS BIGINT) AS full_epochs,
+           CAST(coalesce(p.partial_docs, 0) AS BIGINT) AS partial_docs,
+           CAST(coalesce(p.partial_tokens, 0) AS BIGINT) AS partial_tokens,
+           round(CAST(a.alloc_tokens AS DOUBLE) / a.tot_tokens, 4) AS epochs_r
+    FROM alloc2 a LEFT JOIN partial p ON p.lang = a.lang
+    """

@@ -1727,6 +1727,114 @@ _finalize_boilerplate_oracle()
 
 
 @register(
+    "paragraph_dedup",
+    None,  # replaced below (built from the dedup module's SQL twin)
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # same ' the ' segmentation as boilerplate_lines (the corpus has no
+    # newlines) — the two entries then CONTRAST the rules on identical
+    # segments: C4 drops frequent segments everywhere, MassiveText keeps
+    # exactly the corpus-first occurrence of every segment
+    return paragraph_dedup(docs, sep=" the ").orderBy("doc_id")
+
+
+def _finalize_paragraph_dedup_oracle() -> None:
+    from .operators.dedup import paragraph_dedup_sql
+
+    spec = REGISTRY["paragraph_dedup"]
+    REGISTRY["paragraph_dedup"] = QuerySpec(
+        fn=spec.fn,
+        oracle=paragraph_dedup_sql("documents", sep=" the ")
+        + "\n    ORDER BY doc_id",
+        covers="MassiveText-style exact paragraph dedup, keep-first (Rae "
+        "et al. 2021 §A1.2): every distinct segment keeps only its "
+        "corpus-wide (doc_id, position)-first occurrence — ONE window "
+        "shuffle partitioned by segment text computes first-occurrence "
+        "and carries the segment to per-document reassembly; "
+        "hash-checked against an independent SQL twin including the "
+        "rebuilt text",
+    )
+
+
+_finalize_paragraph_dedup_oracle()
+
+
+@register(
+    "exact_substring_dedup",
+    None,  # replaced below (built from the dedup module's SQL twin)
+)
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # min_len=5 on the small-vocab synthetic corpus produces a healthy
+    # mix of untouched documents, single spans, and merged multi-window
+    # spans (the interval-merge path is the part worth oracling)
+    return exact_substring_dedup(docs, min_len=5).orderBy("doc_id")
+
+
+def _finalize_exact_substring_oracle() -> None:
+    from .operators.dedup import exact_substring_dedup_sql
+
+    spec = REGISTRY["exact_substring_dedup"]
+    REGISTRY["exact_substring_dedup"] = QuerySpec(
+        fn=spec.fn,
+        oracle=exact_substring_dedup_sql("documents", min_len=5)
+        + "\n    ORDER BY doc_id",
+        covers="ExactSubstr dedup (Lee et al. 2022 §4.1): corpus-repeated "
+        "token windows ≥ min_len, keep-first, merged to maximal spans "
+        "(gaps-and-islands) and cut from the text.  Spark plan: JVM-HOF "
+        "gram hashing (full-volume shuffle carries 16 B/token, never "
+        "gram text), text re-derived + exactly verified for hash-"
+        "colliding candidates only, per-document HOF reassembly; the "
+        "DuckDB twin groups windows by gram text directly, so the hash "
+        "prefilter is PROVEN result-invariant by the hash match",
+    )
+
+
+_finalize_exact_substring_oracle()
+
+
+@register(
+    "unimax_mixture",
+    None,  # replaced below (built from the sampling module's SQL twin)
+)
+def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import unimax_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    # budget/epoch choice exercises every branch at the driver's sf0.01:
+    # four languages hit their 2-epoch cap, English takes the remaining
+    # water level as 1 full epoch + a hash-selected partial epoch
+    return unimax_allocation(docs, budget_tokens=45_000, max_epochs=2).orderBy(
+        "lang"
+    )
+
+
+def _finalize_unimax_oracle() -> None:
+    from .operators.sampling import unimax_oracle_sql
+
+    spec = REGISTRY["unimax_mixture"]
+    REGISTRY["unimax_mixture"] = QuerySpec(
+        fn=spec.fn,
+        oracle=unimax_oracle_sql(45_000, max_epochs=2) + "\n    ORDER BY lang",
+        covers="UniMax language-budget allocation (Chung et al. 2023): "
+        "water-filling min(cap, t) with per-language epoch caps, solved "
+        "as window functions over the per-language aggregate frame (no "
+        "driver collect), then realised as floor(full epochs) + a "
+        "deterministic int64 hash-rate partial epoch — the corpus never "
+        "shuffles; allocation, epoch counts, and the selected partial-"
+        "epoch doc/token totals all hash-checked",
+    )
+
+
+_finalize_unimax_oracle()
+
+
+@register(
     "jsonl_roundtrip",
     # losslessness proof: the Spark-side JSONL stage+read-back must
     # reproduce the parquet corpus exactly — the oracle recomputes the
@@ -6295,6 +6403,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "gopher_rules",
     "dsir_selection",
     "perplexity_buckets",
+    "paragraph_dedup",
+    "exact_substring_dedup",
+    "unimax_mixture",
     # latest green row is round-2's
     "stored_curve_quantiles",
     "gtfs_records",

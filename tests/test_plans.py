@@ -504,3 +504,43 @@ def test_best_of_cluster_no_pair_space_beyond_candidates(spark, sf_dir):
     assert "pythonudf" not in plan.lower()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_paragraph_dedup_single_corpus_shuffle(spark, sf_dir):
+    # keep-first segment dedup: the decision AND the reassembly ride the
+    # SAME window shuffle (partition by segment) — no second join of the
+    # corpus against a first-occurrence table, no python
+    df = Q.q_paragraph_dedup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "pythonudf" not in plan.lower()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_exact_substring_dedup_no_gram_text_explode(spark, sf_dir):
+    # the full-volume stage must shuffle (hash, pos) pairs, never gram
+    # text: the only Generate (explode) in the plan emits the 16-byte
+    # struct<pos,gh> built by the JVM HOF projection
+    df = Q.q_exact_substring_dedup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "pythonudf" not in plan.lower()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    import re
+
+    gens = re.findall(r"Generate [^\n]*", plan)
+    assert gens, "expected the gram explode"
+    assert all("gtext" not in g for g in gens), gens
+
+
+def test_unimax_corpus_never_shuffles(spark, sf_dir):
+    # water-filling runs on the per-language aggregate frame; the corpus
+    # contributes two aggregations and a broadcast-joined filter — with
+    # auto-broadcast off, every corpus-side join must still broadcast
+    # (forced hints), and nothing may fall back to BNLJ
+    with no_auto_broadcast(spark):
+        df = Q.q_unimax_mixture(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "pythonudf" not in plan.lower()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "partial" in plan.lower()  # map-side combine on the sums

@@ -1,0 +1,221 @@
+"""Segment-level exact dedup + UniMax allocation: hand-verifiable
+semantics for paragraph keep-first dedup (MassiveText §A1.2),
+ExactSubstr span removal (Lee et al. 2022 §4.1), and water-filling
+language budgets (UniMax), plus a seeded Spark↔DuckDB differential
+sweep so the SQL twins can't drift from the operators."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from dystonse_gtfs_data_spark.operators.dedup import (
+    exact_substring_dedup,
+    exact_substring_dedup_sql,
+    paragraph_dedup,
+    paragraph_dedup_sql,
+)
+from dystonse_gtfs_data_spark.operators.sampling import (
+    unimax_allocation,
+    unimax_oracle_sql,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestParagraphDedup:
+    def test_keep_first_semantics(self, spark):
+        out = {
+            r["doc_id"]: r
+            for r in paragraph_dedup(
+                _docs(
+                    spark,
+                    [
+                        (1, "A#B#C"),
+                        (2, "B#D"),  # B first seen in doc 1 → removed
+                        (3, "A#B"),  # everything seen earlier → doc drops
+                        (4, "E#E"),  # within-doc dup → second E removed
+                    ],
+                ),
+                sep="#",
+            ).collect()
+        }
+        assert out[1]["clean_text"] == "A#B#C" and out[1]["n_removed"] == 0
+        assert out[2]["clean_text"] == "D" and out[2]["n_removed"] == 1
+        assert 3 not in out  # fully-duplicated document disappears
+        assert out[4]["clean_text"] == "E" and out[4]["n_kept"] == 1
+
+    def test_contrast_with_boilerplate_rule(self, spark):
+        # the SAME corpus under C4 boilerplate (df > 2 → drop everywhere)
+        # vs keep-first: keep-first always retains one copy
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            boilerplate_line_removal,
+        )
+
+        docs = _docs(spark, [(i, "X#uniq%d" % i) for i in range(5)])
+        bp = boilerplate_line_removal(docs, sep="#", max_df=2).collect()
+        pd_ = paragraph_dedup(docs, sep="#").collect()
+        assert all("X" not in r["clean_text"].split("#") for r in bp)
+        assert sum("X" in r["clean_text"].split("#") for r in pd_) == 1
+
+
+class TestExactSubstringDedup:
+    CORPUS = [
+        (1, "a b c d e f"),  # source of the repeated windows → untouched
+        (2, "x a b c y z"),  # one repeated window mid-document
+        (3, "a b c d q r s"),  # two overlapping windows merge to one span
+        (4, "u v w"),  # unique → untouched
+        (5, "a b c p p b c d"),  # two disjoint spans
+        (6, "k l m k l m k l m"),  # self-repetition: period-3 tail cut
+    ]
+
+    @pytest.fixture(scope="class")
+    def result(self, spark):
+        return {
+            r["doc_id"]: r
+            for r in exact_substring_dedup(
+                _docs(spark, self.CORPUS), min_len=3
+            ).collect()
+        }
+
+    def test_first_occurrence_exempt(self, result):
+        assert result[1]["clean_text"] == "a b c d e f"
+        assert result[1]["n_spans"] == 0 and result[1]["removed_tokens"] == 0
+
+    def test_single_span_cut(self, result):
+        assert result[2]["clean_text"] == "x y z"
+        assert result[2]["removed_tokens"] == 3 and result[2]["n_spans"] == 1
+
+    def test_overlapping_windows_merge(self, result):
+        # "a b c" and "b c d" both repeat → one maximal span [0, 4)
+        assert result[3]["clean_text"] == "q r s"
+        assert result[3]["removed_tokens"] == 4 and result[3]["n_spans"] == 1
+
+    def test_untouched_doc_passes_through(self, result):
+        assert result[4]["clean_text"] == "u v w"
+        assert result[4]["n_tokens"] == 3 and result[4]["n_spans"] == 0
+
+    def test_disjoint_spans(self, result):
+        assert result[5]["clean_text"] == "p p"
+        assert result[5]["n_spans"] == 2 and result[5]["removed_tokens"] == 6
+
+    def test_self_repetition_removed(self, result):
+        # per-gram first occurrences (pos 0..2) survive; the periodic
+        # tail [3, 9) is one merged span
+        assert result[6]["clean_text"] == "k l m"
+        assert result[6]["removed_tokens"] == 6 and result[6]["n_spans"] == 1
+
+    def test_short_docs_skip_gram_stage(self, spark):
+        out = exact_substring_dedup(
+            _docs(spark, [(1, "a b"), (2, "a b")]), min_len=3
+        ).collect()
+        assert all(r["removed_tokens"] == 0 for r in out)
+
+
+class TestUniMax:
+    ROWS = [
+        # lang A: 10 tokens, B: 100, C: 40  (token = word here)
+        ("A", 1, "t " * 5),
+        ("A", 2, "t " * 5),
+        ("B", 3, "t " * 100),
+        ("C", 4, "t " * 40),
+    ]
+
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [(l, i, t.strip()) for l, i, t in self.ROWS],
+            "lang string, doc_id long, text string",
+        )
+
+    def test_water_filling_mixed_caps(self, spark):
+        # caps at 2 epochs: A=20, C=80, B=200; budget 120 → A capped at
+        # 20, the remaining level is (120-20)/2 = 50 for B and C
+        out = {
+            r["lang"]: r
+            for r in unimax_allocation(
+                self._frame(spark), budget_tokens=120, max_epochs=2
+            ).collect()
+        }
+        assert out["A"]["alloc_tokens"] == 20 and out["A"]["full_epochs"] == 2
+        assert out["B"]["alloc_tokens"] == 50 and out["B"]["full_epochs"] == 0
+        assert out["C"]["alloc_tokens"] == 50 and out["C"]["full_epochs"] == 1
+        assert sum(r["alloc_tokens"] for r in out.values()) == 120
+
+    def test_budget_exceeding_caps_caps_everyone(self, spark):
+        out = unimax_allocation(
+            self._frame(spark), budget_tokens=10_000, max_epochs=2
+        ).collect()
+        assert all(r["alloc_tokens"] == r["cap_tokens"] for r in out)
+        assert all(r["full_epochs"] == 2 and r["partial_docs"] == 0 for r in out)
+
+    def test_partial_epoch_is_deterministic(self, spark):
+        a = unimax_allocation(self._frame(spark), 120, max_epochs=2).collect()
+        b = unimax_allocation(self._frame(spark), 120, max_epochs=2).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def _random_corpus(seed: int, n_docs: int, vocab: int, max_len: int):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        n = rng.randint(1, max_len)
+        rows.append(
+            (i, " ".join("w%d" % rng.randrange(vocab) for _ in range(n)))
+        )
+    return rows
+
+
+@pytest.mark.parametrize("seed", [7, 11])
+def test_differential_vs_duckdb_twins(spark, seed, tmp_path):
+    """Seeded random corpus: tiny vocab forces heavy window collisions,
+    exercising merge/exemption paths far beyond the handcrafted cases."""
+    import pandas as pd
+
+    rows = _random_corpus(seed, n_docs=60, vocab=6, max_len=25)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    s = (
+        exact_substring_dedup(docs, min_len=4)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    o = con.execute(
+        exact_substring_dedup_sql("documents", min_len=4) + " ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
+
+    s2 = paragraph_dedup(docs, sep=" w1 ").orderBy("doc_id").toPandas()
+    o2 = con.execute(
+        paragraph_dedup_sql("documents", sep=" w1 ") + " ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(s2, o2, check_dtype=False)
+
+
+def test_unimax_differential_vs_duckdb(spark):
+    import pandas as pd
+
+    rows = _random_corpus(3, n_docs=80, vocab=50, max_len=30)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = ["L%d" % (i % 7) for i in pdf.doc_id]
+    docs = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    for budget in (50, 400, 1_000_000):
+        s = (
+            unimax_allocation(docs, budget, max_epochs=3)
+            .orderBy("lang")
+            .toPandas()
+        )
+        o = con.execute(
+            unimax_oracle_sql(budget, max_epochs=3) + " ORDER BY lang"
+        ).df()
+        pd.testing.assert_frame_equal(s, o, check_dtype=False)
