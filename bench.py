@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "gopher_rules",            # Gopher quality-rule audit (map-only)
     "dsir_selection",          # DSIR hashed-ngram importance resampling
     "perplexity_buckets",      # CCNet head/middle/tail LM terciles
+    "paragraph_dedup",         # MassiveText keep-first segment dedup
+    "exact_substring_dedup",   # ExactSubstr span removal (Lee et al. 2022)
+    "unimax_mixture",          # UniMax water-filling language budgets
 ]
 
 

@@ -838,7 +838,7 @@ def paragraph_dedup(
 
     Output: (id, clean_text, n_kept, n_removed).
     """
-    lines = docs.select(
+    lines = _spread(docs).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("ord", "seg"),
     )
@@ -938,7 +938,7 @@ def exact_substring_dedup(
     n_spans = 0.
     """
     arr = F.split(F.col(text_col), sep)
-    base = docs.select(F.col(id_col), arr.alias("_arr"))
+    base = _spread(docs).select(F.col(id_col), arr.alias("_arr"))
 
     def _gram(i):
         return F.struct(
