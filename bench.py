@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",         # MassiveText keep-first segment dedup
     "exact_substring_dedup",   # ExactSubstr span removal (Lee et al. 2022)
     "unimax_mixture",          # UniMax water-filling language budgets
+    "curation_funnel",         # end-to-end rewrite pipeline (5 stages)
 ]
 
 

@@ -164,8 +164,20 @@ def gopher_quality_rules_sql(
     table: str = "documents",
     text: str = "text",
     id_cols: str = "doc_id",
+    *,
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+    min_mean_word_len: float = GOPHER_MIN_MEAN_WORD_LEN,
+    max_mean_word_len: float = GOPHER_MAX_MEAN_WORD_LEN,
+    max_symbol_ratio: float = GOPHER_MAX_SYMBOL_RATIO,
+    max_bullet_ratio: float = GOPHER_MAX_BULLET_RATIO,
+    max_ellipsis_ratio: float = GOPHER_MAX_ELLIPSIS_RATIO,
+    min_alpha_ratio: float = GOPHER_MIN_ALPHA_RATIO,
+    min_stopwords: int = GOPHER_MIN_STOPWORDS,
 ) -> str:
-    """DuckDB twin of :func:`gopher_quality_rules` (same constants)."""
+    """DuckDB twin of :func:`gopher_quality_rules` (same defaults; the
+    thresholds are keywords on BOTH sides so a re-tuned rule set keeps
+    its oracle)."""
     stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     bullets = ", ".join(f"'{b}'" for b in _BULLET_PREFIXES)
     return f"""
@@ -197,23 +209,23 @@ def gopher_quality_rules_sql(
     )
     SELECT {id_cols}, n_words, mean_word_len, symbol_ratio, bullet_ratio,
            ellipsis_ratio, alpha_ratio, n_stopwords,
-           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+           (n_words BETWEEN {min_words} AND {max_words})
              AS r_word_count,
-           (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
-             AND {GOPHER_MAX_MEAN_WORD_LEN}) AS r_mean_word_len,
-           (symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS r_symbol,
-           (bullet_ratio <= {GOPHER_MAX_BULLET_RATIO}) AS r_bullet,
-           (ellipsis_ratio <= {GOPHER_MAX_ELLIPSIS_RATIO}) AS r_ellipsis,
-           (alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}) AS r_alpha,
-           (n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS r_stopwords,
-           ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
-            AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
-                 AND {GOPHER_MAX_MEAN_WORD_LEN})
-            AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
-            AND bullet_ratio <= {GOPHER_MAX_BULLET_RATIO}
-            AND ellipsis_ratio <= {GOPHER_MAX_ELLIPSIS_RATIO}
-            AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
-            AND n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS passes_gopher
+           (mean_word_len BETWEEN {min_mean_word_len}
+             AND {max_mean_word_len}) AS r_mean_word_len,
+           (symbol_ratio <= {max_symbol_ratio}) AS r_symbol,
+           (bullet_ratio <= {max_bullet_ratio}) AS r_bullet,
+           (ellipsis_ratio <= {max_ellipsis_ratio}) AS r_ellipsis,
+           (alpha_ratio >= {min_alpha_ratio}) AS r_alpha,
+           (n_stopwords >= {min_stopwords}) AS r_stopwords,
+           ((n_words BETWEEN {min_words} AND {max_words})
+            AND (mean_word_len BETWEEN {min_mean_word_len}
+                 AND {max_mean_word_len})
+            AND symbol_ratio <= {max_symbol_ratio}
+            AND bullet_ratio <= {max_bullet_ratio}
+            AND ellipsis_ratio <= {max_ellipsis_ratio}
+            AND alpha_ratio >= {min_alpha_ratio}
+            AND n_stopwords >= {min_stopwords}) AS passes_gopher
     FROM sig
     """
 

@@ -1834,6 +1834,180 @@ def _finalize_unimax_oracle() -> None:
 _finalize_unimax_oracle()
 
 
+# --------------------------------------------------------------------------
+# curation_funnel — the END-TO-END text-REWRITING pipeline.  clean_corpus
+# composes row-level FILTERS in one plan; this entry chains the stages
+# that rewrite text (boilerplate cut, paragraph keep-first, ExactSubstr
+# span removal) so each stage consumes the previous stage's REBUILT
+# output — the composition a real curation run executes, where a seam
+# bug (wrong separator, dropped column, off-by-one span) silently
+# corrupts everything downstream.  Output: the per-stage funnel report
+# (docs + tokens surviving each stage), hash-checked against a DuckDB
+# twin assembled from the SAME per-operator SQL generators.
+# --------------------------------------------------------------------------
+
+_FUNNEL_SEP = " the "
+_FUNNEL_MIN_WORDS, _FUNNEL_MIN_STOPWORDS = 40, 1
+_FUNNEL_SUBSTR_LEN = 5
+_FUNNEL_BENCH_MOD = 17  # same held-out split as the decontaminate entry
+_FUNNEL_SHINGLE_K = 5  # 3-shingles over-flag on the small-vocab corpus
+
+
+def _shingle_cte_sql(src: str, prefix: str, k: int = 3) -> str:
+    """Tokenize + k-shingle CTE chain over ``src(doc_id, text)`` —
+    the SQL twin of operators/dedup.py ``shingles()`` (same lower/trim/
+    whitespace-regex tokens, same short-document single-shingle rule).
+    CTE names are prefixed so two instances can coexist in one WITH."""
+    return rf"""
+    {prefix}_tokd AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM {src}
+    ),
+    {prefix}_pos AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - {k - 1}, 1))) AS i
+      FROM {prefix}_tokd
+    ),
+    {prefix}_sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < {k} THEN array_to_string(toks, ' ')
+                  ELSE array_to_string(toks[i + 1 : i + {k}], ' ') END AS shingle
+      FROM {prefix}_pos
+    )"""
+
+
+def _funnel_oracle_sql() -> str:
+    from .operators.dedup import (
+        boilerplate_line_removal_sql,
+        exact_substring_dedup_sql,
+        paragraph_dedup_sql,
+    )
+    from .operators.selection import gopher_quality_rules_sql
+
+    nt = Ft.ws_token_count_sql("text")
+    stage = "SELECT '{name}' AS stage, CAST(count(*) AS BIGINT) AS n_docs, CAST(coalesce(sum({nt}), 0) AS BIGINT) AS n_tokens FROM {src}"
+    return f"""
+    WITH raw AS (SELECT doc_id, text FROM documents),
+    gq AS ({gopher_quality_rules_sql("raw", id_cols="doc_id, text",
+                                     min_words=_FUNNEL_MIN_WORDS,
+                                     min_stopwords=_FUNNEL_MIN_STOPWORDS)}),
+    g AS (SELECT doc_id, text FROM gq WHERE passes_gopher),
+    bp AS ({boilerplate_line_removal_sql("g", sep=_FUNNEL_SEP, max_df=2)}),
+    b2 AS (SELECT doc_id, clean_text AS text FROM bp),
+    pd AS ({paragraph_dedup_sql("b2", sep=_FUNNEL_SEP)}),
+    p2 AS (SELECT doc_id, clean_text AS text FROM pd),
+    es AS ({exact_substring_dedup_sql("p2", min_len=_FUNNEL_SUBSTR_LEN)}),
+    e2 AS (SELECT doc_id, clean_text AS text FROM es),
+    train AS (SELECT * FROM e2 WHERE doc_id % {_FUNNEL_BENCH_MOD} <> 0),
+    bench AS (SELECT doc_id, text FROM raw WHERE doc_id % {_FUNNEL_BENCH_MOD} = 0),
+    {_shingle_cte_sql("train", "tr", k=_FUNNEL_SHINGLE_K)},
+    {_shingle_cte_sql("bench", "be", k=_FUNNEL_SHINGLE_K)},
+    bench_sh AS (SELECT DISTINCT shingle FROM be_sh),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id FROM tr_sh t JOIN bench_sh USING (shingle)
+    ),
+    clean AS (
+      SELECT * FROM train
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    {stage.format(name='0_raw', nt=nt, src='raw')}
+    UNION ALL {stage.format(name='1_quality', nt=nt, src='g')}
+    UNION ALL {stage.format(name='2_boilerplate', nt=nt, src='b2')}
+    UNION ALL {stage.format(name='3_paragraph_dedup', nt=nt, src='p2')}
+    UNION ALL {stage.format(name='4_exact_substring', nt=nt, src='e2')}
+    UNION ALL {stage.format(name='5_decontaminated', nt=nt, src='clean')}
+    ORDER BY stage
+    """
+
+
+@register(
+    "curation_funnel",
+    None,  # replaced below (composed from the per-operator SQL twins)
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .cache import tracked_persist
+    from .operators.dedup import (
+        boilerplate_line_removal,
+        decontaminate,
+        exact_substring_dedup,
+        paragraph_dedup,
+    )
+    from .operators.selection import gopher_quality_rules
+
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = tracked_persist(
+        gopher_quality_rules(
+            raw,
+            min_words=_FUNNEL_MIN_WORDS,
+            min_stopwords=_FUNNEL_MIN_STOPWORDS,
+        )
+        .filter("passes_gopher")
+        .select("doc_id", "text")
+    )
+    b2 = tracked_persist(
+        boilerplate_line_removal(g, sep=_FUNNEL_SEP, max_df=2).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+    )
+    p2 = tracked_persist(
+        paragraph_dedup(b2, sep=_FUNNEL_SEP).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+    )
+    e2 = tracked_persist(
+        exact_substring_dedup(p2, min_len=_FUNNEL_SUBSTR_LEN).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+    )
+    train = tracked_persist(e2.filter(F.col("doc_id") % _FUNNEL_BENCH_MOD != 0))
+    bench = raw.filter(F.col("doc_id") % _FUNNEL_BENCH_MOD == 0)
+    clean = train.join(
+        decontaminate(train, bench, shingle_k=_FUNNEL_SHINGLE_K).select(
+            "doc_id"
+        ),
+        "doc_id",
+        "left_anti"
+    )
+
+    def _stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum(Ft.ws_token_count(F.col("text"))), F.lit(0))
+            .alias("n_tokens"),
+        ).select("stage", "n_docs", "n_tokens")
+
+    funnel = (
+        _stage("0_raw", raw)
+        .unionByName(_stage("1_quality", g))
+        .unionByName(_stage("2_boilerplate", b2))
+        .unionByName(_stage("3_paragraph_dedup", p2))
+        .unionByName(_stage("4_exact_substring", e2))
+        .unionByName(_stage("5_decontaminated", clean))
+    )
+    return funnel.orderBy("stage")
+
+
+def _finalize_funnel_oracle() -> None:
+    spec = REGISTRY["curation_funnel"]
+    REGISTRY["curation_funnel"] = QuerySpec(
+        fn=spec.fn,
+        oracle=_funnel_oracle_sql(),
+        covers="END-TO-END text-REWRITING curation pipeline: Gopher "
+        "quality gate -> C4 boilerplate cut -> MassiveText paragraph "
+        "keep-first -> ExactSubstr span removal -> benchmark "
+        "decontamination, each stage consuming the previous stage's "
+        "REBUILT text; the per-stage doc+token funnel is hash-checked "
+        "against a DuckDB twin assembled from the same per-operator SQL "
+        "generators, so a seam bug (separator drift, dropped column, "
+        "off-by-one span) fails the gate even when each operator passes "
+        "alone",
+    )
+
+
+_finalize_funnel_oracle()
+
+
 @register(
     "jsonl_roundtrip",
     # losslessness proof: the Spark-side JSONL stage+read-back must
@@ -6406,6 +6580,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "paragraph_dedup",
     "exact_substring_dedup",
     "unimax_mixture",
+    "curation_funnel",
     # latest green row is round-2's
     "stored_curve_quantiles",
     "gtfs_records",

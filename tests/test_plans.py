@@ -544,3 +544,25 @@ def test_unimax_corpus_never_shuffles(spark, sf_dir):
         assert "BroadcastNestedLoop" not in plan
         assert "BroadcastHashJoin" in plan
         assert "partial" in plan.lower()  # map-side combine on the sums
+
+
+def test_curation_funnel_composition_is_clean(spark, sf_dir):
+    # five text-rewriting stages in one composed plan: still no python
+    # in the data path, no BNLJ/cartesian anywhere in the chain
+    from dystonse_gtfs_data_spark.cache import release_persisted
+
+    try:
+        df = Q.q_curation_funnel(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "pythonudf" not in plan.lower()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        rows = {r["stage"]: r for r in df.collect()}
+        # the funnel must be monotone: every stage only removes
+        docs = [rows[k]["n_docs"] for k in sorted(rows)]
+        toks = [rows[k]["n_tokens"] for k in sorted(rows)]
+        assert docs == sorted(docs, reverse=True)
+        assert toks == sorted(toks, reverse=True)
+        assert rows["5_decontaminated"]["n_docs"] > 0
+    finally:
+        release_persisted()
