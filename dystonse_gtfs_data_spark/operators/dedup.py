@@ -829,9 +829,14 @@ def paragraph_dedup(
     later copies are removed, so the decision set is the full distinct
     segment table and must stay distributed.
 
-    One shuffle: a window partitioned by the segment text computes the
-    corpus-wide first occurrence in the same pass that carries the
-    segment to its reassembly group — no second join.  Reassembly is
+    Shuffle shape: the corpus-wide first occurrence is a
+    ``groupBy(seg).agg(min)`` — map-side combined, so the shuffled
+    decision table carries one row per DISTINCT segment — joined back to
+    the exploded lines.  A window over ``partitionBy(seg)`` would be one
+    shuffle cheaper, but a hot segment (the exact thing this operator
+    exists to remove — a banner in half the corpus) becomes one giant
+    un-splittable window sort; the agg+join shape keeps the hot key in
+    a sort-merge join that AQE's skew split CAN divide.  Reassembly is
     per-document (bounded by document size).  Documents whose every
     segment was seen earlier disappear from the output entirely (the
     document-level signal a curation pipeline wants).
@@ -841,13 +846,9 @@ def paragraph_dedup(
     lines = _spread(docs).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("ord", "seg"),
-    )
-    w = Window.partitionBy("seg")
-    kept = (
-        lines.withColumn("_pk", _pos_key(id_col, "ord"))
-        .withColumn("_first", F.min("_pk").over(w))
-        .filter(F.col("_pk") == F.col("_first"))
-    )
+    ).withColumn("_pk", _pos_key(id_col, "ord"))
+    firsts = lines.groupBy("seg").agg(F.min("_pk").alias("_first"))
+    kept = lines.join(firsts, "seg").filter(F.col("_pk") == F.col("_first"))
     totals = lines.groupBy(id_col).agg(F.count("*").alias("_n_segs"))
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
@@ -960,26 +961,29 @@ def exact_substring_dedup(
         ).alias("_g"),
     ).select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
 
-    # stage 1: hash-level candidates (the only corpus-volume shuffle)
-    wh = Window.partitionBy("gh")
-    cand = (
-        occ.withColumn("_c", F.count("*").over(wh))
-        .filter(F.col("_c") > 1)
-        .drop("_c", "gh")
+    # stage 1: hash-level candidates.  groupBy+join rather than a
+    # count-over-window: the gram frequency table is map-side combined
+    # (one row per distinct hash through the exchange), and a HOT gram —
+    # a boilerplate sentence in half the corpus — lands in a sort-merge
+    # join that AQE's skew split can divide, instead of one giant
+    # un-splittable window partition.
+    hot = occ.groupBy("gh").agg(F.count("*").alias("_c")).filter(
+        F.col("_c") > 1
     )
-    # stage 2: exact-text verification on candidates only
+    cand = occ.join(hot.select("gh"), "gh").drop("gh")
+    # stage 2: exact-text verification on candidates only (same shape)
     withtext = cand.join(base, id_col).select(
         F.col(id_col),
         "pos",
         F.concat_ws(
             sep, F.slice(F.col("_arr"), F.col("pos") + 1, min_len)
         ).alias("gtext"),
+    ).withColumn("_pk", _pos_key(id_col, "pos"))
+    tstats = withtext.groupBy("gtext").agg(
+        F.count("*").alias("_n"), F.min("_pk").alias("_first")
     )
-    wt = Window.partitionBy("gtext")
     dups = (
-        withtext.withColumn("_pk", _pos_key(id_col, "pos"))
-        .withColumn("_n", F.count("*").over(wt))
-        .withColumn("_first", F.min("_pk").over(wt))
+        withtext.join(tstats, "gtext")
         .filter((F.col("_n") > 1) & (F.col("_pk") != F.col("_first")))
         .select(id_col, "pos", (F.col("pos") + min_len).alias("end"))
     )

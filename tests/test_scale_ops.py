@@ -243,3 +243,51 @@ class TestSkewStress:
             ["doc_id", "text"],
         )
         assert boilerplate_line_removal(df, max_df=2).count() == 0
+
+    def test_paragraph_dedup_hot_segment_is_agg_join_not_window(self, spark):
+        # a segment present in EVERY document (the case the operator
+        # exists for) must flow through a map-side-combined agg + a
+        # skew-splittable join — never one giant window partition
+        from dystonse_gtfs_data_spark.operators.dedup import paragraph_dedup
+        from dystonse_gtfs_data_spark.plans import formatted_plan
+
+        df = spark.createDataFrame(
+            [(i, "BANNER#unique%d" % i) for i in range(2000)],
+            ["doc_id", "text"],
+        )
+        out = paragraph_dedup(df, sep="#")
+        plan = formatted_plan(out)
+        assert "Window" not in plan, "first-occurrence must not be a window"
+        assert "partial_min" in plan.lower() or "partial" in plan.lower()
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert len(rows) == 2000
+        kept_banner = [d for d, r in rows.items() if "BANNER" in r["clean_text"]]
+        assert kept_banner == [0]  # exactly the corpus-first survives
+
+    def test_exact_substring_hot_gram_every_doc(self, spark):
+        # one sentence repeated across the whole corpus: doc 0 keeps it,
+        # every other document has it cut; the frequency tables are
+        # aggregated (splittable), not windowed
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            exact_substring_dedup,
+        )
+        from dystonse_gtfs_data_spark.plans import formatted_plan
+
+        df = spark.createDataFrame(
+            [(i, "common phrase repeated verbatim everywhere u%d v%d" % (i, i))
+             for i in range(2000)],
+            ["doc_id", "text"],
+        )
+        out = exact_substring_dedup(df, min_len=5)
+        plan = formatted_plan(out)
+        # the only windows left are the per-document interval merge —
+        # bounded by document length; the corpus-frequency decisions
+        # (by gram hash / gram text) must be aggregations
+        import re
+
+        for w in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "gtext" not in w and "gh" not in w, w
+        assert "partial_min" in plan.lower() or "partial" in plan.lower()
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[0]["removed_tokens"] == 0
+        assert all(r["removed_tokens"] == 5 for d, r in rows.items() if d > 0)
