@@ -151,7 +151,12 @@ def departure_board(
         # whatever partition order the shuffle produced that run, so two
         # executions of the same board could interleave tied rows
         # differently (the HTTP shell vs the direct path, or a rerun vs
-        # its oracle).  The tiebreakers match the differential oracle's
-        # ORDER BY exactly.
-        .orderBy("median_time", "trip_id", "stop_sequence", "event_type")
+        # its oracle).  trip_start_date/time are required: two INSTANCES
+        # of the same trip_id can share a median at the same stop.  The
+        # tiebreakers match the differential oracle's ORDER BY exactly.
+        .orderBy(
+            "median_time", "trip_id", "stop_sequence", "event_type",
+            "trip_start_date", "trip_start_time", "stop_id",
+            "origin_type", "precision_type",
+        )
     )

@@ -1910,12 +1910,14 @@ def _funnel_oracle_sql() -> str:
       SELECT * FROM train
       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
     )
-    {stage.format(name='0_raw', nt=nt, src='raw')}
-    UNION ALL {stage.format(name='1_quality', nt=nt, src='g')}
-    UNION ALL {stage.format(name='2_boilerplate', nt=nt, src='b2')}
-    UNION ALL {stage.format(name='3_paragraph_dedup', nt=nt, src='p2')}
-    UNION ALL {stage.format(name='4_exact_substring', nt=nt, src='e2')}
-    UNION ALL {stage.format(name='5_decontaminated', nt=nt, src='clean')}
+    SELECT * FROM (
+      {stage.format(name='0_raw', nt=nt, src='raw')}
+      UNION ALL {stage.format(name='1_quality', nt=nt, src='g')}
+      UNION ALL {stage.format(name='2_boilerplate', nt=nt, src='b2')}
+      UNION ALL {stage.format(name='3_paragraph_dedup', nt=nt, src='p2')}
+      UNION ALL {stage.format(name='4_exact_substring', nt=nt, src='e2')}
+      UNION ALL {stage.format(name='5_decontaminated', nt=nt, src='clean')}
+    ) WHERE n_docs > 0
     ORDER BY stage
     """
 
@@ -1985,7 +1987,10 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_stage("4_exact_substring", e2))
         .unionByName(_stage("5_decontaminated", clean))
     )
-    return funnel.orderBy("stage")
+    # a stage that saw no documents reports nothing (rather than a 0 row):
+    # keeps the funnel's contract "rows describe data that existed", and an
+    # empty corpus yields an empty report on both engines
+    return funnel.filter(F.col("n_docs") > 0).orderBy("stage")
 
 
 def _finalize_funnel_oracle() -> None:
@@ -4000,7 +4005,7 @@ def q_trip_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # differential oracle: single-node pandas board reimplementation
     f"""
     SELECT * FROM {_dt("expected_departure_board")}
-    ORDER BY median_time_us, trip_id, stop_sequence, event_type
+    ORDER BY median_time_us, trip_id, stop_sequence, event_type, trip_start_date, trip_start_time, stop_id, origin_type, precision_type
     """,
     covers="F5 window overlap + W2 realtime-over-schedule dedup + F9 last-stop "
     "filter + F6 quantile band + W5 median sort (src/monitor/mod.rs:426-591)",
@@ -4057,7 +4062,7 @@ _MONITOR_HTTP_SCHEMA = (
     # live server is hash-checked against the pandas reimplementation
     f"""
     SELECT * FROM {_dt("expected_departure_board")}
-    ORDER BY median_time_us, trip_id, stop_sequence, event_type
+    ORDER BY median_time_us, trip_id, stop_sequence, event_type, trip_start_date, trip_start_time, stop_id, origin_type, precision_type
     """,
     covers="Monitor HTTP shell (src/monitor/mod.rs:102-190): departure "
     "board served by a live stdlib http.server on an ephemeral port; the "
@@ -4103,7 +4108,9 @@ def q_monitor_http(spark: SparkSession, sf_dir: str) -> DataFrame:
         server.shutdown()
     return (
         spark.createDataFrame(rows, schema=_MONITOR_HTTP_SCHEMA)
-        .orderBy("median_time_us", "trip_id", "stop_sequence", "event_type")
+        .orderBy("median_time_us", "trip_id", "stop_sequence", "event_type",
+                 "trip_start_date", "trip_start_time", "stop_id",
+                 "origin_type", "precision_type")
     )
 
 
