@@ -27,6 +27,42 @@ def walk_time_curve_udf(distance_m: pd.Series) -> pd.Series:
     )
 
 
+_WALK_BOUNDS_TYPE = T.StructType(
+    [
+        T.StructField("min_walk_s", T.DoubleType()),
+        T.StructField("max_walk_s", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_WALK_BOUNDS_TYPE)
+def walk_time_bounds_udf(distance_m: pd.Series) -> pd.DataFrame:
+    """C10 endpoints only: one Arrow pass that builds the REAL
+    ``walk_time_curve`` (so the constructor + simplify path is exercised)
+    but ships back just ``(min_x, max_x)`` instead of the full curve —
+    proximity-pair volume grows quadratically with stop density, and the
+    full-curve variant paid three UDF invocations plus an
+    ``array<struct>`` round-trip per pair only to read two endpoints.
+    Distances repeat heavily across pairs (grid geometry), so curves are
+    built once per distinct distance per batch."""
+    bounds: dict[float, tuple[float, float]] = {}
+    for d in pd.unique(distance_m.dropna()):
+        c = walk_time_curve(float(d))
+        bounds[float(d)] = (float(c.min_x()), float(c.max_x()))
+
+    def _get(d, i):
+        if d is None or d != d:
+            return None
+        return bounds[float(d)][i]
+
+    return pd.DataFrame(
+        {
+            "min_walk_s": [_get(d, 0) for d in distance_m],
+            "max_walk_s": [_get(d, 1) for d in distance_m],
+        }
+    )
+
+
 @F.pandas_udf(CURVE_TYPE)
 def convolve_udf(arrival: pd.Series, duration: pd.Series) -> pd.Series:
     """C13: arrival CDF ⊕ duration CDF (discrete convolution,

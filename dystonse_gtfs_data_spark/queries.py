@@ -3597,8 +3597,7 @@ _WALK_DIST = f"round({Fg.haversine_m_sql(_LAT_A.replace('s_suppkey', 'a.s_suppke
     "curve endpoints vs the closed-form oracle; interior shape tested in tests/",
 )
 def q_walk_time_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .curves.udfs import curve_max_x, curve_min_x
-    from .operators.journey import walk_time_curve_udf
+    from .operators.journey import walk_time_bounds_udf
 
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
@@ -3620,13 +3619,15 @@ def q_walk_time_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist_m",
         )
     )
-    curve = walk_time_curve_udf(F.col("dist_m"))
-    return pairs.select(
-        "stop_a",
-        "stop_b",
-        "dist_m",
-        F.round(curve_min_x(curve), 4).alias("min_walk_s"),
-        F.round(curve_max_x(curve), 4).alias("max_walk_s"),
+    return (
+        pairs.withColumn("_b", walk_time_bounds_udf(F.col("dist_m")))
+        .select(
+            "stop_a",
+            "stop_b",
+            "dist_m",
+            F.round(F.col("_b.min_walk_s"), 4).alias("min_walk_s"),
+            F.round(F.col("_b.max_walk_s"), 4).alias("max_walk_s"),
+        )
     )
 
 

@@ -14,6 +14,7 @@ from dystonse_gtfs_data_spark.curves.core import (
     Curve,
     convolve_cdfs,
     transfer_probability,
+    walk_time_curve,
 )
 from dystonse_gtfs_data_spark.operators.journey import (
     convolve_udf,
@@ -56,6 +57,27 @@ class TestJourneyUdfs:
         got = df.select(transfer_probability_udf("a", "b").alias("p")).collect()[0]["p"]
         expected = transfer_probability(Curve([0.0, 100.0], [0.0, 1.0]), Curve([50.0, 150.0], [0.0, 1.0]))
         assert got == pytest.approx(expected, abs=1e-9)
+
+    def test_walk_time_bounds_udf_matches_full_curve(self, spark):
+        # the endpoint-only UDF must agree with min_x/max_x of the full
+        # curve the 3-UDF path would have built (incl. the <20 m flat
+        # branch, nulls, and repeated distances hitting the memo)
+        from dystonse_gtfs_data_spark.operators.journey import walk_time_bounds_udf
+
+        dists = [5.0, 19.999, 20.0, 137.5, 137.5, 499.0, 500.0, 1200.0, None]
+        df = spark.createDataFrame([(d,) for d in dists], "dist_m double")
+        got = (
+            df.withColumn("b", walk_time_bounds_udf(F.col("dist_m")))
+            .select("dist_m", "b.min_walk_s", "b.max_walk_s")
+            .collect()
+        )
+        for r in got:
+            if r["dist_m"] is None:
+                assert r["min_walk_s"] is None and r["max_walk_s"] is None
+                continue
+            c = walk_time_curve(r["dist_m"])
+            assert r["min_walk_s"] == pytest.approx(float(c.min_x()), abs=1e-9)
+            assert r["max_walk_s"] == pytest.approx(float(c.max_x()), abs=1e-9)
 
     def test_walk_legs_and_chain(self, spark):
         sched = build_schedule(spark)
