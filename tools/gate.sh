@@ -31,4 +31,12 @@ SPARK_GRAFT_SF_DIR="$BENCH_SF_DIR" python bench.py 2>/dev/null \
 python -c "import json,sys; json.load(open('$out_dir/bench.json'))" \
   || { echo "GATE FAIL: bench emitted no JSON"; exit 1; }
 
+if [ -n "${GATE_PLAN_AUDIT:-}" ]; then
+  echo "=== gate 4/4 (opt-in): physical-plan lint ==="
+  python tools/plan_audit.py "/root/testdata/$GATE_SF" 2>/dev/null \
+    | tail -2 | tee "$out_dir/plan_audit.txt"
+  grep -q "^0 failing" "$out_dir/plan_audit.txt" \
+    || { echo "GATE FAIL: plan audit"; exit 1; }
+fi
+
 echo "GATE PASS — artifacts in $out_dir"
