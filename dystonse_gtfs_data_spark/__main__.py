@@ -69,6 +69,14 @@ def _merge_into_records(spark, records, records_path: str) -> None:
     from .operators.records import merge_records
 
     target_file_bytes = 128 * 1024 * 1024
+    old = records_path + ".old"
+    # crash recovery FIRST: a crash between the two swap renames below
+    # leaves the only copy of the table in '.old' with records_path
+    # missing — restore it before anything else, or the blind cleanup
+    # below would destroy all historical records and this import would
+    # silently rebuild the table from the new batch alone
+    if not os.path.exists(records_path) and os.path.exists(old):
+        os.rename(old, records_path)
     if os.path.exists(records_path):
         existing = spark.read.parquet(records_path)
         merged = merge_records(existing, records, key=_RECORDS_KEY)
@@ -90,10 +98,9 @@ def _merge_into_records(spark, records, records_path: str) -> None:
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    old = records_path + ".old"
-    # a crash between the two renames below leaves a populated '.old';
-    # os.rename onto a non-empty dir raises, so clear it first — one
-    # crashed import must not wedge every later one
+    # with the restore above, a populated '.old' here can only be the
+    # PREVIOUS table version from a swap that crashed before cleanup
+    # (records_path exists) — safe to clear so os.rename cannot wedge
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(records_path):
         os.rename(records_path, old)

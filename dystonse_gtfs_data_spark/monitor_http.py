@@ -88,12 +88,30 @@ class _MonitorHandler(BaseHTTPRequestHandler):
                 names = autocomplete_stops(self.stops, terms).collect()
                 self._send_json({"names": [r["stop_name"] for r in names]})
             elif route == "/stop-by-name":
-                # the reference's form-POST shim: redirect to the pretty
-                # URL for the named stop (mod.rs:157-170)
-                stop = params.get("start", "")
-                loc = "/departures?" + urllib.parse.urlencode(
-                    {"stop_ids": stop}
-                )
+                # the reference's form-POST shim (mod.rs:157-170): resolve
+                # the typed NAME against the stops table and redirect to
+                # the departures URL for its stop id(s); a value matching
+                # no stop_name passes through unchanged (it may already BE
+                # an id).  Optional start/end window params are carried
+                # into the redirect so following it works.
+                from pyspark.sql import functions as F
+
+                name = params.get("start", "")
+                ids = [name]
+                if self.stops is not None:
+                    hits = (
+                        self.stops.filter(F.col("stop_name") == name)
+                        .select("stop_id")
+                        .collect()
+                    )
+                    if hits:
+                        ids = sorted(r["stop_id"] for r in hits)
+                q = {"stop_ids": ",".join(ids)}
+                for key in ("start", "end"):
+                    win = params.get(f"window_{key}")
+                    if win:
+                        q[key] = win
+                loc = "/departures?" + urllib.parse.urlencode(q)
                 self.send_response(302)
                 self.send_header("Location", loc)
                 self.end_headers()

@@ -301,16 +301,21 @@ def keep_best_per_cluster(
 
     ``members``: (id, cluster) from :func:`dedup_clusters` (or any
     blocking structure); ``quality``: (id, score).  Output: one row per
-    member with its score and a ``keep`` flag.
+    member with its score and a ``keep`` flag.  Members MISSING from
+    ``quality`` (a scoring stage that filtered or failed some docs) are
+    NOT silently dropped: the join is left-outer and null scores rank
+    last, so an unscored member survives only when its cluster has no
+    scored member at all — and it stays visible (keep=false, score
+    null) either way.
 
     Scale shape: an equi-join on id then one window over the cluster
     shuffle — both keyed, no pair space, no driver state.
     """
     w = Window.partitionBy(cluster_col).orderBy(
-        F.col(score_col).desc(), F.col(id_col)
+        F.col(score_col).desc_nulls_last(), F.col(id_col)
     )
     return (
-        members.join(quality, id_col)
+        members.join(quality, id_col, "left")
         .withColumn("_rk", F.row_number().over(w))
         .select(
             id_col,

@@ -9,6 +9,8 @@ is O(docs × shingles), never O(docs × shingles × hashes).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -720,16 +722,16 @@ def boilerplate_line_removal(
     is bounded by lines-per-document, a document-size bound, never a
     corpus bound.
 
-    ``sep`` is a regex for Spark's split (keep it metacharacter-free if
-    a SQL twin must split identically).  Output: (id, clean_text,
-    n_kept, n_removed); documents whose every line was boilerplate drop
-    out entirely (nothing left to emit).
+    ``sep`` is a LITERAL separator (escaped before Spark's regex split,
+    so it always matches the SQL twin's string_split).  Output: (id,
+    clean_text, n_kept, n_removed); documents whose every line was
+    boilerplate drop out entirely (nothing left to emit).
     """
     from ..sources.tables import maybe_broadcast
 
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("ord", "line"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("ord", "line"),
     )
     bp = (
         lines.groupBy("line")
@@ -769,6 +771,7 @@ def boilerplate_line_removal_sql(
 ) -> str:
     """DuckDB twin of :func:`boilerplate_line_removal` (literal-split
     ``sep``; ordinality replaces posexplode for reassembly order)."""
+    sep = sep.replace("'", "''")  # SQL string-literal escape
     return f"""
     WITH lines AS (
       SELECT {id_col},
@@ -809,7 +812,11 @@ POSITIONS_PER_DOC = 1_000_000
 
 
 def _pos_key(id_col: str, pos_col: str):
-    return F.col(id_col) * POSITIONS_PER_DOC + F.col(pos_col)
+    # cast BEFORE multiplying: an IntegerType id overflows int32 at
+    # doc_id >= 2148 (ANSI raises; legacy silently wraps and corrupts
+    # the keep-first order) — the int64-headroom argument above only
+    # holds when the arithmetic runs in long
+    return F.col(id_col).cast("long") * POSITIONS_PER_DOC + F.col(pos_col)
 
 
 def paragraph_dedup(
@@ -845,7 +852,10 @@ def paragraph_dedup(
     """
     lines = _spread(docs).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("ord", "seg"),
+        # sep is LITERAL: escape before the regex split so 'sep=\'|\''
+        # cannot degenerate to per-character segments (and so the SQL
+        # twin's literal string_split splits identically)
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("ord", "seg"),
     ).withColumn("_pk", _pos_key(id_col, "ord"))
     firsts = lines.groupBy("seg").agg(F.min("_pk").alias("_first"))
     kept = lines.join(firsts, "seg").filter(F.col("_pk") == F.col("_first"))
@@ -875,6 +885,7 @@ def paragraph_dedup_sql(
     id_col: str = "doc_id",
 ) -> str:
     """DuckDB twin of :func:`paragraph_dedup` (literal-split ``sep``)."""
+    sep = sep.replace("'", "''")  # SQL string-literal escape
     return f"""
     WITH segs AS (
       SELECT {id_col},
@@ -884,8 +895,9 @@ def paragraph_dedup_sql(
     ),
     keyed AS (
       SELECT {id_col}, seg, ord,
-             {id_col} * {POSITIONS_PER_DOC} + ord AS pk,
-             min({id_col} * {POSITIONS_PER_DOC} + ord) OVER (PARTITION BY seg) AS first_pk
+             CAST({id_col} AS BIGINT) * {POSITIONS_PER_DOC} + ord AS pk,
+             min(CAST({id_col} AS BIGINT) * {POSITIONS_PER_DOC} + ord)
+               OVER (PARTITION BY seg) AS first_pk
       FROM segs
     ),
     totals AS (SELECT {id_col}, count(*) AS n_segs FROM segs GROUP BY 1)
@@ -938,7 +950,7 @@ def exact_substring_dedup(
     removed_tokens, n_spans); untouched documents pass through with
     n_spans = 0.
     """
-    arr = F.split(F.col(text_col), sep)
+    arr = F.split(F.col(text_col), re.escape(sep))  # sep is LITERAL
     base = _spread(docs).select(F.col(id_col), arr.alias("_arr"))
 
     def _gram(i):
@@ -1042,6 +1054,7 @@ def exact_substring_dedup_sql(
     same duplicate set because verification is exact string equality —
     collisions only ever ADD candidates to re-check, never results.
     """
+    sep = sep.replace("'", "''")  # SQL string-literal escape
     return f"""
     WITH arrs AS (
       SELECT {id_col}, string_split({text_col}, '{sep}') AS arr
@@ -1056,7 +1069,7 @@ def exact_substring_dedup_sql(
     ),
     keyed AS (
       SELECT {id_col}, gr.pos AS pos, gr.g AS g,
-             {id_col} * {POSITIONS_PER_DOC} + gr.pos AS pk
+             CAST({id_col} AS BIGINT) * {POSITIONS_PER_DOC} + gr.pos AS pk
       FROM grams
     ),
     marked AS (

@@ -1751,11 +1751,12 @@ def _finalize_paragraph_dedup_oracle() -> None:
         + "\n    ORDER BY doc_id",
         covers="MassiveText-style exact paragraph dedup, keep-first (Rae "
         "et al. 2021 §A1.2): every distinct segment keeps only its "
-        "corpus-wide (doc_id, position)-first occurrence — ONE window "
-        "shuffle partitioned by segment text computes first-occurrence "
-        "and carries the segment to per-document reassembly; "
-        "hash-checked against an independent SQL twin including the "
-        "rebuilt text",
+        "corpus-wide (doc_id, position)-first occurrence — a map-side-"
+        "combined groupBy(seg).min(pos_key) decision table joined back "
+        "to the exploded segments (agg+join, NOT a window: a hot "
+        "segment stays AQE-splittable instead of one giant window "
+        "partition); hash-checked against an independent SQL twin "
+        "including the rebuilt text",
     )
 
 

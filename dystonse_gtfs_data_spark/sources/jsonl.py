@@ -72,13 +72,21 @@ def read_documents_jsonl_split(
     QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction: ``bad.count()``,
     ``bad.write`` and any projection all just work.  Still one pass,
     still schema-explicit, still fully distributed."""
-    parsed = spark.read.text(path).select(
-        F.col("value").alias("raw_line"),
-        F.from_json(
-            "value",
-            DOCUMENTS_JSONL_SCHEMA,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
-        ).alias("j"),
+    # blank/whitespace-only lines are SKIPPED, matching spark.read.json:
+    # from_json('') returns an all-null struct with a null _corrupt, so
+    # without this filter a blank separator line would land in the CLEAN
+    # frame as a phantom all-null document (null doc_id joins downstream)
+    parsed = (
+        spark.read.text(path)
+        .filter(F.trim(F.col("value")) != "")
+        .select(
+            F.col("value").alias("raw_line"),
+            F.from_json(
+                "value",
+                DOCUMENTS_JSONL_SCHEMA,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+            ).alias("j"),
+        )
     )
     clean = (
         parsed.filter(F.col("j._corrupt").isNull())

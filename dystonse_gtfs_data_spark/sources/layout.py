@@ -184,9 +184,14 @@ def compact_parquet_dir(
     round-robin repartition spreads rows evenly.
 
     The rewrite goes to a ``.compacting`` staging dir first and swaps in
-    atomically (stale staging/old dirs from a crashed prior run are
-    cleared up front — the _merge_into_records rename-guard pattern), so
-    readers never observe a half-compacted directory.
+    via two directory renames.  Crash safety: a crash between the two
+    renames leaves the table in ``.old`` and ``path`` missing — the next
+    call restores it automatically before compacting (the
+    _merge_into_records recovery pattern).  The two renames are NOT one
+    atomic operation for concurrent READERS: a reader that lists the
+    directory in the microseconds between them sees it missing, so
+    pause/serialize compaction against live readers (a real lakehouse
+    sink would use a transaction-log commit instead of renames).
 
     Returns {files_before, files_after, bytes, rows} — ``rows`` is
     counted from the STAGED copy before the swap, so a short write
@@ -204,13 +209,18 @@ def compact_parquet_dir(
             if n.endswith(".parquet")
         ]
 
+    staging, old = path + ".compacting", path + ".old"
+    # crash recovery FIRST: a crash between the two swap renames leaves
+    # the only copy in '.old' — restore before the cleanup below
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
     before = _data_files(path)
     total = sum(os.path.getsize(f) for f in before)
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     in_rows = df.count()
 
-    staging, old = path + ".compacting", path + ".old"
     shutil.rmtree(staging, ignore_errors=True)  # crashed prior run
     shutil.rmtree(old, ignore_errors=True)
     if sort_within:

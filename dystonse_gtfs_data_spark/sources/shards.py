@@ -154,9 +154,22 @@ def write_tar_shards_distributed(
     )
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # attempt-safety: speculative execution or a zombie retry can run
+        # TWO attempts of this partition concurrently against the same
+        # shared storage.  Each attempt writes to an attempt-unique temp
+        # name and atomically renames into place at close — attempts
+        # produce byte-identical tars (deterministic member order, mtime
+        # 0), so whichever rename lands last leaves a complete, correct
+        # file instead of two handles interleaving writes into one path.
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else os.getpid()
+
         cur_shard: int | None = None
         cur_tf: tarfile.TarFile | None = None
         cur_file: str | None = None
+        cur_tmp: str | None = None
         cur_n = 0
         manifest: list[dict] = []
 
@@ -164,6 +177,7 @@ def write_tar_shards_distributed(
             nonlocal cur_tf
             if cur_tf is not None:
                 cur_tf.close()
+                os.rename(cur_tmp, cur_file)  # atomic publish
                 manifest.append({"shard_file": cur_file, "n_samples": cur_n})
                 cur_tf = None
 
@@ -178,7 +192,8 @@ def write_tar_shards_distributed(
                     close_current()
                     cur_shard = shard
                     cur_file = os.path.join(path, f"shard-{shard:06d}.tar")
-                    cur_tf = tarfile.open(cur_file, "w")
+                    cur_tmp = f"{cur_file}.attempt-{attempt}"
+                    cur_tf = tarfile.open(cur_tmp, "w")
                     cur_n = 0
                 cur_n += 1
                 for i, ext in enumerate(exts):

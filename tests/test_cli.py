@@ -194,3 +194,35 @@ def test_full_cli_lifecycle(spark, data_dir, capsys):
         assert {r["stop_id"] for r in rows} <= {"s1", "s2", "s3"}
     finally:
         os.environ.pop(monkey_env, None)
+
+
+def test_merge_into_records_recovers_from_rename_crash(spark, tmp_path):
+    # crash window: after rename(records -> .old), before
+    # rename(.staging -> records).  The sole copy of the table lives in
+    # '.old'; the next import must restore it and merge ON TOP of it —
+    # not rebuild the table from the new batch alone (and never rmtree
+    # the sole copy).
+    import datetime as dt
+    import os
+
+    from dystonse_gtfs_data_spark.__main__ import _merge_into_records
+
+    def batch(ids, t):
+        return spark.createDataFrame(
+            [
+                ("src", "r1", f"t{i}", dt.date(2024, 1, 1), 100, i,
+                 dt.datetime(2024, 1, 1, 8, 0, t), float(i))
+                for i in ids
+            ],
+            "source string, route_id string, trip_id string, "
+            "trip_start_date date, trip_start_time int, stop_sequence int, "
+            "time_of_recording timestamp, delay_departure double",
+        )
+
+    path = str(tmp_path / "records")
+    _merge_into_records(spark, batch([1, 2, 3], t=0), path)
+    os.rename(path, path + ".old")  # simulate the crash state
+    _merge_into_records(spark, batch([4], t=1), path)
+    got = sorted(r["trip_id"] for r in spark.read.parquet(path).collect())
+    assert got == ["t1", "t2", "t3", "t4"]  # history survived the crash
+    assert not os.path.exists(path + ".old")

@@ -235,3 +235,23 @@ class TestKeepBestPerCluster:
         assert kept == [2, 10]
         assert out.groupby("cluster").keep.sum().tolist() == [1, 1]
         assert len(out) == 5
+
+
+class TestKeepBestUnscored:
+    def test_unscored_members_survive_the_join(self, spark):
+        # a member missing from the quality frame must stay visible
+        # (keep=false, null score) — and win only when NO scored member
+        # exists in its cluster
+        from dystonse_gtfs_data_spark.operators.clustering import (
+            keep_best_per_cluster,
+        )
+
+        members = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 20)], "doc_id long, cluster long"
+        )
+        quality = spark.createDataFrame([(2, 0.9)], "doc_id long, score double")
+        out = {r["doc_id"]: r for r in keep_best_per_cluster(members, quality).collect()}
+        assert set(out) == {1, 2, 3}  # nobody silently dropped
+        assert out[2]["keep"] and not out[1]["keep"]  # scored member wins
+        assert out[1]["score"] is None
+        assert out[3]["keep"]  # sole (unscored) member still survives

@@ -98,6 +98,43 @@ class TestMonitorHTTP:
         assert exc.value.code == 302
         assert exc.value.headers["Location"] == "/departures?stop_ids=s3"
 
+    def test_stop_by_name_resolves_names_and_carries_window(self, served, spark):
+        # a stop NAME (not id) must resolve via the stops table, and
+        # optional window params must survive into the redirect so a
+        # client that follows it reaches a servable /departures URL
+        name = served["stops"].select("stop_name").first()["stop_name"]
+        expected_ids = ",".join(
+            sorted(
+                r["stop_id"]
+                for r in served["stops"]
+                .filter(F.col("stop_name") == name)
+                .select("stop_id")
+                .collect()
+            )
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{served['port']}/stop-by-name?"
+            + urllib.parse.urlencode(
+                {
+                    "start": name,
+                    "window_start": "2024-01-01T08:00:00",
+                    "window_end": "2024-01-06T10:00:00",
+                }
+            ),
+        )
+        opener = urllib.request.build_opener(_NoRedirect)
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            opener.open(req, timeout=300)
+        assert exc.value.code == 302
+        loc = exc.value.headers["Location"]
+        q = dict(urllib.parse.parse_qsl(urllib.parse.urlsplit(loc).query))
+        assert q["stop_ids"] == expected_ids
+        assert q["start"] == "2024-01-01T08:00:00"
+        assert q["end"] == "2024-01-06T10:00:00"
+        # ...and following it serves an actual board (200, not 500)
+        status, rows = _get(served["port"], loc)
+        assert status == 200 and isinstance(rows, list)
+
     def test_departures_match_direct_operator(self, served, spark):
         window = {
             "start": "2024-01-01T08:00:00",

@@ -507,9 +507,10 @@ def test_best_of_cluster_no_pair_space_beyond_candidates(spark, sf_dir):
 
 
 def test_paragraph_dedup_single_corpus_shuffle(spark, sf_dir):
-    # keep-first segment dedup: the decision AND the reassembly ride the
-    # SAME window shuffle (partition by segment) — no second join of the
-    # corpus against a first-occurrence table, no python
+    # keep-first segment dedup: first-occurrence is a map-side-combined
+    # groupBy(seg) agg joined back to the exploded segments (agg+join,
+    # deliberately NOT a window — hot segments stay AQE-splittable); no
+    # cartesian shapes, no python
     df = Q.q_paragraph_dedup(spark, sf_dir)
     plan = formatted_plan(df)
     assert "pythonudf" not in plan.lower()

@@ -219,3 +219,48 @@ def test_unimax_differential_vs_duckdb(spark):
             unimax_oracle_sql(budget, max_epochs=3) + " ORDER BY lang"
         ).df()
         pd.testing.assert_frame_equal(s, o, check_dtype=False)
+
+
+class TestSegmentDedupHardening:
+    def test_int32_ids_do_not_overflow_pos_key(self, spark):
+        # IntegerType ids >= 2148 overflow int32 when multiplied by the
+        # 1e6 position base unless the key arithmetic runs in long
+        # (ANSI mode raises; legacy silently corrupts keep-first order)
+        from dystonse_gtfs_data_spark.operators.dedup import paragraph_dedup
+
+        docs = spark.createDataFrame(
+            [(100000, "dup seg"), (2148, "dup seg"), (99, "dup seg")],
+            "doc_id int, text string",
+        )
+        out = {r["doc_id"]: r for r in paragraph_dedup(docs, sep="\n\n").collect()}
+        # keep-first by (doc_id, pos): only the LOWEST id keeps the segment
+        assert set(out) == {99}
+        assert out[99]["n_kept"] == 1
+
+    def test_metachar_separator_is_literal_and_matches_sql_twin(self, spark):
+        # sep='|' must split literally (not as an empty regex alternation)
+        # and agree with the DuckDB twin byte-for-byte
+        import duckdb
+
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            paragraph_dedup,
+            paragraph_dedup_sql,
+        )
+
+        rows = [(1, "a|b"), (2, "b|c"), (3, "a|c")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+            for r in paragraph_dedup(docs, sep="|").collect()
+        }
+        # doc 3's every segment was seen earlier -> drops out entirely
+        assert got == {1: ("a|b", 2, 0), 2: ("c", 1, 1)}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                    + ", ".join(f"({i}, '{t}')" for i, t in rows)
+                    + ") t(doc_id, text)")
+        oracle = {
+            int(r[0]): (r[1], int(r[2]), int(r[3]))
+            for r in con.execute(paragraph_dedup_sql("documents", sep="|")).fetchall()
+        }
+        assert got == oracle

@@ -258,6 +258,26 @@ class TestCompaction:
         for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
             assert lo2 >= lo1 and hi1 <= lo2 + 1
 
+    def test_compaction_recovers_table_stranded_in_old(self, spark, tmp_path):
+        # crash window: after rename(path -> .old), before
+        # rename(.compacting -> path).  The next call must RESTORE the
+        # table from '.old', not treat the missing path as fatal (and
+        # the blind .old cleanup must never delete the sole copy).
+        import os
+        import shutil
+
+        from dystonse_gtfs_data_spark.sources.layout import (
+            compact_parquet_dir,
+        )
+
+        path = self._shred(spark, tmp_path, n=50, files=5)
+        os.rename(path, path + ".old")  # simulate the crash state
+        assert not os.path.exists(path)
+        stats = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+        assert stats["rows"] == 50
+        assert spark.read.parquet(path).count() == 50
+        assert not os.path.exists(path + ".old")
+
     def test_compaction_cleans_stale_staging_dirs(self, spark, tmp_path):
         import os
 

@@ -632,6 +632,9 @@ class TestTarShards:
             b1 = open(os.path.join(p1, n), "rb").read()
             assert open(os.path.join(p2, n), "rb").read() == b1
             assert open(os.path.join(p3, n), "rb").read() == b1
+        # attempt-unique temps were all published via rename — none linger
+        assert not [f for f in os.listdir(p2) if ".attempt-" in f]
+        assert not [f for f in os.listdir(p3) if ".attempt-" in f]
 
     def test_split_reader_quarantine_is_countable(self, spark, tmp_path):
         from dystonse_gtfs_data_spark.sources.jsonl import (
@@ -641,6 +644,8 @@ class TestTarShards:
         p = tmp_path / "corpus.jsonl"
         p.write_text(
             '{"doc_id": 1, "lang": "en", "source": "web", "n_chars": 2, "text": "hi"}\n'
+            "\n"  # blank separator lines are SKIPPED (json-reader parity),
+            "   \n"  # not surfaced as phantom all-null CLEAN documents
             "not json {{{\n"
             '{"doc_id": "NaN", "lang": "de", "source": "web", "n_chars": 1, "text": "a"}\n'
             '{"doc_id": 2, "lang": "fr", "source": "web", "n_chars": 2, "text": "ab"}\n'
