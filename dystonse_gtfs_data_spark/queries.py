@@ -6559,71 +6559,26 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The driver's per-round CORRECTNESS gate checks a ~50-entry prefix of this
-# catalog.  After round 4, 110 of 115 entries have a green driver row; the
-# only 5 without one sat at positions 50-54, just past r4's checked prefix.
-# Round 5's order: those 5 FIRST (completing the 115/115 driver-evidence
-# union), then any round-5 additions, then the 12 entries whose only green
-# row is round-2's, then round-3-latest entries to fill the prefix with a
-# healthy re-confirmation sample; round-4-green entries move to the back
-# (their evidence is freshest).
+# catalog.  After round 5 every one of the 131 entries has a green driver
+# row, but 31 entries' NEWEST row is round-3's — and round 5 touched shared
+# infrastructure (`_spread`, `_pos_key`, literal-sep splits, rename-swap
+# sinks) after that check.  Round 6's order: those 31 FIRST (post-hardening
+# driver evidence for every entry), then round-6 additions, then the
+# round-4-vintage entries this round's adaptive-`_spread` and reservoir
+# changes touch; round-5-green entries move to the back (freshest evidence).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-checked (registered past r4's prefix)
-    "boilerplate_lines",
-    "model_score",
-    "trip_descriptors",
-    "jsonl_roundtrip",
-    "tar_shards_roundtrip",
-    # new in round 5
-    "jsonl_quarantine",
-    "tar_shards_dist_write",
-    "stream_near_dup_ttl",
-    "monitor_http",
-    "banding_plan",
-    "compact_small_files",
-    "best_of_cluster",
-    "domain_caps",
-    "ivfpq_recall",
-    "gopher_rules",
-    "dsir_selection",
-    "perplexity_buckets",
-    "paragraph_dedup",
-    "exact_substring_dedup",
-    "unimax_mixture",
-    "curation_funnel",
-    # latest green row is round-2's
-    "stored_curve_quantiles",
-    "gtfs_records",
-    "gtfs_statistics",
-    "gtfs_predictions",
-    "walk_time_bounds",
-    "journey_transfers",
-    "master_variants",
-    "scheduled_predictions",
-    "display_formatting",
-    "visual_schedule",
-    "trip_resolution",
-    "departure_board",
-    # latest green row is round-3's (fill the ~50 prefix)
-    "pricing_summary",
-    "top_revenue_orders",
-    "nation_revenue",
-    "pair_count_matrix",
+    # newest green driver row is round-3's (31 entries)
     "latest_wins_dedup",
-    "forward_fill",
-    "running_totals",
+    "asof_join",
+    "fallback_lookup",
     "interval_counts",
     "time_slots",
-    "asof_join",
     "delay_rounding",
-    "route_sections",
-    "extended_stops",
-    "rollup_revenue",
-    "pivot_revenue",
-    "delay_quantiles",
-    "ecdf_per_type",
-    "inactive_customers",
+    "forward_fill",
+    "running_totals",
     "autocomplete",
-    "fallback_lookup",
+    "extended_stops",
+    "inactive_customers",
     "sessionize",
     "token_counts",
     "quality_scores",
@@ -6649,10 +6604,25 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "simplify_curves",
     "transfer_probability_matrix",
     "average_curves_groups",
-    # r3 streaming entries (heavier; keep behind the batch refreshes)
     "windowed_counts_stream",
     "stream_stream_join",
     "session_window_stream",
+    # new in round 6 (names not yet in REGISTRY are filtered out harmlessly)
+    "exact_substring_maximal",
+    "departure_board_cached",
+    # round-4-vintage entries whose code paths round 6 touches
+    # (adaptive _spread at the corpus scans; reservoir probe fold)
+    "reservoir_per_key",
+    "semantic_dedup",
+    "bpe_tokenize",
+    "edit_distance_dedup",
+    "bigram_lm_score",
+    "decontaminate",
+    "clean_corpus",
+    "quantile_sketch",
+    "heavy_hitters",
+    "minhash_near_dups_xxhash",
+    "winnow_passage_overlap",
 )
 
 
