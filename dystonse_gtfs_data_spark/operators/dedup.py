@@ -58,6 +58,21 @@ def _base_hash_col(col, base_hash: str):
     raise ValueError(f"unknown base_hash {base_hash!r} (use 'xxhash64' or 'md5')")
 
 
+#: Inputs below this optimizer-estimated size skip the round-robin
+#: exchange.  Default 0 — i.e. spread whenever the scan can't fill the
+#: cluster — because a round-6 warm A/B at sf0.1/local[32] REFUTED the
+#: "the exchange is pure overhead on sub-MB inputs" hypothesis: with
+#: the spread skipped, ``ngram_jaccard_dedup`` ran 8.6 s vs 2.2 s and
+#: ``decontaminate`` 3.2 s vs 1.0 s on a 0.58 MB scan (digest CPU per
+#: byte is that extreme), and the 8-query regression cluster summed to
+#: 21.9 s skipped vs 13.3 s spread.  The knob stays
+#: (``spark.graft.spread.minBytes``) for genuinely light per-row work
+#: on engines/corpora where the crossover differs; at real scale any
+#: value is irrelevant — a 100 TB scan is past the upper passthrough.
+_SPREAD_MIN_BYTES_CONF = "spark.graft.spread.minBytes"
+_SPREAD_MIN_BYTES_DEFAULT = 0
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Per-row digest work (md5 of every shingle / k-gram) is CPU-bound;
     a small parquet input arrives as a single split and would pin ONE
@@ -68,11 +83,24 @@ def _spread(df: DataFrame) -> DataFrame:
     The small-input test rides the optimizer's ``sizeInBytes`` estimate
     (driver-side plan stats, no job): ``df.rdd.getNumPartitions()``
     would force a full physical-plan → RDD conversion per call just for
-    introspection.  Inputs smaller than parallelism × maxPartitionBytes
-    (i.e. scans that cannot fill every core) get the round-robin spread;
-    anything larger passes through untouched."""
+    introspection.  Three regimes:
+
+    - size < ``spark.graft.spread.minBytes`` (default 0, i.e. never —
+      measured: even a 0.58 MB digest-heavy scan runs 4× faster spread
+      than single-core): pass through.
+    - size < parallelism × maxPartitionBytes: round-robin repartition —
+      the scan cannot fill every core on its own and the per-row CPU
+      dominates, so the exchange pays for itself (8-18× at sf1).
+    - larger: pass through — the file splits already exceed cluster
+      parallelism and a corpus-wide shuffle would be pure cost."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    try:
+        min_bytes = int(
+            spark.conf.get(_SPREAD_MIN_BYTES_CONF, str(_SPREAD_MIN_BYTES_DEFAULT))
+        )
+    except Exception:
+        min_bytes = _SPREAD_MIN_BYTES_DEFAULT
     try:
         max_pb = int(
             spark._jvm.org.apache.spark.util.Utils.byteStringAsBytes(  # noqa: SLF001
@@ -97,7 +125,7 @@ def _spread(df: DataFrame) -> DataFrame:
         except Exception:
             pass
         return df
-    if size < target * max_pb:
+    if min_bytes <= size < target * max_pb:
         return df.repartition(target)
     return df
 
