@@ -182,6 +182,12 @@ def mixture_oracle_sql(
 #: the portable md5 fold covers [0, 16^15) = [0, 2^60)
 _HASH_SPACE = 1 << 60
 
+#: log-scale rank-hash histogram: 64 minor buckets per octave over the
+#: 60-bit hash space — 3841 possible bucket indices, the bound on any
+#: key's aggregation state regardless of its row count
+_RSV_MINOR = 64
+_RSV_MAX_BUCKET = 60 * _RSV_MINOR
+
 
 def deterministic_reservoir(
     df: DataFrame,
@@ -193,81 +199,92 @@ def deterministic_reservoir(
     key by a salted portable hash of their id (a fixed uniform-random
     permutation any engine reproduces) and keep the first ``k``.
 
-    Scale shape — threshold prefilter, not a per-key sort of the corpus:
-    the rank hash is uniform on [0, 2^60), so the k-th smallest value of
-    an n-row key concentrates around ``k/n · 2^60``.  One tiny per-key
-    count (map-side-combined agg, bytes per key) fixes a cutoff
-    ``T = (k + 6·√k + 64)/n · 2^60`` that keeps the true top-k with
-    overwhelming probability; the corpus itself then passes through a
-    broadcast-join + map-only filter, and only the ~k survivors per key
-    reach the ranking window.  Exactness is never probabilistic: a
-    second tiny count verifies every key kept ``min(k, n)`` survivors,
-    and any key that lost part of its top-k to the cutoff (vanishingly
-    rare, but possible) falls back to ranking its full row set.  Net
-    exchange volume is O(keys · k) instead of O(rows), and no operator
-    materializes an unbounded in-memory array — the failure mode of a
-    collect_list-based partial top-k under a hot key.  Unlike rate-based
+    Scale shape — a per-key histogram cutoff, not a per-key sort of the
+    corpus, and (since round 6) not a driver-side probe either:
+
+    1. One aggregation pass buckets every row's rank hash into a
+       log-scale histogram: ``bucket(hv) = floor(64 · (60 − log2(hv+1)))``
+       — a weakly DECREASING step function of ``hv`` with at most 3841
+       distinct values, so per-key state is bounded (hot-key safe; no
+       unbounded collect_list of row values, only of (bucket, count)
+       pairs capped at 3841).
+    2. A per-key fold over that tiny histogram finds the smallest
+       bucket index ``b`` whose descending cumulative count reaches
+       ``min(k, n)``.  Because the bucketization is weakly monotone,
+       every row whose hash ranks in the key's top-k lies in a bucket
+       ``>= b`` — exactness holds BY CONSTRUCTION for any hash
+       distribution, not with high probability.
+    3. The corpus passes through a broadcast-join + map-only filter
+       ``bucket(hv) >= b``; only the ~k survivors per key (top-k plus
+       the boundary bucket's handful of extras) reach the ranking
+       window.
+
+    Net exchange volume is O(keys · k) and the operator is fully LAZY:
+    the round-5 design verified exactness with a driver-side probe job
+    (``bad.limit(1).count()``) before returning, because its uniform
+    threshold could clip a key's top-k with ~1e-8 probability and AQE
+    cannot prune the in-plan fallback branch at runtime; the histogram
+    cutoff cannot clip, so the probe, its persisted intermediates, and
+    the fallback union are all gone (one fewer Spark job per call,
+    asserted by test).  Unlike rate-based
     :func:`hash_stratified_sample` (map-only, approximate counts), this
     guarantees the exact per-key sample size a curriculum or eval-split
+    builder needs.
+
+    Float caveat: ``log2`` over a double is only used as a MONOTONE
+    bucketizer evaluated by the SAME expression on both passes — exact
+    bucket boundaries are irrelevant to correctness, so double rounding
+    above 2^53 is harmless.
     builder needs."""
     h = portable_base_hash(
         F.concat(F.lit("rsv:"), F.col(id_col).cast("string"))
     ).alias("hv")
-    base = df.select(F.col(key_col), F.col(id_col), h)
-
-    # data-derived only (count, not partition layout) → the sample is
-    # invariant under repartitioning, as the determinism contract demands
-    budget = float(k) + 6.0 * float(k) ** 0.5 + 64.0
-    from ..cache import tracked_persist
-
-    # O(keys) bytes — cached so the exactness probe below reads this
-    # instead of re-running the corpus aggregation (the probe used to
-    # cost a second full pass; now it is a cache-only micro-job)
-    counts = tracked_persist(base.groupBy(key_col).agg(F.count("*").alias("_n")))
-    thresh = counts.withColumn(
-        "_t",
-        F.when(F.col("_n") <= F.lit(budget), F.lit(_HASH_SPACE))
-        .otherwise(
-            F.ceil(F.lit(budget) / F.col("_n") * F.lit(float(_HASH_SPACE)))
+    bucket = (
+        F.least(
+            F.greatest(
+                F.floor(
+                    F.lit(float(_RSV_MINOR))
+                    * (F.lit(60.0) - F.log2(F.col("hv").cast("double") + F.lit(1.0)))
+                ),
+                F.lit(0),
+            ),
+            F.lit(_RSV_MAX_BUCKET),
         )
-        .cast("long"),
+        .cast("int")
+        .alias("_bkt")
     )
-    # survivors are ~budget rows per key — persist the tiny set so the
-    # exactness count and the ranking window both read the cache instead
-    # of rescanning the corpus (harnesses release via cache module)
-    surv = tracked_persist(
-        base.join(F.broadcast(thresh), key_col)
-        .where(F.col("hv") < F.col("_t"))
+    base = df.select(F.col(key_col), F.col(id_col), h).select("*", bucket)
+
+    # data-derived only (counts, not partition layout) → the sample is
+    # invariant under repartitioning, as the determinism contract demands
+    hist = base.groupBy(key_col, "_bkt").agg(F.count("*").alias("_c"))
+    cut = hist.groupBy(key_col).agg(
+        F.sum("_c").alias("_n"),
+        F.collect_list(F.struct("_bkt", "_c")).alias("_hist"),
+    )
+    # smallest bucket index whose descending cumulative count covers
+    # min(k, n): a fold over <= 3841 histogram entries, pure JVM
+    cut = cut.select(
+        key_col,
+        F.expr(
+            f"""aggregate(
+              sort_array(_hist, false),
+              named_struct('cum', CAST(0 AS BIGINT), 'b', 0),
+              (acc, x) -> IF(acc.cum >= least(CAST({int(k)} AS BIGINT), _n),
+                             acc,
+                             named_struct('cum', acc.cum + x._c, 'b', x._bkt)),
+              acc -> acc.b
+            )"""
+        ).alias("_b"),
+    )
+    surv = (
+        base.join(F.broadcast(cut), key_col)
+        .where(F.col("_bkt") >= F.col("_b"))
         .select(key_col, id_col, "hv")
     )
-
-    # exactness gate: a key whose survivor count fell below min(k, n) had
-    # its top-k clipped by the threshold — re-rank that key's full rows.
-    # The probe is a bounded driver-side scalar over the CACHED counts
-    # and survivor sets only (clipping probability < 1e-8 per key at the
-    # chosen margin) — no corpus rescan on the happy path; it exists
-    # because AQE does not prune an empty-broadcast semi-join branch at
-    # runtime, so leaving the fallback in the plan would cost a full
-    # wasted corpus scan at scale even when no key needs it.
-    bad = (
-        counts.join(
-            surv.groupBy(key_col).agg(F.count("*").alias("_s")), key_col, "left"
-        )
-        .where(
-            F.coalesce(F.col("_s"), F.lit(0))
-            < F.least(F.lit(k).cast("long"), F.col("_n"))
-        )
-        .select(key_col)
-    )
-    if bad.limit(1).count() > 0:
-        ranked_in = surv.join(F.broadcast(bad), key_col, "left_anti").unionByName(
-            base.join(F.broadcast(bad), key_col, "left_semi")
-        )
-    else:
-        ranked_in = surv
     w = Window.partitionBy(key_col).orderBy("hv", id_col)
     return (
-        ranked_in.withColumn("rn", F.row_number().over(w))
+        surv.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(key_col, id_col, "rn")
     )

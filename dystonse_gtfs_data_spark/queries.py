@@ -6042,11 +6042,12 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY lang, rn
     """,
     covers="Exactly-k-per-key deterministic reservoir sample (salted "
-    "portable-hash permutation rank): threshold prefilter — a per-key "
-    "count fixes a hash cutoff keeping ~k survivors (map-only filter), "
-    "a bounded driver probe re-ranks any clipped key exactly — O(keys·k) "
-    "exchange, no per-group arrays; the exact-size per-stratum sampler "
-    "a curriculum/eval-split builder needs where rate-based sampling "
+    "portable-hash permutation rank): per-key log-scale hash histogram "
+    "(<=3841 buckets, bounded state) fixes a bucket cutoff that provably "
+    "contains the top-k for ANY hash distribution — map-only filter, "
+    "O(keys·k) exchange, fully lazy (round 6 removed the driver-side "
+    "exactness probe job); the exact-size per-stratum sampler a "
+    "curriculum/eval-split builder needs where rate-based sampling "
     "cannot guarantee counts",
 )
 def q_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
