@@ -352,7 +352,7 @@ def cmd_monitor(spark, args) -> None:
 
         server, port = start_monitor_server(
             spark, preds, stops=stops, trip_max_sequences=trip_max,
-            port=args.port,
+            port=args.port, materialize_ttl=args.materialize_ttl,
         )
         print(json.dumps({"serving": {"port": port}}), flush=True)
         # block like the reference's server loop; tests set the env var
@@ -446,6 +446,12 @@ def main(argv: list[str] | None = None) -> None:
         help="serve the monitor HTTP endpoints (reference mod.rs:102-190)",
     )
     m.add_argument("--port", type=int, default=3000)
+    m.add_argument(
+        "--materialize-ttl", type=float, default=None, metavar="SECONDS",
+        help="serve repeated (stop-set, window) departure pages from a "
+        "driver-side cache for this many seconds instead of re-running "
+        "the Spark query per request (SURVEY §3.3 serving shape)",
+    )
 
     args = p.parse_args(argv)
 

@@ -18,6 +18,15 @@ Routes:
 Scale note: the server is a driver-side shell — each request runs a
 Spark query whose heavy lifting (window overlap, dedup, median sort)
 executes on the cluster; only the page-sized board rows are collected.
+
+Serving shape under concurrency (SURVEY §3.3): per-request Spark
+queries mirror the reference's per-request MySQL queries but serialize
+on the driver.  ``materialize_ttl`` turns on a driver-side board cache:
+the first request for a (stop-set, window) computes and collects the
+board once, repeats within the TTL are served from memory with ZERO
+Spark jobs (asserted by test), and entries expire after the TTL or
+fall off an LRU cap — so a dashboard polling N stop pages costs one
+cluster query per page per TTL, not per refresh.
 """
 
 from __future__ import annotations
@@ -25,11 +34,18 @@ from __future__ import annotations
 import datetime as dt
 import json
 import threading
+import time
 import urllib.parse
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: driver-memory bound for the materialized-board cache: page-sized row
+#: lists only, evicted least-recently-used past this many (stop-set,
+#: window) keys
+_BOARD_CACHE_MAX = 256
 
 
 def _parse_dt(s: str) -> dt.datetime:
@@ -60,6 +76,31 @@ class _MonitorHandler(BaseHTTPRequestHandler):
     predictions: DataFrame | None = None
     stops: DataFrame | None = None
     trip_max_sequences: DataFrame | None = None
+    # materialization state (shared per server via the subclass)
+    materialize_ttl: float | None = None
+    clock = staticmethod(time.monotonic)
+    _board_cache: "OrderedDict[tuple, tuple[float, list[dict]]]" = None  # type: ignore[assignment]
+    _cache_lock: threading.Lock = None  # type: ignore[assignment]
+
+    def _cached_board(self, key: tuple) -> list[dict] | None:
+        """Fresh cache hit or None.  LRU touch on hit."""
+        with self._cache_lock:
+            hit = self._board_cache.get(key)
+            if hit is None:
+                return None
+            stamp, rows = hit
+            if self.clock() - stamp >= self.materialize_ttl:
+                del self._board_cache[key]
+                return None
+            self._board_cache.move_to_end(key)
+            return rows
+
+    def _store_board(self, key: tuple, rows: list[dict]) -> None:
+        with self._cache_lock:
+            self._board_cache[key] = (self.clock(), rows)
+            self._board_cache.move_to_end(key)
+            while len(self._board_cache) > _BOARD_CACHE_MAX:
+                self._board_cache.popitem(last=False)
 
     def log_message(self, fmt, *args):  # quiet under pytest
         pass
@@ -118,14 +159,25 @@ class _MonitorHandler(BaseHTTPRequestHandler):
             elif route == "/departures":
                 from .operators.monitor import departure_board
 
+                stop_ids = params["stop_ids"].split(",")
+                start, end = params["start"], params["end"]
+                key = (tuple(sorted(stop_ids)), start, end)
+                if self.materialize_ttl is not None:
+                    rows = self._cached_board(key)
+                    if rows is not None:
+                        self._send_json(rows)
+                        return
                 board = departure_board(
                     self.predictions,
-                    stop_ids=params["stop_ids"].split(","),
-                    window_min=_parse_dt(params["start"]),
-                    window_max=_parse_dt(params["end"]),
+                    stop_ids=stop_ids,
+                    window_min=_parse_dt(start),
+                    window_max=_parse_dt(end),
                     trip_max_sequences=self.trip_max_sequences,
                 )
-                self._send_json(board_rows_json(board))
+                rows = board_rows_json(board)
+                if self.materialize_ttl is not None:
+                    self._store_board(key, rows)
+                self._send_json(rows)
             else:
                 self._send_json({"error": f"unknown route {route}"}, status=404)
         except Exception as exc:  # the reference's generate_error_page
@@ -138,10 +190,18 @@ def start_monitor_server(
     stops: DataFrame | None = None,
     trip_max_sequences: DataFrame | None = None,
     port: int = 0,
+    materialize_ttl: float | None = None,
+    clock=time.monotonic,
 ) -> tuple[ThreadingHTTPServer, int]:
     """Start the monitor HTTP server on ``port`` (0 = ephemeral) in a
     daemon thread; returns (server, bound_port).  Stop with
-    ``server.shutdown()``."""
+    ``server.shutdown()``.
+
+    ``materialize_ttl`` (seconds) enables the pre-materialized board
+    cache: repeats of a (stop-set, window) page within the TTL are
+    served from driver memory without any Spark work; ``None`` keeps
+    the reference's query-per-request behavior.  ``clock`` is
+    injectable for TTL tests (monotonic seconds)."""
     handler = type(
         "BoundMonitorHandler",
         (_MonitorHandler,),
@@ -150,6 +210,10 @@ def start_monitor_server(
             "predictions": predictions,
             "stops": stops,
             "trip_max_sequences": trip_max_sequences,
+            "materialize_ttl": materialize_ttl,
+            "clock": staticmethod(clock),
+            "_board_cache": OrderedDict(),
+            "_cache_lock": threading.Lock(),
         },
     )
     server = ThreadingHTTPServer(("127.0.0.1", port), handler)

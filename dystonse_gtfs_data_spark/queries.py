@@ -4116,6 +4116,67 @@ def q_monitor_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "departure_board_cached",
+    # same differential oracle as monitor_http/departure_board: a page
+    # served FROM THE MATERIALIZED CACHE must hash-match the live rows
+    f"""
+    SELECT * FROM {_dt("expected_departure_board")}
+    ORDER BY median_time_us, trip_id, stop_sequence, event_type, trip_start_date, trip_start_time, stop_id, origin_type, precision_type
+    """,
+    covers="Pre-materialized departure boards (SURVEY §3.3 serving "
+    "shape): the monitor server computes a (stop-set, window) board "
+    "once, repeats within the TTL are served from driver memory with "
+    "zero Spark jobs (job-id-fence test) — this entry GETs the same "
+    "page twice and hash-checks the CACHED response",
+)
+def q_departure_board_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from .monitor_http import start_monitor_server
+    from .operators.predict import generate_realtime_predictions
+    from .operators.specific_curves import stop_indexed
+    from .sources.demo import build_records as demo_records
+    from .sources.demo import build_schedule
+
+    sched = build_schedule(spark)
+    sti = stop_indexed(sched["stop_times"])
+    preds = generate_realtime_predictions(
+        demo_records(spark), sti, sched["routes"], sched["trips"],
+        demo_statistics(spark),
+    )
+    max_seq = sched["stop_times"].groupBy("trip_id").agg(
+        F.max("stop_sequence").alias("max_stop_sequence")
+    )
+    server, port = start_monitor_server(
+        spark, preds, stops=sched["stops"], trip_max_sequences=max_seq,
+        materialize_ttl=3600.0,
+    )
+    try:
+        qs = urllib.parse.urlencode(
+            {
+                "stop_ids": ",".join(f"s{i}" for i in range(16)),
+                "start": "2024-01-01T08:00:00",
+                "end": "2024-01-06T10:00:00",
+            }
+        )
+        url = f"http://127.0.0.1:{port}/departures?{qs}"
+        with urllib.request.urlopen(url, timeout=600) as resp:
+            json.load(resp)  # warm the cache (live Spark query)
+        with urllib.request.urlopen(url, timeout=600) as resp:
+            rows = json.load(resp)  # served from the materialized cache
+    finally:
+        server.shutdown()
+    return (
+        spark.createDataFrame(rows, schema=_MONITOR_HTTP_SCHEMA)
+        .orderBy("median_time_us", "trip_id", "stop_sequence", "event_type",
+                 "trip_start_date", "trip_start_time", "stop_id",
+                 "origin_type", "precision_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data scrubbing / corpus analysis (round-3 additions)
 # ---------------------------------------------------------------------------

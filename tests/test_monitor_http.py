@@ -172,6 +172,152 @@ class TestMonitorHTTP:
         assert "error" in json.load(exc.value)
 
 
+def _group_job_ids(spark, group: str, at_least: int) -> set[int]:
+    """Job ids in a job group, polling until ``at_least`` have appeared
+    — the status tracker is fed by the async listener bus, so a count()
+    that just returned may not be registered for a few milliseconds."""
+    import time as _time
+
+    tracker = spark.sparkContext.statusTracker()
+    deadline = _time.time() + 30
+    while True:
+        ids = set(tracker.getJobIdsForGroup(group))
+        if len(ids) >= at_least or _time.time() > deadline:
+            return ids
+        _time.sleep(0.05)
+
+
+class TestMaterializedBoards:
+    WINDOW = {"start": "2024-01-01T08:00:00", "end": "2024-01-06T10:00:00"}
+
+    def _board_path(self):
+        return "/departures?" + urllib.parse.urlencode(
+            {"stop_ids": ",".join(f"s{i}" for i in range(16)), **self.WINDOW}
+        )
+
+    def test_repeat_request_serves_cache_with_zero_spark_jobs(
+        self, served, spark
+    ):
+        # SURVEY §3.3 scale-safe serving shape: the first request
+        # computes the board, a repeat within the TTL must not touch
+        # Spark at all.  Proof via global job ids: job ids are allocated
+        # sequentially across ALL threads, so if the dummy action after
+        # the cached GET lands at exactly (last dummy id + 1), the GET
+        # issued zero jobs.
+        server, port = start_monitor_server(
+            spark,
+            served["preds"],
+            stops=served["stops"],
+            trip_max_sequences=served["max_seq"],
+            materialize_ttl=3600.0,
+        )
+        try:
+            status, first = _get(port, self._board_path())
+            assert status == 200 and len(first) > 0
+
+            sc = spark.sparkContext
+            sc.setJobGroup("mhc-probe", "job-count fence")
+            try:
+                sc.parallelize([0]).count()  # RDD action: exactly ONE job
+                before = _group_job_ids(spark, "mhc-probe", at_least=1)
+                status, second = _get(port, self._board_path())
+                sc.parallelize([0]).count()
+                after = _group_job_ids(
+                    spark, "mhc-probe", at_least=len(before) + 1
+                )
+            finally:
+                sc.setJobGroup(None, None)
+            new = sorted(after - before)
+            assert len(new) == 1, new
+            assert new[0] == max(before) + 1, (
+                f"cached GET ran Spark jobs: ids {max(before)}..{new[0]}"
+            )
+            assert status == 200 and second == first
+        finally:
+            server.shutdown()
+
+    def test_cached_rows_identical_to_live_path(self, served, spark):
+        server, port = start_monitor_server(
+            spark,
+            served["preds"],
+            stops=served["stops"],
+            trip_max_sequences=served["max_seq"],
+            materialize_ttl=3600.0,
+        )
+        try:
+            _, warm = _get(port, self._board_path())
+            _, hit = _get(port, self._board_path())
+        finally:
+            server.shutdown()
+        direct = board_rows_json(
+            departure_board(
+                served["preds"],
+                stop_ids=[f"s{i}" for i in range(16)],
+                window_min=dt.datetime(2024, 1, 1, 8, 0),
+                window_max=dt.datetime(2024, 1, 6, 10, 0),
+                trip_max_sequences=served["max_seq"],
+            )
+        )
+        assert warm == hit == direct and len(direct) > 0
+
+    def test_ttl_expiry_recomputes(self, served, spark):
+        # injectable clock: advance past the TTL and prove the next GET
+        # goes back to Spark (a foreign job id appears between fences)
+        now = [0.0]
+        server, port = start_monitor_server(
+            spark,
+            served["preds"],
+            stops=served["stops"],
+            trip_max_sequences=served["max_seq"],
+            materialize_ttl=60.0,
+            clock=lambda: now[0],
+        )
+        try:
+            _, first = _get(port, self._board_path())
+            now[0] = 61.0  # TTL elapsed → entry must be dropped
+            sc = spark.sparkContext
+            sc.setJobGroup("mhc-ttl", "job-count fence")
+            try:
+                sc.parallelize([0]).count()  # RDD action: exactly ONE job
+                before = _group_job_ids(spark, "mhc-ttl", at_least=1)
+                _, again = _get(port, self._board_path())
+                sc.parallelize([0]).count()
+                after = _group_job_ids(
+                    spark, "mhc-ttl", at_least=len(before) + 1
+                )
+            finally:
+                sc.setJobGroup(None, None)
+            new = sorted(after - before)
+            assert new and new[0] > max(before) + 1, (
+                "expired entry was served from cache — no Spark job ran"
+            )
+            assert again == first
+        finally:
+            server.shutdown()
+
+    def test_distinct_windows_do_not_collide(self, served, spark):
+        server, port = start_monitor_server(
+            spark,
+            served["preds"],
+            stops=served["stops"],
+            trip_max_sequences=served["max_seq"],
+            materialize_ttl=3600.0,
+        )
+        try:
+            _, wide = _get(port, self._board_path())
+            narrow_q = "/departures?" + urllib.parse.urlencode(
+                {
+                    "stop_ids": ",".join(f"s{i}" for i in range(16)),
+                    "start": "2024-01-01T08:00:00",
+                    "end": "2024-01-02T10:00:00",
+                }
+            )
+            _, narrow = _get(port, narrow_q)
+        finally:
+            server.shutdown()
+        assert narrow != wide  # different key → different board
+
+
 class _NoRedirect(urllib.request.HTTPRedirectHandler):
     def redirect_request(self, *args, **kwargs):
         return None
