@@ -963,6 +963,15 @@ def exact_substring_dedup(
     (modulo the keep-first exemption, which the paper leaves as a
     free policy choice).
 
+    Semantics note (round 6): the COVERAGE this computes is exact, but
+    the merged spans lose repeat STRUCTURE — two overlapping distinct
+    repeats collapse into one span whose full text may occur nowhere
+    else, and the per-WINDOW keep-first exemption may preserve a
+    repeat's windows scattered across documents rather than one
+    contiguous copy.  :func:`exact_substring_maximal` enumerates the
+    true suffix-array-semantics maximal repeats when the structure
+    itself matters (auditing before cutting, choosing a keep policy).
+
     Scale shape — the full-volume stages never shuffle text:
     1. gram hashing is a JVM HOF projection (no explode of gram TEXT);
        the corpus-wide shuffle carries (hash, pos_key) = 16 bytes per
@@ -1157,6 +1166,296 @@ def exact_substring_dedup_sql(
     FROM arrs a
     LEFT JOIN kept_agg k ON k.{id_col} = a.{id_col}
     LEFT JOIN span_agg s ON s.{id_col} = a.{id_col}
+    """
+
+
+#: Cap on reported repeat length (tokens): the maximal-repeat operator
+#: materializes each candidate's suffix up to this many tokens for the
+#: lexicographic sort, so per-candidate shuffle bytes are bounded by
+#: cap × token width.  A true repeat LONGER than the cap is still fully
+#: covered, reported as a staircase of cap-length spans.  Default far
+#: above the testdata's longest document; tune per corpus.
+_MAXREP_CAP_DEFAULT = 1024
+
+
+def _token_lcp(a, b):
+    """Length of the common token prefix of two array<string> columns —
+    a JVM fold over zip_with (no UDF).  ``zip_with`` pads the shorter
+    side with nulls and ``eqNullSafe`` maps those pads to false, so the
+    fold naturally stops at min(len)."""
+    eq = F.zip_with(a, b, lambda x, y: x.eqNullSafe(y))
+    return F.aggregate(
+        eq,
+        F.struct(F.lit(False).alias("done"), F.lit(0).alias("n")),
+        lambda acc, x: F.when(
+            acc["done"] | ~x, F.struct(F.lit(True).alias("done"), acc["n"].alias("n"))
+        ).otherwise(
+            F.struct(F.lit(False).alias("done"), (acc["n"] + 1).alias("n"))
+        ),
+        lambda acc: acc["n"],
+    )
+
+
+def exact_substring_maximal(
+    docs: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+    cap: int = _MAXREP_CAP_DEFAULT,
+) -> DataFrame:
+    """MAXIMAL corpus repeats ≥ ``min_len`` tokens — the exact object a
+    suffix-array ExactSubstr implementation enumerates (Lee et al.
+    2022, arXiv:2107.06499 §4.1), closing the semantics gap the
+    window-union approximation (:func:`exact_substring_dedup`) leaves:
+    that operator computes the exact COVERAGE of repeated positions but
+    merges overlapping distinct repeats into one span whose text may
+    itself occur nowhere else.  This one returns, per document, every
+    repeat that is both left- and right-maximal: extending it by one
+    token in either direction makes it non-repeated.
+
+    Algorithm (all JVM expressions, candidate volume only):
+
+    1. Candidate starts = positions whose ``min_len``-gram occurs ≥ 2
+       times corpus-wide (hash prefilter + exact-text verify — the same
+       two stages as :func:`exact_substring_dedup`, WITHOUT the
+       keep-first exemption: every occurrence of a repeat is a start).
+       Any position starting a repeat ≥ min_len is such a candidate.
+    2. EXT(s) — the longest repeated substring starting at s — equals
+       the max token-LCP between s's suffix and ANY other candidate
+       suffix, and that max is attained at a lexicographic neighbor
+       (the standard suffix-array adjacency theorem, valid for the
+       candidate SUBSET too because the partner achieving EXT is
+       itself a candidate).  So: materialize each candidate's suffix
+       capped at ``cap`` tokens, ``repartitionByRange`` on the token
+       array (Spark arrays order lexicographically), and take
+       per-partition window ``lead``s for neighbor LCPs.
+    3. Partition-boundary neighbors: the first/last row of every range
+       partition (2 rows per partition — bounded by the shuffle
+       partition count, not the data) meet in one tiny
+       single-partition window; for sorted a ≤ b ≤ c,
+       LCP(a,c) ≤ min(LCP(a,b), LCP(b,c)), so cross-boundary pairs can
+       only under-estimate and ``greatest()`` keeps exactness.
+    4. ``EXT ≥ min_len`` rows become intervals [s, s+EXT); a per-doc
+       running-max window drops intervals contained in an earlier one
+       (left-maximality); right-maximality holds because EXT is the
+       neighbor-LCP max.
+
+    Scale shape: the corpus-volume stages are the gram hash agg and
+    one broadcast-verified join (identical to exact_substring_dedup);
+    the suffix sort shuffles only candidates × ``cap`` tokens — the
+    duplication rate times the cap is the valve, and both are
+    observable (count candidates) before committing the sort.  A
+    repeat longer than ``cap`` is reported as a staircase of
+    cap-length spans (coverage unaffected).
+
+    Output: (id, s, e, rep_len, rep_text) — one row per maximal
+    repeat occurrence, including the corpus-first one (reporting, not
+    removal: feed the spans to a keep-policy of choice).
+    """
+    arr = F.split(F.col(text_col), re.escape(sep))  # sep is LITERAL
+    base = _spread(docs).select(F.col(id_col), arr.alias("_arr"))
+
+    def _gram(i):
+        return F.struct(
+            i.alias("pos"),
+            F.xxhash64(
+                F.concat_ws(sep, F.slice(F.col("_arr"), i + 1, min_len))
+            ).alias("gh"),
+        )
+
+    occ = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_arr") >= min_len,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_arr") - min_len), _gram
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
+        ).alias("_g"),
+    ).select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
+    hot = occ.groupBy("gh").agg(F.count("*").alias("_c")).filter(F.col("_c") > 1)
+    cand = occ.join(hot.select("gh"), "gh").drop("gh")
+    # exact-text verification (hash collisions add candidates, never
+    # results) on the SLIM gram text only — the capped suffix arrays
+    # attach after, so they never ride through the gtext self-join
+    wg = cand.join(base, id_col).select(
+        F.col(id_col),
+        "pos",
+        F.concat_ws(
+            sep, F.slice(F.col("_arr"), F.col("pos") + 1, min_len)
+        ).alias("gtext"),
+    )
+    verified = (
+        wg.join(wg.groupBy("gtext").agg(F.count("*").alias("_n")), "gtext")
+        .filter(F.col("_n") > 1)
+        .select(id_col, "pos")
+        .join(base, id_col)
+        .select(
+            F.col(id_col),
+            "pos",
+            F.slice(F.col("_arr"), F.col("pos") + 1, cap).alias("_suf"),
+        )
+        .withColumn("_pk", _pos_key(id_col, "pos"))
+    )
+
+    from ..cache import tracked_persist
+
+    # the range-partitioned candidate set feeds BOTH the inner-neighbor
+    # window and the boundary-row extraction; persisting severs the
+    # shared gram/verify lineage so it runs once, not per branch (and
+    # pins spark_partition_id so both branches see the same layout)
+    rb = tracked_persist(
+        verified.repartitionByRange(F.col("_suf"), F.col("_pk")).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    win = Window.partitionBy("_pid").orderBy("_suf", "_pk")
+    inner = rb.withColumn(
+        "_lcp_next",
+        F.coalesce(_token_lcp(F.col("_suf"), F.lead("_suf").over(win)), F.lit(0)),
+    ).withColumn(
+        "_ext_inner",
+        F.greatest(
+            F.col("_lcp_next"),
+            F.coalesce(F.lag("_lcp_next").over(win), F.lit(0)),
+        ),
+    )
+
+    # boundary rows: 2 per range partition — a frame bounded by the
+    # partition COUNT, so its single-partition window is safe
+    edge_key = F.struct(F.col("_suf"), F.col("_pk"))
+    bnd = (
+        rb.groupBy("_pid")
+        .agg(
+            F.min_by(F.struct("_suf", "_pk"), edge_key).alias("_lo"),
+            F.max_by(F.struct("_suf", "_pk"), edge_key).alias("_hi"),
+        )
+        .select(F.explode(F.array("_lo", "_hi")).alias("_r"))
+        .select(F.col("_r._suf").alias("_suf"), F.col("_r._pk").alias("_pk"))
+        .dropDuplicates(["_pk"])
+    )
+    bwin = Window.partitionBy(F.lit(1)).orderBy("_suf", "_pk")
+    bnd_lcp = bnd.withColumn(
+        "_blcp_next",
+        F.coalesce(_token_lcp(F.col("_suf"), F.lead("_suf").over(bwin)), F.lit(0)),
+    ).withColumn(
+        "_ext_bnd",
+        F.greatest(
+            F.col("_blcp_next"),
+            F.coalesce(F.lag("_blcp_next").over(bwin), F.lit(0)),
+        ),
+    ).select("_pk", "_ext_bnd")
+
+    ext = (
+        inner.join(F.broadcast(bnd_lcp), "_pk", "left")
+        .withColumn(
+            "_ext", F.greatest("_ext_inner", F.coalesce("_ext_bnd", F.lit(0)))
+        )
+        .filter(F.col("_ext") >= min_len)
+        .select(id_col, "pos", (F.col("pos") + F.col("_ext")).alias("_e"))
+    )
+    # left-maximality: drop intervals contained in an earlier-starting one
+    dwin = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("_e").over(dwin.rowsBetween(Window.unboundedPreceding, -1))
+    maximal = ext.withColumn("_pm", prev_max).filter(
+        F.col("_pm").isNull() | (F.col("_e") > F.col("_pm"))
+    )
+    return (
+        maximal.join(base, id_col)
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("int").alias("s"),
+            F.col("_e").cast("int").alias("e"),
+            (F.col("_e") - F.col("pos")).cast("int").alias("rep_len"),
+            F.concat_ws(
+                sep,
+                F.slice(
+                    F.col("_arr"), F.col("pos") + 1, F.col("_e") - F.col("pos")
+                ),
+            ).alias("rep_text"),
+        )
+    )
+
+
+def exact_substring_maximal_sql(
+    table: str,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+    cap: int = _MAXREP_CAP_DEFAULT,
+) -> str:
+    """DuckDB twin of :func:`exact_substring_maximal`.
+
+    Single-node luxury: one global window over the lexicographically
+    sorted candidate suffixes (DuckDB orders LIST columns token-wise,
+    matching Spark's array ordering) with ``lead``/``lag`` for the
+    neighbor LCPs.  The engines may range-partition differently, but
+    EXT(s) = max neighbor LCP is order-independent for any
+    prefix-consistent lexicographic order, so the outputs are
+    bit-identical.  ``list_position`` returns 0 (not NULL) for
+    no-match in bundled DuckDB — hence the ``nullif``."""
+    sq = sep.replace("'", "''")
+    lcp_next = f"""CASE WHEN nxt IS NULL THEN 0 ELSE coalesce(
+        nullif(list_position(list_transform(range(least(len(sufarr), len(nxt))),
+                             i -> sufarr[i+1] IS DISTINCT FROM nxt[i+1]), true), 0) - 1,
+        least(len(sufarr), len(nxt))) END"""
+    return f"""
+    WITH arrs AS (
+      SELECT {id_col}, string_split({text_col}, '{sq}') AS arr
+      FROM {table}
+    ),
+    grams AS (
+      SELECT {id_col},
+             unnest([{{'pos': i - 1,
+                       'g': array_to_string(arr[i : i + {min_len} - 1], '{sq}')}}
+                     for i in generate_series(1, greatest(len(arr) - {min_len} + 1, 0))]) AS gr
+      FROM arrs
+    ),
+    keyed AS (
+      SELECT {id_col}, gr.pos AS pos, gr.g AS g FROM grams
+    ),
+    hot AS (SELECT g FROM keyed GROUP BY g HAVING count(*) > 1),
+    cand AS (SELECT k.{id_col}, k.pos FROM keyed k JOIN hot USING (g)),
+    suffs AS (
+      SELECT c.{id_col}, c.pos,
+             a.arr[c.pos + 1 : c.pos + {cap}] AS sufarr
+      FROM cand c JOIN arrs a USING ({id_col})
+    ),
+    ordered AS (
+      SELECT *, lead(sufarr) OVER w AS nxt, row_number() OVER w AS rn
+      FROM suffs
+      WINDOW w AS (ORDER BY sufarr, {id_col}, pos)
+    ),
+    lcps AS (
+      SELECT {id_col}, pos, rn, ({lcp_next}) AS lcp_next
+      FROM ordered
+    ),
+    exts AS (
+      SELECT {id_col}, pos,
+             greatest(lcp_next,
+                      coalesce(lag(lcp_next) OVER (ORDER BY rn), 0)) AS ext
+      FROM lcps
+    ),
+    maximal AS (
+      SELECT {id_col}, pos AS s, pos + ext AS e
+      FROM exts WHERE ext >= {min_len}
+    ),
+    kept AS (
+      SELECT {id_col}, s, e,
+             max(e) OVER (PARTITION BY {id_col} ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM maximal
+    )
+    SELECT k.{id_col} AS {id_col},
+           CAST(k.s AS INT) AS s,
+           CAST(k.e AS INT) AS e,
+           CAST(k.e - k.s AS INT) AS rep_len,
+           array_to_string(a.arr[k.s + 1 : k.e], '{sq}') AS rep_text
+    FROM kept k JOIN arrs a USING ({id_col})
+    WHERE k.pm IS NULL OR k.e > k.pm
     """
 
 

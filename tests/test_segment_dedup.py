@@ -221,6 +221,157 @@ def test_unimax_differential_vs_duckdb(spark):
         pd.testing.assert_frame_equal(s, o, check_dtype=False)
 
 
+def _brute_maximal(rows, k):
+    """Reference enumerator of maximal corpus repeats ≥ k tokens: EXT(s)
+    by direct occurrence counting, domination filter per doc — the
+    O(n²·len) third opinion the Spark and DuckDB paths must both match."""
+    from collections import defaultdict
+
+    toks = {d: t.split(" ") for d, t in rows}
+    occ = defaultdict(int)
+    for d, tt in toks.items():
+        for s in range(len(tt)):
+            for ln in range(1, len(tt) - s + 1):
+                occ[tuple(tt[s : s + ln])] += 1
+
+    def ext(d, s):
+        tt, best = toks[d], 0
+        for ln in range(1, len(tt) - s + 1):
+            if occ[tuple(tt[s : s + ln])] >= 2:
+                best = ln
+            else:
+                break
+        return best
+
+    out = []
+    for d, tt in toks.items():
+        pm = None
+        for s in range(len(tt)):
+            e = s + ext(d, s)
+            if e - s >= k and (pm is None or e > pm):
+                out.append((d, s, e, e - s, " ".join(tt[s:e])))
+                pm = e if pm is None else max(pm, e)
+    return sorted(out)
+
+
+class TestExactSubstringMaximal:
+    CORPUS = [
+        (0, "a b c d e f g h i j"),
+        (1, "x x a b c d e q r s"),  # shares "a b c d e" with doc0
+        (2, "m n c d e f g t u v"),  # shares "c d e f g" with doc0
+        (3, "p q r s t u v w a b"),
+        (4, "a b c d e f g h i j"),  # full duplicate of doc0
+        (5, "z z z a b c z z z a b c"),  # overlapping WITHIN-doc repeat
+    ]
+
+    def _spark_rows(self, spark, rows, k):
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            exact_substring_maximal,
+        )
+
+        out = exact_substring_maximal(_docs(spark, rows), min_len=k).collect()
+        return sorted(
+            (r["doc_id"], r["s"], r["e"], r["rep_len"], r["rep_text"])
+            for r in out
+        )
+
+    def test_matches_brute_force_and_duckdb(self, spark):
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            exact_substring_maximal_sql,
+        )
+
+        expect = _brute_maximal(self.CORPUS, 3)
+        assert self._spark_rows(spark, self.CORPUS, 3) == expect
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ",".join(f"({d}, '{t}')" for d, t in self.CORPUS)
+            + ") t(doc_id, text)"
+        )
+        got = sorted(
+            tuple(r)
+            for r in con.execute(
+                exact_substring_maximal_sql("documents", min_len=3)
+            ).fetchall()
+        )
+        assert got == expect
+        # the semantics gap the window-union approximation leaves: doc1's
+        # "a b c d e" and doc2's "c d e f g" are DISTINCT maximal repeats
+        # (each occurs elsewhere); a merged-coverage view of doc0 cannot
+        # tell them apart
+        assert (1, 2, 7, 5, "a b c d e") in expect
+        assert (2, 2, 7, 5, "c d e f g") in expect
+
+    @pytest.mark.parametrize("seed", [5, 19])
+    def test_random_corpus_three_way(self, spark, seed):
+        # tiny vocab → dense repeat structure: overlapping repeats,
+        # within-doc periodicity, staircases — brute force is the law
+        rows = _random_corpus(seed, n_docs=25, vocab=4, max_len=18)
+        k = 3
+        expect = _brute_maximal(rows, k)
+        assert self._spark_rows(spark, rows, k) == expect
+        import pandas as pd
+
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            exact_substring_maximal_sql,
+        )
+
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        got = sorted(
+            tuple(r)
+            for r in con.execute(
+                exact_substring_maximal_sql("documents", min_len=k)
+            ).fetchall()
+        )
+        assert got == expect
+
+    def test_span_union_equals_window_union_coverage(self, spark):
+        # pinning the relationship to exact_substring_dedup: the UNION of
+        # maximal repeats covers exactly the positions lying in ANY
+        # corpus-repeated k-window (the coverage set both semantics agree
+        # on; they differ only in structure and keep policy)
+        rows = _random_corpus(23, n_docs=20, vocab=4, max_len=16)
+        k = 3
+        toks = {d: t.split(" ") for d, t in rows}
+        from collections import defaultdict
+
+        wocc = defaultdict(int)
+        for d, tt in toks.items():
+            for s in range(len(tt) - k + 1):
+                wocc[tuple(tt[s : s + k])] += 1
+        window_cover = {
+            d: {
+                p
+                for s in range(len(tt) - k + 1)
+                if wocc[tuple(tt[s : s + k])] >= 2
+                for p in range(s, s + k)
+            }
+            for d, tt in toks.items()
+        }
+        span_cover = defaultdict(set)
+        for d, s, e, _, _ in self._spark_rows(spark, rows, k):
+            span_cover[d].update(range(s, e))
+        for d in toks:
+            assert span_cover[d] == window_cover[d], d
+
+    def test_cap_staircases_but_preserves_coverage(self, spark):
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            exact_substring_maximal,
+        )
+
+        rows = [(0, " ".join(f"t{i}" for i in range(12))),
+                (1, " ".join(f"t{i}" for i in range(12)))]
+        out = exact_substring_maximal(
+            _docs(spark, rows), min_len=3, cap=5
+        ).collect()
+        cover = {r["doc_id"]: set() for r in out}
+        for r in out:
+            assert r["rep_len"] <= 5  # no span exceeds the cap
+            cover[r["doc_id"]].update(range(r["s"], r["e"]))
+        assert cover[0] == set(range(12)) and cover[1] == set(range(12))
+
+
 class TestSegmentDedupHardening:
     def test_int32_ids_do_not_overflow_pos_key(self, spark):
         # IntegerType ids >= 2148 overflow int32 when multiplied by the
