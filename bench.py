@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     "exact_substring_dedup",   # ExactSubstr span removal (Lee et al. 2022)
     "unimax_mixture",          # UniMax water-filling language budgets
     "curation_funnel",         # end-to-end rewrite pipeline (5 stages)
+    # round-6 additions (departure_board_cached is catalog-gated but not
+    # benched — demo-fixture construction dominates, like monitor_http)
+    "exact_substring_maximal",  # suffix-array-semantics maximal repeats
 ]
 
 
