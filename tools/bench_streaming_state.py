@@ -56,6 +56,11 @@ def main() -> None:
                     ).save()
                 walls.append(round(time.time() - t0, 3))
                 release_persisted()
+                print(
+                    f"# {provider} {name} {walls[-1]}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
             out[name][provider] = walls
     print(
         json.dumps(
