@@ -166,7 +166,7 @@ def kmeans_assign(
     are summed either way, and min(struct) ties break on the lower
     centroid id exactly like the old (d2, cid) window order.
     """
-    from .dedup import portable_base_hash
+    from .dedup import _spread, portable_base_hash
     from pyspark.sql import Window
 
     q = F.transform(
@@ -175,7 +175,11 @@ def kmeans_assign(
             "bigint"
         ),
     )
-    quant = embeddings.select(F.col(id_col).alias("vid"), q.alias("xq"))
+    # the assignment folds run map-side ABOVE this scan (broadcast join,
+    # no shuffle below them): a one-split parquet input would pin the
+    # whole N x k distance work on ONE core — the sf10 rehearsal
+    # measured exactly that (single task at 93% of one core for 20 min)
+    quant = _spread(embeddings).select(F.col(id_col).alias("vid"), q.alias("xq"))
     longf = quant.select(
         "vid", F.posexplode("xq").alias("dim", "x")
     )
