@@ -31,6 +31,7 @@ NOT_SF_TABLE_DRIVEN = {
     "journey_transfers",
     "master_variants",
     "monitor_http",
+    "departure_board_cached",
     "realtime_basis",
     "scheduled_predictions",
     "skipped_updates",

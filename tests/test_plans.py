@@ -432,9 +432,13 @@ def test_chunk_documents_is_map_only_before_output_sort(spark, sf_dir):
 
 def test_reservoir_threshold_prefilter_bounds_the_exchange(spark, sf_dir):
     # the corpus must reach the ranking window only through the broadcast
-    # threshold filter (≈k survivors per key) — no collect_list partial
-    # top-k (unbounded in-memory array under a hot key), no exchange of
-    # the full corpus into the window sort, no python
+    # histogram-cutoff filter (≈k survivors per key) — no collect_list of
+    # ROW VALUES (unbounded in-memory array under a hot key), no exchange
+    # of the full corpus into the window sort, no python.  The one
+    # permitted collect_list is the per-key (bucket, count) histogram,
+    # bounded at 3841 entries by the bucketizer's range.
+    import re as _re
+
     from dystonse_gtfs_data_spark.operators.sampling import (
         deterministic_reservoir,
     )
@@ -444,7 +448,11 @@ def test_reservoir_threshold_prefilter_bounds_the_exchange(spark, sf_dir):
     df = deterministic_reservoir(docs, "lang", "doc_id", k=20)
     plan = formatted_plan(df)
     assert "pythonudf" not in plan.lower()
-    assert "collect_list" not in plan.lower(), plan
+    for m in _re.finditer(r"collect_list\(([^)]*)", plan):
+        assert "_bkt" in m.group(1), (
+            f"collect_list over something other than the bounded "
+            f"histogram pairs: {m.group(0)}\n{plan}"
+        )
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
     # the per-key count aggregations ARE map-side combined
