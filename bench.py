@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     # round-6 additions (departure_board_cached is catalog-gated but not
     # benched — demo-fixture construction dominates, like monitor_http)
     "exact_substring_maximal",  # suffix-array-semantics maximal repeats
+    "exact_substring_keep_one",  # paper keep policy: first occurrence survives contiguously
 ]
 
 

@@ -1379,6 +1379,175 @@ def exact_substring_maximal(
     )
 
 
+def exact_substring_keep_one(
+    docs: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+    cap: int = _MAXREP_CAP_DEFAULT,
+) -> DataFrame:
+    """ExactSubstr removal with the PAPER's keep policy (Lee et al.
+    2022 §4.1: "except for one occurrence"): for every maximal corpus
+    repeat, the corpus-first occurrence survives CONTIGUOUSLY; all
+    other occurrences are cut.
+
+    This is the policy-level complement of :func:`exact_substring_dedup`
+    (whose keep-first exemption is per WINDOW, so a repeat's surviving
+    windows can end up scattered across documents with no contiguous
+    copy anywhere).  Built on :func:`exact_substring_maximal`'s spans:
+    occurrences cluster by their exact repeat text, the minimum
+    (doc, pos) key in each cluster is the keeper, every other span is
+    cut, and per-document span-merge + token reassembly are the same
+    gaps-and-islands shape as the window-union operator.
+
+    Caveat shared with the paper: a keeper may itself overlap a cut
+    span of a DIFFERENT repeat in the same document, in which case part
+    of the kept text still disappears — the paper accepts this (one
+    pass, no fixpoint), and so does this operator.
+
+    Output: (id, clean_text, n_tokens, removed_tokens, n_spans) — one
+    row per input document, untouched documents with n_spans = 0.
+    """
+    arr = F.split(F.col(text_col), re.escape(sep))
+    base = docs.select(F.col(id_col), arr.alias("_arr"))
+    spans = exact_substring_maximal(
+        docs, min_len=min_len, text_col=text_col, id_col=id_col, sep=sep,
+        cap=cap,
+    )
+    keyed = spans.withColumn("_pk", _pos_key(id_col, "s"))
+    first = keyed.groupBy("rep_text").agg(F.min("_pk").alias("_first"))
+    cuts = (
+        keyed.join(first, "rep_text")
+        .filter(F.col("_pk") != F.col("_first"))
+        .select(id_col, F.col("s").alias("pos"), F.col("e").alias("end"))
+    )
+    # merge overlapping cut spans per document (gaps-and-islands) and
+    # reassemble — identical shape to exact_substring_dedup stage 3
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("end").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        cuts.withColumn(
+            "_new", (prev_max.isNull() | (F.col("pos") > prev_max)).cast("int")
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "_island")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("_ivs"))
+    )
+
+    def _keep(tok):
+        return ~F.exists(
+            "_ivs", lambda v: (tok["i"] >= v["s"]) & (tok["i"] < v["e"])
+        )
+
+    idxed = F.transform(
+        F.col("_arr"), lambda x, i: F.struct(i.alias("i"), x.alias("t"))
+    )
+    kept = F.filter(idxed, _keep)
+    return (
+        base.join(islands, id_col, "left")
+        .withColumn("_ivs", F.coalesce(F.col("_ivs"), F.array()))
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(kept, lambda s: s["t"]), sep
+            ).alias("clean_text"),
+            F.size("_arr").cast("long").alias("n_tokens"),
+            (F.size("_arr") - F.size(kept)).cast("long").alias("removed_tokens"),
+            F.size("_ivs").cast("long").alias("n_spans"),
+        )
+    )
+
+
+def exact_substring_keep_one_sql(
+    table: str,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+    cap: int = _MAXREP_CAP_DEFAULT,
+) -> str:
+    """DuckDB twin of :func:`exact_substring_keep_one`: the maximal-
+    repeat twin as a CTE, then keep-first per rep_text + islands merge
+    + reassembly (same SQL shapes as the window-union twin)."""
+    sq = sep.replace("'", "''")
+    maximal = exact_substring_maximal_sql(
+        table, min_len=min_len, text_col=text_col, id_col=id_col, sep=sep,
+        cap=cap,
+    )
+    return f"""
+    WITH spans AS ({maximal}),
+    arrs2 AS (
+      SELECT {id_col}, string_split({text_col}, '{sq}') AS arr
+      FROM {table}
+    ),
+    keyed2 AS (
+      SELECT *, CAST({id_col} AS BIGINT) * {POSITIONS_PER_DOC} + s AS pk
+      FROM spans
+    ),
+    firsts AS (
+      SELECT rep_text, min(pk) AS first_pk FROM keyed2 GROUP BY rep_text
+    ),
+    cuts AS (
+      SELECT k.{id_col}, k.s AS pos, k.e AS e
+      FROM keyed2 k JOIN firsts f USING (rep_text)
+      WHERE k.pk <> f.first_pk
+    ),
+    flagged AS (
+      SELECT {id_col}, pos, e,
+             CASE WHEN max(e) OVER (PARTITION BY {id_col} ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                  OR pos > max(e) OVER (PARTITION BY {id_col} ORDER BY pos
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM cuts
+    ),
+    islands AS (
+      SELECT {id_col}, pos, e,
+             sum(new_island) OVER (PARTITION BY {id_col} ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT {id_col}, min(pos) AS s, max(e) AS e
+      FROM islands GROUP BY {id_col}, island
+    ),
+    toks AS (
+      SELECT {id_col}, unnest(arr) AS tok,
+             generate_subscripts(arr, 1) - 1 AS idx
+      FROM arrs2
+    ),
+    kept AS (
+      SELECT t.{id_col}, t.tok, t.idx
+      FROM toks t LEFT JOIN merged m
+        ON m.{id_col} = t.{id_col} AND t.idx >= m.s AND t.idx < m.e
+      WHERE m.s IS NULL
+    ),
+    kept_agg AS (
+      SELECT {id_col}, string_agg(tok, '{sq}' ORDER BY idx) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY 1
+    ),
+    span_agg AS (
+      SELECT {id_col}, count(*) AS n_spans FROM merged GROUP BY 1
+    )
+    SELECT a.{id_col} AS {id_col},
+           coalesce(k.clean_text, '') AS clean_text,
+           CAST(len(a.arr) AS BIGINT) AS n_tokens,
+           CAST(len(a.arr) - coalesce(k.n_kept, 0) AS BIGINT) AS removed_tokens,
+           CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans
+    FROM arrs2 a
+    LEFT JOIN kept_agg k ON k.{id_col} = a.{id_col}
+    LEFT JOIN span_agg s ON s.{id_col} = a.{id_col}
+    """
+
+
 def exact_substring_maximal_sql(
     table: str,
     min_len: int = 20,

@@ -1835,6 +1835,38 @@ _finalize_exact_substring_maximal_oracle()
 
 
 @register(
+    "exact_substring_keep_one",
+    None,  # replaced below (built from the dedup module's SQL twin)
+)
+def q_exact_substring_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_substring_keep_one
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substring_keep_one(docs, min_len=5).orderBy("doc_id")
+
+
+def _finalize_exact_substring_keep_one_oracle() -> None:
+    from .operators.dedup import exact_substring_keep_one_sql
+
+    spec = REGISTRY["exact_substring_keep_one"]
+    REGISTRY["exact_substring_keep_one"] = QuerySpec(
+        fn=spec.fn,
+        oracle=exact_substring_keep_one_sql("documents", min_len=5)
+        + "\n    ORDER BY doc_id",
+        covers="ExactSubstr removal with the PAPER's keep policy (Lee "
+        "et al. 2022 §4.1 'except for one occurrence'): every maximal "
+        "repeat's corpus-first occurrence survives CONTIGUOUSLY, all "
+        "other occurrences are cut — the policy-level complement of "
+        "exact_substring_dedup's per-window exemption; built on the "
+        "exact_substring_maximal spans, keep-first per repeat text, "
+        "gaps-and-islands merge, HOF reassembly",
+    )
+
+
+_finalize_exact_substring_keep_one_oracle()
+
+
+@register(
     "unimax_mixture",
     None,  # replaced below (built from the sampling module's SQL twin)
 )
@@ -6706,6 +6738,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "session_window_stream",
     # new in round 6 (names not yet in REGISTRY are filtered out harmlessly)
     "exact_substring_maximal",
+    "exact_substring_keep_one",
     "departure_board_cached",
     # round-4-vintage entries whose code paths round 6 touches
     # (adaptive _spread at the corpus scans; reservoir probe fold)

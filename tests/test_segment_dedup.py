@@ -372,6 +372,123 @@ class TestExactSubstringMaximal:
         assert cover[0] == set(range(12)) and cover[1] == set(range(12))
 
 
+def _brute_keep_one(rows, k):
+    """Reference for the paper's keep policy: maximal repeats via
+    _brute_maximal-style EXT, keep-first per repeat TEXT by (doc, pos)
+    key, cut every other occurrence, merge islands, reassemble."""
+    from collections import defaultdict
+
+    toks = {d: t.split(" ") for d, t in rows}
+    occ = defaultdict(int)
+    for d, tt in toks.items():
+        for s in range(len(tt)):
+            for ln in range(1, len(tt) - s + 1):
+                occ[tuple(tt[s : s + ln])] += 1
+
+    def ext(d, s):
+        tt, best = toks[d], 0
+        for ln in range(1, len(tt) - s + 1):
+            if occ[tuple(tt[s : s + ln])] >= 2:
+                best = ln
+            else:
+                break
+        return best
+
+    spans = []
+    for d, tt in toks.items():
+        pm = None
+        for s in range(len(tt)):
+            e = s + ext(d, s)
+            if e - s >= k and (pm is None or e > pm):
+                spans.append((d, s, e, tuple(tt[s:e])))
+                pm = e if pm is None else max(pm, e)
+    first = {}
+    for d, s, e, txt in spans:
+        pk = d * 1_000_000 + s
+        if txt not in first or pk < first[txt]:
+            first[txt] = pk
+    cuts = defaultdict(list)
+    for d, s, e, txt in spans:
+        if d * 1_000_000 + s != first[txt]:
+            cuts[d].append((s, e))
+    out = []
+    for d, tt in toks.items():
+        ivs = []
+        for s, e in sorted(cuts[d]):
+            if ivs and s <= ivs[-1][1]:
+                ivs[-1] = (ivs[-1][0], max(ivs[-1][1], e))
+            else:
+                ivs.append((s, e))
+        covered = {p for s, e in ivs for p in range(s, e)}
+        kept = [t for i, t in enumerate(tt) if i not in covered]
+        out.append((d, " ".join(kept), len(tt), len(tt) - len(kept), len(ivs)))
+    return sorted(out)
+
+
+class TestExactSubstringKeepOne:
+    @pytest.mark.parametrize("seed", [13, 29])
+    def test_three_way_on_random_corpus(self, spark, seed):
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            exact_substring_keep_one,
+            exact_substring_keep_one_sql,
+        )
+
+        rows = TestExactSubstringMaximal.CORPUS + [
+            (10 + i, t)
+            for i, (_, t) in enumerate(
+                _random_corpus(seed, n_docs=20, vocab=4, max_len=18)
+            )
+        ]
+        k = 3
+        expect = _brute_keep_one(rows, k)
+        got = sorted(
+            tuple(r)
+            for r in exact_substring_keep_one(
+                _docs(spark, rows), min_len=k
+            ).collect()
+        )
+        assert got == expect
+        import pandas as pd
+
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        dd = sorted(
+            tuple(r)
+            for r in con.execute(
+                exact_substring_keep_one_sql("documents", min_len=k)
+            ).fetchall()
+        )
+        assert dd == expect
+
+    def test_contiguous_copy_survives_unlike_window_policy(self, spark):
+        # the case that motivates the policy: every k-window of doc2's
+        # repeat has its global first occurrence in a DIFFERENT doc, so
+        # the window-level exemption shreds doc2 while no contiguous
+        # copy of anything is preserved there; keep-one must instead
+        # keep each repeat's first occurrence whole
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            exact_substring_keep_one,
+        )
+
+        rows = [
+            (0, "a b c d X Y Z"),   # first occurrence of "a b c d"
+            (1, "Q R S b c d e"),   # first occurrence of "b c d e"
+            (2, "a b c d e"),       # both repeats overlap here
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in exact_substring_keep_one(
+                _docs(spark, rows), min_len=4
+            ).collect()
+        }
+        # keepers stay contiguous in their first-occurrence docs
+        assert out[0]["clean_text"] == "a b c d X Y Z"
+        assert out[1]["clean_text"] == "Q R S b c d e"
+        # doc2 loses both overlapping occurrences entirely
+        assert out[2]["clean_text"] == ""
+        assert out[2]["removed_tokens"] == 5
+
+
 class TestSegmentDedupHardening:
     def test_int32_ids_do_not_overflow_pos_key(self, spark):
         # IntegerType ids >= 2148 overflow int32 when multiplied by the
