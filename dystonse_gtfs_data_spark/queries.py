@@ -6741,8 +6741,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "exact_substring_keep_one",
     "departure_board_cached",
     # round-4-vintage entries whose code paths round 6 touches
-    # (adaptive _spread at the corpus scans; reservoir probe fold)
+    # (kmeans assignment rework; reservoir histogram cutoff; sampling
+    # module edits; spread knob at the corpus scans)
     "reservoir_per_key",
+    "kmeans_clusters",
     "semantic_dedup",
     "bpe_tokenize",
     "edit_distance_dedup",
@@ -6753,6 +6755,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "heavy_hitters",
     "minhash_near_dups_xxhash",
     "winnow_passage_overlap",
+    "weighted_sample",
+    "stratified_sample",
+    "curriculum_deciles",
+    "stream_near_dup",
 )
 
 
