@@ -187,6 +187,43 @@ def test_bigram_lm_score_hand_computed(spark, sf_dir):
     assert out[2]["sum_logprob"] == pytest.approx(lp_ab, abs=1e-9)
 
 
+def test_reservoir_bucketizer_monotone_and_bounded(spark):
+    # the exactness PROOF rests on two properties of the log-scale
+    # bucketizer: weakly DECREASING in hv (so every hash smaller than a
+    # survivor's maps to an equal-or-higher bucket and survives with it)
+    # and a bounded range (so per-key aggregation state is capped at
+    # 3841 entries).  Sweep a dense sample of the 60-bit space plus the
+    # exact edges.
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    hvs = sorted(
+        {0, 1, 2, (1 << 60) - 1, 1 << 59, (1 << 59) - 1}
+        | {rng.randrange(1 << 60) for _ in range(20_000)}
+    )
+    df = spark.createDataFrame([(v,) for v in hvs], "hv long")
+    bucket = F.least(
+        F.greatest(
+            F.floor(
+                F.lit(64.0)
+                * (F.lit(60.0) - F.log2(F.col("hv").cast("double") + F.lit(1.0)))
+            ),
+            F.lit(0),
+        ),
+        F.lit(60 * 64),
+    ).cast("int")
+    rows = df.select("hv", bucket.alias("b")).orderBy("hv").collect()
+    assert rows[0]["hv"] == 0 and rows[0]["b"] == 3840
+    prev = None
+    for r in rows:
+        assert 0 <= r["b"] <= 3840
+        if prev is not None:
+            assert r["b"] <= prev, (r["hv"], r["b"], prev)
+        prev = r["b"]
+
+
 class TestDeterministicReservoir:
     def test_exact_k_per_key_and_stable(self, spark):
         from pyspark.sql import functions as F
