@@ -81,6 +81,7 @@ class _MonitorHandler(BaseHTTPRequestHandler):
     clock = staticmethod(time.monotonic)
     _board_cache: "OrderedDict[tuple, tuple[float, list[dict]]]" = None  # type: ignore[assignment]
     _cache_lock: threading.Lock = None  # type: ignore[assignment]
+    _inflight: "dict[tuple, threading.Event]" = None  # type: ignore[assignment]
 
     def _cached_board(self, key: tuple) -> list[dict] | None:
         """Fresh cache hit or None.  LRU touch on hit."""
@@ -101,6 +102,35 @@ class _MonitorHandler(BaseHTTPRequestHandler):
             self._board_cache.move_to_end(key)
             while len(self._board_cache) > _BOARD_CACHE_MAX:
                 self._board_cache.popitem(last=False)
+
+    def _board_single_flight(self, key: tuple, compute) -> list[dict]:
+        """Cache lookup with per-key request coalescing: N concurrent
+        misses on one (stop-set, window) run ONE Spark query — the first
+        caller computes, the rest wait on a per-key Event and read the
+        stored rows.  If the owner's compute raises, waiters re-race for
+        ownership, so a transient failure doesn't wedge the key."""
+        while True:
+            rows = self._cached_board(key)
+            if rows is not None:
+                return rows
+            with self._cache_lock:
+                ev = self._inflight.get(key)
+                owner = ev is None
+                if owner:
+                    ev = threading.Event()
+                    self._inflight[key] = ev
+            if owner:
+                try:
+                    rows = compute()
+                    self._store_board(key, rows)
+                finally:
+                    with self._cache_lock:
+                        self._inflight.pop(key, None)
+                    ev.set()
+                return rows
+            ev.wait()
+            # loop: fresh hit in the common case; on owner failure one
+            # waiter becomes the new owner
 
     def log_message(self, fmt, *args):  # quiet under pytest
         pass
@@ -160,23 +190,26 @@ class _MonitorHandler(BaseHTTPRequestHandler):
                 from .operators.monitor import departure_board
 
                 stop_ids = params["stop_ids"].split(",")
-                start, end = params["start"], params["end"]
-                key = (tuple(sorted(stop_ids)), start, end)
+                window_min = _parse_dt(params["start"])
+                window_max = _parse_dt(params["end"])
+
+                def compute() -> list[dict]:
+                    board = departure_board(
+                        self.predictions,
+                        stop_ids=stop_ids,
+                        window_min=window_min,
+                        window_max=window_max,
+                        trip_max_sequences=self.trip_max_sequences,
+                    )
+                    return board_rows_json(board)
+
                 if self.materialize_ttl is not None:
-                    rows = self._cached_board(key)
-                    if rows is not None:
-                        self._send_json(rows)
-                        return
-                board = departure_board(
-                    self.predictions,
-                    stop_ids=stop_ids,
-                    window_min=_parse_dt(start),
-                    window_max=_parse_dt(end),
-                    trip_max_sequences=self.trip_max_sequences,
-                )
-                rows = board_rows_json(board)
-                if self.materialize_ttl is not None:
-                    self._store_board(key, rows)
+                    # key on the PARSED datetimes so equivalent spellings
+                    # ("T" vs space, trailing seconds) share one entry
+                    key = (tuple(sorted(stop_ids)), window_min, window_max)
+                    rows = self._board_single_flight(key, compute)
+                else:
+                    rows = compute()
                 self._send_json(rows)
             else:
                 self._send_json({"error": f"unknown route {route}"}, status=404)
@@ -214,6 +247,7 @@ def start_monitor_server(
             "clock": staticmethod(clock),
             "_board_cache": OrderedDict(),
             "_cache_lock": threading.Lock(),
+            "_inflight": {},
         },
     )
     server = ThreadingHTTPServer(("127.0.0.1", port), handler)

@@ -234,8 +234,7 @@ def deterministic_reservoir(
     Float caveat: ``log2`` over a double is only used as a MONOTONE
     bucketizer evaluated by the SAME expression on both passes — exact
     bucket boundaries are irrelevant to correctness, so double rounding
-    above 2^53 is harmless.
-    builder needs."""
+    above 2^53 is harmless."""
     h = portable_base_hash(
         F.concat(F.lit("rsv:"), F.col(id_col).cast("string"))
     ).alias("hv")

@@ -6688,77 +6688,62 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The driver's per-round CORRECTNESS gate checks a ~50-entry prefix of this
-# catalog.  After round 5 every one of the 131 entries has a green driver
-# row, but 31 entries' NEWEST row is round-3's — and round 5 touched shared
-# infrastructure (`_spread`, `_pos_key`, literal-sep splits, rename-swap
-# sinks) after that check.  Round 6's order: those 31 FIRST (post-hardening
-# driver evidence for every entry), then round-6 additions, then the
-# round-4-vintage entries this round's adaptive-`_spread` and reservoir
-# changes touch; round-5-green entries move to the back (freshest evidence).
+# catalog.  After round 6 every one of the 134 entries has a green driver
+# row, but 42 entries' NEWEST row is round-4's — and round 6 rewrote modules
+# several of them live in (sampling.py for the reservoir, dedup.py +504
+# lines, clustering.py's kmeans rework).  Round 7's order: the 10 entries
+# whose modules round 6 rewrote FIRST (post-rewrite driver evidence), then
+# the round-7 additions, then the remaining 32 round-4-vintage entries;
+# r5/r6-green entries move to the back (freshest evidence).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # newest green driver row is round-3's (31 entries)
-    "latest_wins_dedup",
-    "asof_join",
-    "fallback_lookup",
-    "interval_counts",
-    "time_slots",
-    "delay_rounding",
-    "forward_fill",
-    "running_totals",
-    "autocomplete",
-    "extended_stops",
-    "inactive_customers",
-    "sessionize",
-    "token_counts",
-    "quality_scores",
-    "lang_id",
-    "fingerprint_dedup",
-    "duration_parse",
-    "percent_encoding",
-    "image_stats",
-    "image_phash_dedup",
-    "video_frame_stats",
-    "audio_rms",
-    "cosine_topk",
-    "embedding_near_dups",
-    "minhash_near_dups",
-    "simhash_near_dups",
-    "ngram_jaccard_dedup",
-    "winnow_fingerprints",
-    "lsh_topk",
-    "ivf_topk",
-    "ivfpq_topk",
-    "make_curve_ecdf",
-    "curve_codec_roundtrip",
-    "simplify_curves",
-    "transfer_probability_matrix",
-    "average_curves_groups",
-    "windowed_counts_stream",
-    "stream_stream_join",
-    "session_window_stream",
-    # new in round 6 (names not yet in REGISTRY are filtered out harmlessly)
-    "exact_substring_maximal",
-    "exact_substring_keep_one",
-    "departure_board_cached",
-    # round-4-vintage entries whose code paths round 6 touches
-    # (kmeans assignment rework; reservoir histogram cutoff; sampling
-    # module edits; spread knob at the corpus scans)
-    "reservoir_per_key",
-    "kmeans_clusters",
-    "semantic_dedup",
-    "bpe_tokenize",
-    "edit_distance_dedup",
-    "bigram_lm_score",
-    "decontaminate",
-    "clean_corpus",
-    "quantile_sketch",
-    "heavy_hitters",
-    "minhash_near_dups_xxhash",
-    "winnow_passage_overlap",
+    # r4-vintage entries whose modules round 6 rewrote (10)
     "weighted_sample",
     "stratified_sample",
-    "curriculum_deciles",
+    "dataset_mixture",
+    "pack_sequences",
     "stream_near_dup",
+    "dedup_eval",
+    "minhash_near_dups_xxhash",
+    "simhash_near_dups_xxhash",
+    "winnow_passage_overlap",
+    "dedup_clusters",
+    # new in round 7 (names not yet in REGISTRY are filtered out harmlessly)
+    "curation_funnel_fused",
+    "exact_substring_ranked",
+    "gtfs_statistics_scaled",
+    # remaining round-4-vintage entries (32)
+    "ann_recall",
+    "basis_stream",
+    "bloom_semi_prune",
+    "bpe_merges",
+    "chunk_documents",
+    "corpus_diff",
+    "curriculum_deciles",
+    "curve_svg_render",
+    "gap_fill_records",
+    "grouping_sets_report",
+    "gtfs_schedule_scan",
+    "heat_strip_pixels",
+    "heat_strip_render",
+    "heavy_hitters",
+    "hll_distinct",
+    "hll_merge",
+    "journey_chain",
+    "pii_redaction",
+    "quantile_sketch",
+    "rank_correlation",
+    "realtime_basis",
+    "repetition_signals",
+    "robust_outliers",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "skipped_updates",
+    "statistics_tree_roundtrip",
+    "stream_dedup",
+    "tfidf_terms",
+    "url_domains",
+    "zorder_layout",
+    "zorder_skipping",
 )
 
 

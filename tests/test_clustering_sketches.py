@@ -107,6 +107,20 @@ class TestKmeans:
         assert out[out.vec_id < 20].cluster.iloc[0] != out[out.vec_id >= 20].cluster.iloc[0]
         assert set(out.cluster_size) == {20}
 
+    def test_assignment_join_is_broadcast_hash_not_bnlj(self, spark):
+        # the `_one = pmod(hash(col), 1)` constant equi-key relies on the
+        # optimizer NOT constant-folding it; a Spark version that folds
+        # pmod(x, 1) to 0 would silently degrade the assignment join to
+        # BroadcastNestedLoopJoin.  Catch that at pytest time, not only
+        # in the ~20-min gate's plan-lint stage (round-6 advice item).
+        from dystonse_gtfs_data_spark.operators.clustering import kmeans_assign
+        from dystonse_gtfs_data_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        plan = kmeans_assign(emb, k=4, rounds=1)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+
     def test_deterministic_across_runs(self, spark):
         from dystonse_gtfs_data_spark.operators.clustering import kmeans_assign
         from dystonse_gtfs_data_spark.sources.tables import load_table

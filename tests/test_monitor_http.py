@@ -318,6 +318,124 @@ class TestMaterializedBoards:
         assert narrow != wide  # different key → different board
 
 
+class TestSingleFlight:
+    """Cache-miss stampede hardening: N concurrent first-requests for one
+    (stop-set, window) must run ONE Spark query (round-6 advice item)."""
+
+    WINDOW = {"start": "2024-01-01T08:00:00", "end": "2024-01-06T10:00:00"}
+
+    def _board_path(self, start=None, end=None):
+        return "/departures?" + urllib.parse.urlencode(
+            {
+                "stop_ids": ",".join(f"s{i}" for i in range(16)),
+                "start": start or self.WINDOW["start"],
+                "end": end or self.WINDOW["end"],
+            }
+        )
+
+    def _server(self, served, spark, **kw):
+        return start_monitor_server(
+            spark,
+            served["preds"],
+            stops=served["stops"],
+            trip_max_sequences=served["max_seq"],
+            materialize_ttl=3600.0,
+            **kw,
+        )
+
+    def test_concurrent_misses_run_one_board_query(
+        self, served, spark, monkeypatch
+    ):
+        import threading
+
+        import dystonse_gtfs_data_spark.operators.monitor as mon
+
+        orig = mon.departure_board
+        calls = []
+        monkeypatch.setattr(
+            mon,
+            "departure_board",
+            lambda *a, **k: (calls.append(1), orig(*a, **k))[1],
+        )
+        server, port = self._server(served, spark)
+        try:
+            results, errors = [], []
+
+            def worker():
+                try:
+                    results.append(_get(port, self._board_path()))
+                except Exception as exc:  # pragma: no cover - fail loud
+                    errors.append(exc)
+
+            threads = [threading.Thread(target=worker) for _ in range(4)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+        finally:
+            server.shutdown()
+        assert not errors
+        assert len(calls) == 1, f"stampede: {len(calls)} board queries ran"
+        first = results[0][1]
+        assert len(first) > 0
+        assert all(status == 200 and rows == first for status, rows in results)
+
+    def test_owner_failure_does_not_wedge_the_key(self, served, spark):
+        # if the computing request raises, the key must be released so a
+        # retry can become the new owner instead of waiting forever
+        server, _port = self._server(served, spark)
+        try:
+            cls = server.RequestHandlerClass
+            h = cls.__new__(cls)  # methods use class-level shared state only
+            key = ("wedge-test",)
+
+            def boom():
+                raise RuntimeError("transient")
+
+            with pytest.raises(RuntimeError):
+                h._board_single_flight(key, boom)
+            assert h._board_single_flight(key, lambda: [{"ok": 1}]) == [
+                {"ok": 1}
+            ]
+        finally:
+            server.shutdown()
+
+    def test_equivalent_timestamp_spellings_share_one_entry(
+        self, served, spark
+    ):
+        # "T" vs space spellings parse to the same datetimes and must hit
+        # the same cache entry — proven by the job-id fence: the respelled
+        # GET issues zero Spark jobs
+        server, port = self._server(served, spark)
+        try:
+            status, first = _get(port, self._board_path())
+            assert status == 200 and len(first) > 0
+            sc = spark.sparkContext
+            sc.setJobGroup("mhc-spell", "job-count fence")
+            try:
+                sc.parallelize([0]).count()
+                before = _group_job_ids(spark, "mhc-spell", at_least=1)
+                status, respelled = _get(
+                    port,
+                    self._board_path(
+                        start="2024-01-01 08:00:00", end="2024-01-06 10:00:00"
+                    ),
+                )
+                sc.parallelize([0]).count()
+                after = _group_job_ids(
+                    spark, "mhc-spell", at_least=len(before) + 1
+                )
+            finally:
+                sc.setJobGroup(None, None)
+            new = sorted(after - before)
+            assert len(new) == 1 and new[0] == max(before) + 1, (
+                "respelled window missed the cache and ran Spark jobs"
+            )
+            assert status == 200 and respelled == first
+        finally:
+            server.shutdown()
+
+
 class _NoRedirect(urllib.request.HTTPRedirectHandler):
     def redirect_request(self, *args, **kwargs):
         return None
