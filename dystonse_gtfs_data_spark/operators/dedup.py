@@ -1196,6 +1196,380 @@ def _token_lcp(a, b):
     )
 
 
+def _verified_repeat_starts(
+    base: DataFrame, min_len: int, sep: str, id_col: str
+) -> DataFrame:
+    """Positions whose ``min_len``-gram occurs ≥ 2 times corpus-wide —
+    the shared stage 1-2 of the maximal-repeat operators: xxhash64 gram
+    prefilter (full-volume shuffle carries 16 B/token, never gram text)
+    + exact-text verification on hash-colliding candidates only, WITHOUT
+    any keep-first exemption.  ``base`` is (id, _arr).  Returns
+    (id, pos)."""
+
+    def _gram(i):
+        return F.struct(
+            i.alias("pos"),
+            F.xxhash64(
+                F.concat_ws(sep, F.slice(F.col("_arr"), i + 1, min_len))
+            ).alias("gh"),
+        )
+
+    occ = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_arr") >= min_len,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_arr") - min_len), _gram
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
+        ).alias("_g"),
+    ).select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
+    hot = occ.groupBy("gh").agg(F.count("*").alias("_c")).filter(F.col("_c") > 1)
+    cand = occ.join(hot.select("gh"), "gh").drop("gh")
+    # exact-text verification (hash collisions add candidates, never
+    # results) on the SLIM gram text only — suffix payloads attach
+    # after, so they never ride through the gtext self-join
+    wg = cand.join(base, id_col).select(
+        F.col(id_col),
+        "pos",
+        F.concat_ws(
+            sep, F.slice(F.col("_arr"), F.col("pos") + 1, min_len)
+        ).alias("gtext"),
+    )
+    return (
+        wg.join(wg.groupBy("gtext").agg(F.count("*").alias("_n")), "gtext")
+        .filter(F.col("_n") > 1)
+        .select(id_col, "pos")
+    )
+
+
+def _lineage_cut(df: DataFrame) -> DataFrame:
+    """Eager checkpoint for iterative operators (the clustering.py
+    fixpoint pattern): reliable checkpoint when the caller configured a
+    dir (cluster path), localCheckpoint otherwise (single-JVM path)."""
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def _parquet_cut(df: DataFrame, path: str) -> DataFrame:
+    """Materialize ``df`` to parquet and read it back — the cut for
+    tables an ITERATED SELF-JOIN rebuilds round over round.
+
+    Why not :func:`_lineage_cut`: a checkpoint's LogicalRDD inherits its
+    origin plan's ESTIMATED statistics, and join estimates are products
+    — so round r+1's checkpoint carries ~stats(round r)², the
+    sizeInBytes BigInt DOUBLES ITS DIGITS every round, and after a dozen
+    rounds Catalyst's stats visitor (BigInt multiplies on every plan
+    node) dominates wall time and OOMs small driver heaps.  Measured on
+    the prefix-doubling rank build: rounds of an n=2082 corpus went
+    0.7 s → 4.9 s → 32 s → 242 s before this cut, flat after.  The
+    parquet read resets stats to the REAL file size (better planning)
+    and is the shape a cluster job uses for iterative state anyway."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _dense_sorted_index(
+    df: DataFrame, cols: list[str]
+) -> tuple[DataFrame, int]:
+    """Global dense index 0..K-1 over the DISTINCT rows of ``df[cols]``
+    in their sort order, without a single-partition window: range
+    partition, per-partition ``row_number``, and broadcast per-partition
+    offsets.  Driver traffic is one count per shuffle partition (bounded
+    by the partition count, never the data).  Returns (indexed, K)."""
+    spark = df.sparkSession
+    d = _lineage_cut(
+        df.dropDuplicates(cols)
+        .repartitionByRange(*[F.col(c) for c in cols])
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = sorted(
+        (r["_pid"], r["_c"])
+        for r in d.groupBy("_pid").agg(F.count("*").alias("_c")).collect()
+    )
+    offs, acc = [], 0
+    for pid, c in counts:
+        offs.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offs or [], "_pid int, _off bigint")
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    out = (
+        d.join(F.broadcast(off_df), "_pid")
+        .withColumn("_idx", F.row_number().over(w) - 1 + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+    return out, acc
+
+
+def exact_substring_maximal_ranked(
+    docs: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """UNCAPPED maximal corpus repeats ≥ ``min_len`` tokens — same
+    output contract as :func:`exact_substring_maximal`, with suffix
+    RANKS built by prefix doubling instead of materialized capped
+    suffixes, so a repeat of ANY length is reported as one span (no
+    ``cap``, no staircase).
+
+    Algorithm (Manber–Myers prefix doubling, distributed):
+
+    1. Level-0 ranks = dense index of distinct tokens; level i+1 ranks
+       re-rank each position by (rank_i[p], rank_i[p+2^i] or -1) — the
+       classic generalized-suffix-array construction over the corpus
+       (suffixes never cross documents; positions are (doc, pos) keys,
+       so no sentinel arithmetic).  Each round is one self-join on the
+       shifted position plus one distributed dense re-rank
+       (:func:`_dense_sorted_index` — range partition + local
+       row_number + broadcast offsets, never a single-partition
+       window).  Rounds stop as soon as every rank is distinct, i.e.
+       after ceil(log2(longest repeat)) + 1 rounds, NOT log2(longest
+       document) — the early stop is free (the re-rank already counts
+       its distinct keys).  Shuffle volume: O(n) rows × rounds =
+       O(n log maxrep), each row ~24 bytes.
+    2. Candidate starts (same hash prefilter + exact verify as the
+       capped path) join their final rank; final ranks are DISTINCT,
+       so rank order == lexicographic suffix order.  Range-partition by
+       rank, neighbor pairs from per-partition ``lead``, boundary rows
+       (2 per partition) paired in one bounded window — the capped
+       path's exact layout.
+    3. Neighbor LCPs by descending through the retained level tables:
+       acc += 2^i when rank_i[a+acc] == rank_i[b+acc] (both present) —
+       per level, two (doc, pos)-equi-joins at CANDIDATE volume, with
+       a lineage cut per level.  Identical-suffix pairs (full-document
+       duplicates) make the padded-prefix equality overshoot past the
+       document end, where true LCP == suffix length — clamping EXT to
+       the suffix length is exact.
+    4. EXT = max(LCP prev, LCP next) ≥ min_len → intervals →
+       per-document left-maximality filter, as in the capped path.
+
+    Use this when repeats may exceed :data:`_MAXREP_CAP_DEFAULT`
+    (dedup-before-train on corpora with whole-file duplication); the
+    capped path stays the cheaper default when the cap provably bounds
+    the corpus' repeat length.  At 100 TB: rank tables are n-row
+    (doc, pos, rank) triples persisted per level — O(n log maxrep)
+    storage through the build, freed when the operator's caller
+    releases tracked persists; the candidate stages are the capped
+    path's, whose volume is the duplication rate.
+    """
+    arr = F.split(F.col(text_col), re.escape(sep))  # sep is LITERAL
+    base = _spread(docs).select(F.col(id_col), arr.alias("_arr"))
+
+    from ..cache import tracked_persist
+
+    basep = tracked_persist(base)
+    cand = tracked_persist(
+        _verified_repeat_starts(basep, min_len, sep, id_col).withColumn(
+            "_pk", _pos_key(id_col, "pos")
+        )
+    )
+    # bounded 0/1-row probe: a corpus with no verified repeat start has
+    # nothing to rank — skip the iterative suffix-rank build entirely
+    # (the build costs O(n log maxrep) regardless of duplication rate,
+    # exactly what an undeduplicated-corpus fast path must not pay)
+    if cand.limit(1).count() == 0:
+        return basep.limit(0).select(
+            F.col(id_col),
+            F.lit(0).cast("int").alias("s"),
+            F.lit(0).cast("int").alias("e"),
+            F.lit(0).cast("int").alias("rep_len"),
+            F.lit("").alias("rep_text"),
+        )
+
+    # ---- stage 1: prefix-doubling rank tables over ALL positions ----
+    import os
+    import tempfile
+
+    # level tables are rebuilt by an iterated self-join: cut them with
+    # parquet (stats reset — see _parquet_cut), NOT localCheckpoint.
+    # The directory is left for OS tmp cleanup: the returned plan's
+    # eager stages consume the files, but lazily-persisted intermediates
+    # may recompute from them on cache eviction.
+    tmpdir = tempfile.mkdtemp(prefix="spark_graft_maxrep_ranks_")
+
+    pos_tbl = tracked_persist(
+        basep.select(
+            F.col(id_col), F.posexplode("_arr").alias("pos", "_tok")
+        )
+    )
+    n_positions = pos_tbl.count()
+    vocab, _ = _dense_sorted_index(pos_tbl.select("_tok"), ["_tok"])
+    level = _parquet_cut(
+        pos_tbl.join(vocab, "_tok").select(
+            id_col, "pos", F.col("_idx").alias("_r")
+        ),
+        os.path.join(tmpdir, "lvl0"),
+    )
+    levels = [level]
+    span = 1
+    prev_distinct = -1
+    while True:
+        shifted = level.select(
+            F.col(id_col),
+            (F.col("pos") - span).alias("pos"),
+            F.col("_r").alias("_r2"),
+        )
+        paired = (
+            level.join(shifted, [id_col, "pos"], "left")
+            .select(
+                id_col,
+                "pos",
+                F.col("_r").alias("_r1"),
+                F.coalesce("_r2", F.lit(-1)).alias("_r2"),
+            )
+        )
+        keys, distinct_keys = _dense_sorted_index(
+            paired.select("_r1", "_r2"), ["_r1", "_r2"]
+        )
+        level = _parquet_cut(
+            paired.join(keys, ["_r1", "_r2"]).select(
+                id_col, "pos", F.col("_idx").alias("_r")
+            ),
+            os.path.join(tmpdir, f"lvl{len(levels)}"),
+        )
+        levels.append(level)
+        span *= 2
+        # stop at the refinement FIXPOINT, not at "all distinct": a
+        # corpus with fully identical suffixes (whole-document
+        # duplicates) keeps those positions tied at every level, so
+        # all-distinct is unreachable — but an unchanged distinct count
+        # means no group split this round, and the doubling operator is
+        # deterministic on the partition, so no later round splits one
+        # either.  Remaining ties ARE identical suffixes; stage 2
+        # breaks them by position key (any consistent tiebreak is a
+        # valid suffix order for interchangeable suffixes) and the
+        # stage-3 clamp makes their LCP exact.
+        if distinct_keys == n_positions or distinct_keys == prev_distinct:
+            break
+        prev_distinct = distinct_keys
+
+    # ---- stage 2: candidate neighbors in suffix order ----
+    ranked = tracked_persist(
+        cand.join(levels[-1], [id_col, "pos"])
+        .repartitionByRange(F.col("_r"), F.col("_pk"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    win = Window.partitionBy("_pid").orderBy("_r", "_pk")
+    inner = ranked.select(
+        id_col,
+        "pos",
+        "_pk",
+        F.lead(id_col).over(win).alias("_nid"),
+        F.lead("pos").over(win).alias("_npos"),
+    )
+    edge_key = F.struct(F.col("_r"), F.col("_pk"))
+    bnd = (
+        ranked.groupBy("_pid")
+        .agg(
+            F.min_by(F.struct(id_col, "pos", "_pk", "_r"), edge_key).alias(
+                "_lo"
+            ),
+            F.max_by(F.struct(id_col, "pos", "_pk", "_r"), edge_key).alias(
+                "_hi"
+            ),
+        )
+        .select(F.explode(F.array("_lo", "_hi")).alias("_x"))
+        .select("_x.*")
+        .dropDuplicates(["_pk"])
+    )
+    bwin = Window.partitionBy(F.lit(1)).orderBy("_r", "_pk")
+    bpairs = bnd.select(
+        F.col(id_col),
+        "pos",
+        "_pk",
+        F.lead(id_col).over(bwin).alias("_nid"),
+        F.lead("pos").over(bwin).alias("_npos"),
+    )
+    # boundary pairs include (first, last) of the SAME partition, whose
+    # LCP only under-estimates interior neighbors (for sorted a≤b≤c,
+    # LCP(a,c) ≤ min(LCP(a,b), LCP(b,c))) — greatest() keeps exactness
+    pairs = inner.unionByName(bpairs).filter(F.col("_nid").isNotNull())
+
+    # ---- stage 3: pair LCPs by descending the level tables ----
+    cur = pairs.withColumn("_acc", F.lit(0))
+    for i in range(len(levels) - 1, -1, -1):
+        t = levels[i]
+        ra = t.select(
+            F.col(id_col).alias("_ad"),
+            F.col("pos").alias("_ap"),
+            F.col("_r").alias("_ra"),
+        )
+        rb = t.select(
+            F.col(id_col).alias("_bd"),
+            F.col("pos").alias("_bp"),
+            F.col("_r").alias("_rb"),
+        )
+        cur = (
+            cur.join(
+                ra,
+                (F.col(id_col) == F.col("_ad"))
+                & (F.col("pos") + F.col("_acc") == F.col("_ap")),
+                "left",
+            )
+            .join(
+                rb,
+                (F.col("_nid") == F.col("_bd"))
+                & (F.col("_npos") + F.col("_acc") == F.col("_bp")),
+                "left",
+            )
+            .withColumn(
+                "_acc",
+                F.when(
+                    F.col("_ra").isNotNull()
+                    & (F.col("_ra") == F.col("_rb")),
+                    F.col("_acc") + F.lit(2**i),
+                ).otherwise(F.col("_acc")),
+            )
+            .drop("_ad", "_ap", "_ra", "_bd", "_bp", "_rb")
+        )
+        cur = _lineage_cut(cur)
+    # each pair contributes its LCP to BOTH endpoints; clamp to the
+    # suffix length (exact for identical-suffix overshoot, a no-op
+    # otherwise)
+    contrib = cur.select(id_col, "pos", F.col("_acc").alias("_lcp")).unionByName(
+        cur.select(
+            F.col("_nid").alias(id_col),
+            F.col("_npos").alias("pos"),
+            F.col("_acc").alias("_lcp"),
+        )
+    )
+    ext = (
+        contrib.groupBy(id_col, "pos")
+        .agg(F.max("_lcp").alias("_ext"))
+        .join(basep, id_col)
+        .withColumn(
+            "_ext", F.least(F.col("_ext"), F.size("_arr") - F.col("pos"))
+        )
+        .filter(F.col("_ext") >= min_len)
+        .select(id_col, "pos", (F.col("pos") + F.col("_ext")).alias("_e"))
+    )
+    # ---- stage 4: left-maximality + span text (capped path's tail) ----
+    dwin = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("_e").over(dwin.rowsBetween(Window.unboundedPreceding, -1))
+    maximal = ext.withColumn("_pm", prev_max).filter(
+        F.col("_pm").isNull() | (F.col("_e") > F.col("_pm"))
+    )
+    return (
+        maximal.join(basep, id_col)
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("int").alias("s"),
+            F.col("_e").cast("int").alias("e"),
+            (F.col("_e") - F.col("pos")).cast("int").alias("rep_len"),
+            F.concat_ws(
+                sep,
+                F.slice(
+                    F.col("_arr"), F.col("pos") + 1, F.col("_e") - F.col("pos")
+                ),
+            ).alias("rep_text"),
+        )
+    )
+
+
 def exact_substring_maximal(
     docs: DataFrame,
     min_len: int = 20,
@@ -1255,42 +1629,8 @@ def exact_substring_maximal(
     """
     arr = F.split(F.col(text_col), re.escape(sep))  # sep is LITERAL
     base = _spread(docs).select(F.col(id_col), arr.alias("_arr"))
-
-    def _gram(i):
-        return F.struct(
-            i.alias("pos"),
-            F.xxhash64(
-                F.concat_ws(sep, F.slice(F.col("_arr"), i + 1, min_len))
-            ).alias("gh"),
-        )
-
-    occ = base.select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                F.size("_arr") >= min_len,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_arr") - min_len), _gram
-                ),
-            ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
-        ).alias("_g"),
-    ).select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
-    hot = occ.groupBy("gh").agg(F.count("*").alias("_c")).filter(F.col("_c") > 1)
-    cand = occ.join(hot.select("gh"), "gh").drop("gh")
-    # exact-text verification (hash collisions add candidates, never
-    # results) on the SLIM gram text only — the capped suffix arrays
-    # attach after, so they never ride through the gtext self-join
-    wg = cand.join(base, id_col).select(
-        F.col(id_col),
-        "pos",
-        F.concat_ws(
-            sep, F.slice(F.col("_arr"), F.col("pos") + 1, min_len)
-        ).alias("gtext"),
-    )
     verified = (
-        wg.join(wg.groupBy("gtext").agg(F.count("*").alias("_n")), "gtext")
-        .filter(F.col("_n") > 1)
-        .select(id_col, "pos")
+        _verified_repeat_starts(base, min_len, sep, id_col)
         .join(base, id_col)
         .select(
             F.col(id_col),

@@ -1835,6 +1835,51 @@ _finalize_exact_substring_maximal_oracle()
 
 
 @register(
+    "exact_substring_ranked",
+    None,  # replaced below (same SQL twin as exact_substring_maximal)
+)
+def q_exact_substring_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_substring_maximal_ranked
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # same min_len as the capped entry: on this corpus (repeats ≪ the
+    # cap) both paths enumerate the identical maximal-repeat set, so
+    # one oracle proves both — and the ranked path additionally passes
+    # the >cap single-span fixture in tests/test_segment_dedup.py
+    return exact_substring_maximal_ranked(docs, min_len=5).orderBy(
+        "doc_id", "s"
+    )
+
+
+def _finalize_exact_substring_ranked_oracle() -> None:
+    from .operators.dedup import exact_substring_maximal_sql
+
+    spec = REGISTRY["exact_substring_ranked"]
+    REGISTRY["exact_substring_ranked"] = QuerySpec(
+        fn=spec.fn,
+        oracle=exact_substring_maximal_sql("documents", min_len=5)
+        + "\n    ORDER BY doc_id, s",
+        covers="UNCAPPED maximal corpus repeats via prefix-doubling "
+        "suffix RANKS (Manber–Myers, distributed): per round one "
+        "shifted self-join + a distributed dense re-rank (range "
+        "partition + per-partition row_number + broadcast offsets — "
+        "never a single-partition window), stopping at the refinement "
+        "fixpoint (identical whole-document suffixes stay tied "
+        "forever, so all-distinct is unreachable); rank tables are "
+        "parquet-cut per round because a checkpoint's LogicalRDD "
+        "inherits estimated stats and an iterated self-join squares "
+        "them (measured: rounds went 0.7→242 s before the cut); "
+        "neighbor LCPs descend the retained level tables with a "
+        "suffix-length clamp that is exact for the identical-suffix "
+        "overshoot; repeats of ANY length come out as one span — "
+        "no cap, no staircase",
+    )
+
+
+_finalize_exact_substring_ranked_oracle()
+
+
+@register(
     "exact_substring_keep_one",
     None,  # replaced below (built from the dedup module's SQL twin)
 )
@@ -2079,6 +2124,141 @@ def _finalize_funnel_oracle() -> None:
 
 
 _finalize_funnel_oracle()
+
+
+@register(
+    "curation_funnel_fused",
+    None,  # same composed oracle as curation_funnel (attached below)
+)
+def q_curation_funnel_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused form of :func:`q_curation_funnel` — identical 6-row report,
+    same composed DuckDB oracle, fewer materializations.
+
+    The staged entry persists each stage's fully REBUILT text and
+    re-splits it for the next stage; here the C4 boilerplate cut and the
+    MassiveText paragraph keep-first share ONE segment explode, because
+    rebuild-then-resplit on the same literal separator is the identity
+    on the kept-segment list (segments cannot contain the separator they
+    were split on), and keep-first over the original (doc_id, ord) key
+    picks the same occurrence as the staged re-indexed key (removal
+    preserves within-doc order; doc_id dominates the key).  The
+    boilerplate stage's report reassembles per-doc text for its token
+    count only — nothing is persisted or re-split.  Net: the full-text
+    persist + rebuild + re-split of the boilerplate stage disappears;
+    the funnel's A/B (COVERAGE.md) measures what the staged composition
+    overhead actually costs.
+    """
+    import re as _re
+
+    from .cache import tracked_persist
+    from .operators.dedup import (
+        _pos_key,
+        _spread,
+        decontaminate,
+        exact_substring_dedup,
+    )
+    from .operators.selection import gopher_quality_rules
+    from .sources.tables import maybe_broadcast
+
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = (
+        gopher_quality_rules(
+            raw,
+            min_words=_FUNNEL_MIN_WORDS,
+            min_stopwords=_FUNNEL_MIN_STOPWORDS,
+        )
+        .filter("passes_gopher")
+        .select("doc_id", "text")
+    )
+    segs = tracked_persist(
+        _spread(g)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), _re.escape(_FUNNEL_SEP))).alias(
+                "ord", "seg"
+            ),
+        )
+        .withColumn("_pk", _pos_key("doc_id", "ord"))
+    )
+    bp = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > 2)
+        .select("seg")
+    )
+    kept1 = tracked_persist(segs.join(maybe_broadcast(bp), "seg", "left_anti"))
+    firsts = kept1.groupBy("seg").agg(F.min("_pk").alias("_first"))
+    kept2 = kept1.join(firsts, "seg").filter(F.col("_pk") == F.col("_first"))
+    rebuild = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ord", "seg"))),
+            lambda x: x["seg"],
+        ),
+        _FUNNEL_SEP,
+    )
+    p2 = tracked_persist(kept2.groupBy("doc_id").agg(rebuild.alias("text")))
+    e2 = tracked_persist(
+        exact_substring_dedup(p2, min_len=_FUNNEL_SUBSTR_LEN).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+    )
+    train = tracked_persist(e2.filter(F.col("doc_id") % _FUNNEL_BENCH_MOD != 0))
+    bench = raw.filter(F.col("doc_id") % _FUNNEL_BENCH_MOD == 0)
+    clean = train.join(
+        decontaminate(train, bench, shingle_k=_FUNNEL_SHINGLE_K).select(
+            "doc_id"
+        ),
+        "doc_id",
+        "left_anti",
+    )
+
+    def _stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum(Ft.ws_token_count(F.col("text"))), F.lit(0))
+            .alias("n_tokens"),
+        ).select("stage", "n_docs", "n_tokens")
+
+    # boilerplate-stage report: rebuild per-doc text for the token count
+    # only (one exchange, no persisted text, no re-split)
+    b2rep = (
+        kept1.groupBy("doc_id")
+        .agg(Ft.ws_token_count(rebuild).alias("_t"))
+        .agg(
+            F.lit("2_boilerplate").alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("_t"), F.lit(0)).alias("n_tokens"),
+        )
+        .select("stage", "n_docs", "n_tokens")
+    )
+    funnel = (
+        _stage("0_raw", raw)
+        .unionByName(_stage("1_quality", g))
+        .unionByName(b2rep)
+        .unionByName(_stage("3_paragraph_dedup", p2))
+        .unionByName(_stage("4_exact_substring", e2))
+        .unionByName(_stage("5_decontaminated", clean))
+    )
+    return funnel.filter(F.col("n_docs") > 0).orderBy("stage")
+
+
+def _finalize_fused_funnel_oracle() -> None:
+    spec = REGISTRY["curation_funnel_fused"]
+    REGISTRY["curation_funnel_fused"] = QuerySpec(
+        fn=spec.fn,
+        oracle=_funnel_oracle_sql(),
+        covers="fused curation funnel: Gopher gate + C4 boilerplate + "
+        "MassiveText paragraph keep-first over ONE segment explode "
+        "(rebuild/re-split identity argued in the docstring), then the "
+        "ExactSubstr + decontamination tail; hash-checked against the "
+        "SAME composed oracle as curation_funnel, so the two entries "
+        "prove the fusion is semantics-preserving while the bench A/B "
+        "prices the staged composition overhead",
+    )
+
+
+_finalize_fused_funnel_oracle()
 
 
 @register(
@@ -5797,7 +5977,11 @@ def q_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "state is keyed by fingerprint and expired by the event-time "
     "watermark.  Every copy of a record is byte-identical, so which "
     "arrival wins is output-invisible and the batch twin is the plain "
-    "distinct feed",
+    "distinct feed.  The harness sink is an executor-side parquet "
+    "directory read back lazily — NOT a memory sink — so the entry's "
+    "own driver footprint stays bounded at any scale (the round-6 sf10 "
+    "rehearsal measured the memory sink at ~10 GB driver heap and 105x "
+    "wall; the engine itself was linear under a noop sink)",
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
@@ -5839,19 +6023,22 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    sink = f"streamdedup_{_uuid.uuid4().hex[:8]}"
+    outdir = _tf.mkdtemp(prefix=f"streamdedup_out_{_uuid.uuid4().hex[:8]}_")
     from .streaming.pipeline import stream_state_partitions
 
     with stream_state_partitions(spark, 8):
         q = (
-            out.writeStream.format("memory")
-            .queryName(sink)
+            out.writeStream.format("parquet")
+            .option("path", _os.path.join(outdir, "data"))
+            .option("checkpointLocation", _os.path.join(outdir, "ckpt"))
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink).orderBy("event_id")
+    return spark.read.parquet(_os.path.join(outdir, "data")).orderBy(
+        "event_id"
+    )
 
 
 _SND_FAM_SQL = "fam(i, a, b) AS (VALUES " + ", ".join(

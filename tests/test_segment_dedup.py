@@ -372,6 +372,71 @@ class TestExactSubstringMaximal:
         assert cover[0] == set(range(12)) and cover[1] == set(range(12))
 
 
+class TestExactSubstringRanked:
+    """Prefix-doubling suffix-rank path: same contract as the capped
+    operator, no cap, no staircase (round-6 verdict task #3)."""
+
+    def _ranked_rows(self, spark, rows, k):
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            exact_substring_maximal_ranked,
+        )
+
+        out = exact_substring_maximal_ranked(_docs(spark, rows), min_len=k).collect()
+        return sorted(
+            (r["doc_id"], r["s"], r["e"], r["rep_len"], r["rep_text"])
+            for r in out
+        )
+
+    def test_matches_brute_force_incl_identical_docs(self, spark):
+        # doc0/doc4 are FULL duplicates: their suffixes stay tied at
+        # every doubling level (the fixpoint-stop + pk-tiebreak + clamp
+        # path), and doc5 exercises overlapping within-doc repeats
+        expect = _brute_maximal(TestExactSubstringMaximal.CORPUS, 3)
+        assert self._ranked_rows(spark, TestExactSubstringMaximal.CORPUS, 3) == expect
+
+    @pytest.mark.parametrize("seed", [5, 19])
+    def test_random_corpus_matches_brute_force(self, spark, seed):
+        rows = _random_corpus(seed, n_docs=25, vocab=4, max_len=18)
+        assert self._ranked_rows(spark, rows, 3) == _brute_maximal(rows, 3)
+
+    def test_repeat_longer_than_cap_is_one_span(self, spark):
+        # the capped operator's staircase test, INVERTED: a repeat far
+        # beyond _MAXREP_CAP_DEFAULT (1024) must come out as ONE span
+        # per document with its full length — three-way: closed form
+        # (the fixture's only repeat is the shared 1040-token run),
+        # the ranked Spark path, and the DuckDB twin with a raised cap
+        import duckdb
+        import pandas as pd
+
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            _MAXREP_CAP_DEFAULT,
+            exact_substring_maximal_sql,
+        )
+
+        n = _MAXREP_CAP_DEFAULT + 16
+        run = " ".join(f"r{i}" for i in range(n))
+        rows = [(0, run + " xx"), (1, run + " yy")]
+        expect = [
+            (0, 0, n, n, run),
+            (1, 0, n, n, run),
+        ]
+        assert self._ranked_rows(spark, rows, 5) == expect
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        got = sorted(
+            tuple(r)
+            for r in con.execute(
+                exact_substring_maximal_sql("documents", min_len=5, cap=4096)
+            ).fetchall()
+        )
+        assert got == expect
+
+    def test_no_repeats_short_circuits_empty(self, spark):
+        rows = [(0, "a b c"), (1, "d e f")]
+        out = self._ranked_rows(spark, rows, 2)
+        assert out == []
+
+
 def _brute_keep_one(rows, k):
     """Reference for the paper's keep policy: maximal repeats via
     _brute_maximal-style EXT, keep-first per repeat TEXT by (doc, pos)

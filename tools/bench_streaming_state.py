@@ -8,6 +8,13 @@ opt-in (streaming/pipeline.py rocksdb_state) existed but was never
 benched.  This harness runs each entry under both providers and prints
 one JSON line; the committed artifact is BENCH_sf1_state.json.
 
+Round 7 adds STATE-SIZE telemetry (verdict task #8): a
+StreamingQueryListener captures every progress event's stateOperators —
+numRowsTotal, memoryUsedBytes, and the provider's customMetrics (for
+RocksDB: rocksdbSstFileSize = on-disk bytes, rocksdbTotalMemoryUsage) —
+so the artifact states the RocksDB story in rows and bytes per batch,
+not just wall time.
+
 Usage: python tools/bench_streaming_state.py [SF_DIR] [REPS]
 """
 
@@ -20,6 +27,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql.streaming import StreamingQueryListener
+
 from dystonse_gtfs_data_spark import queries as Q
 from dystonse_gtfs_data_spark.cache import release_persisted
 from dystonse_gtfs_data_spark.session import build_session
@@ -27,23 +36,101 @@ from dystonse_gtfs_data_spark.streaming.pipeline import rocksdb_state
 
 ENTRIES = ("stream_near_dup", "stream_near_dup_ttl", "basis_stream")
 
+#: RocksDB custom metrics worth publishing (bytes); absent on the
+#: default provider, harmlessly skipped
+_ROCKSDB_BYTES = ("rocksdbSstFileSize", "rocksdbTotalMemoryUsage")
+
+
+class _StateMetricsListener(StreamingQueryListener):
+    """Collects per-batch state-operator metrics from every streaming
+    query progress event (the listener bus is async — drain before
+    reading)."""
+
+    def __init__(self) -> None:
+        self.batches: list[dict] = []
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (API naming)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        ops = []
+        for so in p.stateOperators:
+            rec = {
+                "operator": so.operatorName,
+                "rows_total": so.numRowsTotal,
+                "memory_bytes": so.memoryUsedBytes,
+            }
+            custom = dict(so.customMetrics or {})
+            for key in _ROCKSDB_BYTES:
+                if key in custom:
+                    rec[key] = int(custom[key])
+            ops.append(rec)
+        if ops:
+            self.batches.append({"batch_id": p.batchId, "state": ops})
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def drain(self, since: int, settle_s: float = 0.3, max_wait_s: float = 10.0):
+        """Events recorded after index ``since``, once the async bus has
+        gone quiet (no new events for ``settle_s``)."""
+        deadline = time.time() + max_wait_s
+        last_len = len(self.batches)
+        quiet_at = time.time()
+        while time.time() < deadline:
+            cur = len(self.batches)
+            if cur != last_len:
+                last_len, quiet_at = cur, time.time()
+            elif time.time() - quiet_at >= settle_s:
+                break
+            time.sleep(0.05)
+        return list(self.batches[since:])
+
+
+def _summarize(batches: list[dict]) -> dict:
+    """Maxima across a run's batches (state grows monotonically within
+    a run for these entries, so the max is the end-of-run footprint)."""
+    out = {
+        "batches": len(batches),
+        "state_rows_max": 0,
+        "state_memory_bytes_max": 0,
+    }
+    for b in batches:
+        for so in b["state"]:
+            out["state_rows_max"] = max(out["state_rows_max"], so["rows_total"])
+            out["state_memory_bytes_max"] = max(
+                out["state_memory_bytes_max"], so["memory_bytes"]
+            )
+            for key in _ROCKSDB_BYTES:
+                if key in so:
+                    k = f"{key}_max"
+                    out[k] = max(out.get(k, 0), so[key])
+    return out
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_sf1/sf1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     spark = build_session("bench-streaming-state")
+    listener = _StateMetricsListener()
+    spark.streams.addListener(listener)
     # warm the JVM + parquet footers so rep timings measure the streams
     Q.REGISTRY["stream_dedup"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
     release_persisted()
 
-    out: dict[str, dict[str, list[float]]] = {e: {} for e in ENTRIES}
+    out: dict[str, dict[str, dict]] = {e: {} for e in ENTRIES}
     for provider in ("default", "rocksdb"):
         for name in ENTRIES:
             fn = Q.REGISTRY[name].fn
-            walls = []
+            walls, states = [], []
             for _ in range(reps):
+                mark = len(listener.batches)
                 t0 = time.time()
                 if provider == "rocksdb":
                     with rocksdb_state(spark):
@@ -56,12 +143,17 @@ def main() -> None:
                     ).save()
                 walls.append(round(time.time() - t0, 3))
                 release_persisted()
+                batches = listener.drain(mark)
+                states.append(
+                    {"summary": _summarize(batches), "per_batch": batches}
+                )
                 print(
-                    f"# {provider} {name} {walls[-1]}s",
+                    f"# {provider} {name} {walls[-1]}s "
+                    f"state={states[-1]['summary']}",
                     file=sys.stderr,
                     flush=True,
                 )
-            out[name][provider] = walls
+            out[name][provider] = {"wall_s": walls, "state": states}
     print(
         json.dumps(
             {
