@@ -107,6 +107,8 @@ def predict(statistics: DataFrame, requests: DataFrame) -> DataFrame:
     (the realtime basis).  Returns requests + prediction_curve +
     precision_type + sample_size.
     """
+    from ..sources.tables import maybe_broadcast
+
     grouped = _grouped_sets(statistics)
     sets_specific = grouped.select(
         F.col("route_id").alias("s1_route"),
@@ -150,11 +152,17 @@ def predict(statistics: DataFrame, requests: DataFrame) -> DataFrame:
         F.col("sample_size").alias("d_n"),
     )
 
+    # ladder rungs are HINTED broadcasts (maybe_broadcast), not forced:
+    # a single-feed statistics table is a page-sized build side, but a
+    # merged national feed's curve table is multi-GB — the R=100 scaled
+    # rehearsal (BENCH_gtfs_scaled.json) caught the forced hint shipping
+    # a 108k-curve build side into every task; above the size ceiling
+    # the planner falls back to a shuffle join
     has_basis = F.col("start_stop_index").isNotNull() & F.col("initial_delay").isNotNull()
 
     r = (
         requests.join(
-            F.broadcast(sets_specific),
+            maybe_broadcast(sets_specific),
             (F.col("route_id") == F.col("s1_route"))
             & (F.col("route_variant") == F.col("s1_variant"))
             & (F.col("start_stop_index") == F.col("s1_start"))
@@ -164,7 +172,7 @@ def predict(statistics: DataFrame, requests: DataFrame) -> DataFrame:
             "left",
         )
         .join(
-            F.broadcast(sets_default_slot),
+            maybe_broadcast(sets_default_slot),
             (F.col("route_id") == F.col("s2_route"))
             & (F.col("route_variant") == F.col("s2_variant"))
             & (F.col("start_stop_index") == F.col("s2_start"))
@@ -173,7 +181,7 @@ def predict(statistics: DataFrame, requests: DataFrame) -> DataFrame:
             "left",
         )
         .join(
-            F.broadcast(semi),
+            maybe_broadcast(semi),
             (F.col("route_id") == F.col("g_route"))
             & (F.col("route_variant") == F.col("g_variant"))
             & (F.col("end_stop_index") == F.col("g_stop"))
@@ -181,7 +189,7 @@ def predict(statistics: DataFrame, requests: DataFrame) -> DataFrame:
             "left",
         )
         .join(
-            F.broadcast(dflt),
+            maybe_broadcast(dflt),
             (F.col("route_type") == F.col("d_rt"))
             & (F.col("route_section") == F.col("d_sec"))
             & (F.col("time_slot_id") == F.col("d_slot"))

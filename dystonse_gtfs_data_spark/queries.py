@@ -3778,6 +3778,62 @@ def q_gtfs_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gtfs_statistics_scaled",
+    # replica-invariance oracle: a jitter-free R-fold key-suffix replica
+    # of the demo fixture makes every per-variant-keyed statistic group
+    # replica-DISJOINT with identical content, so the scaled specific/
+    # semi_specific curves are EXACTLY the demo's expected rows with
+    # mapped keys (route_id || '#k', route_variant + k*1000) — the
+    # domain pipeline's scaled run is hash-checked without a scaled
+    # single-node replica
+    f"""
+    SELECT scope,
+           route_id || '#' || CAST(k AS VARCHAR) AS route_id,
+           CAST(route_variant + k * 1000 AS BIGINT) AS route_variant,
+           start_stop_index, end_stop_index, stop_index,
+           route_type, route_section, time_slot_id, event_type,
+           focus_delay, n_points, precision_type, sample_size
+    FROM (SELECT * FROM {_dt("expected_gtfs_statistics")}
+          WHERE scope IN ('specific', 'semi_specific')),
+         range(3) t(k)
+    ORDER BY scope, route_variant, start_stop_index, end_stop_index,
+             stop_index, time_slot_id, event_type, focus_delay
+    """,
+    covers="A7/A8 specific curves at SCALE (round-7 verdict task #4): "
+    "the per-variant curve-UDAF groups — the reference's per-route "
+    "analyser loop — run over an R=3 key-suffix replica of the fixture "
+    "(sources/demo.py scale_fixture, jitter-free), tripling the pandas-"
+    "UDAF group count; correctness by replica invariance against the "
+    "same differential-oracle table the base entry uses",
+)
+def q_gtfs_statistics_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.specific_curves import specific_statistics
+    from .sources.demo import scale_fixture
+
+    sched, recs = scale_fixture(spark, 3, jitter=False)
+    stats = specific_statistics(recs, sched["stop_times"])
+    return stats.select(
+        "scope",
+        "route_id",
+        "route_variant",
+        "start_stop_index",
+        "end_stop_index",
+        "stop_index",
+        "route_type",
+        "route_section",
+        "time_slot_id",
+        "event_type",
+        F.col("focus_delay").cast("double").alias("focus_delay"),
+        F.size("curve").alias("n_points"),
+        "precision_type",
+        "sample_size",
+    ).orderBy(
+        "scope", "route_variant", "start_stop_index", "end_stop_index",
+        "stop_index", "time_slot_id", "event_type", "focus_delay",
+    )
+
+
+@register(
     "gtfs_predictions",
     # differential oracle: single-node pandas fallback-ladder reimplementation
     f"""

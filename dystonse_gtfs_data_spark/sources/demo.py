@@ -202,3 +202,69 @@ def rt_feed_files_dir() -> str:
         write_rt_feed_files(d)
         _RT_FEED_DIR.append(d)
     return _RT_FEED_DIR[0]
+
+
+def scale_fixture(spark: SparkSession, r: int, jitter: bool = True):
+    """R-fold key-suffix replica of the demo schedule + records — the
+    domain analog of tools/make_scaled_sf.py (round-7 verdict task #4).
+
+    Every route / trip / stop / stop_time / record is copied R times
+    with ``#k``-suffixed string keys and ``route_variant + k*1000``, so
+    the per-variant curve groups (the reference's per-route analyser
+    loop, src/analyser/specific_curves.rs:29-56) multiply by R while the
+    default rollup's (route_type, section, slot) groups stay fixed —
+    the realistic shape: a bigger feed adds routes, not route types.
+
+    ``jitter=True`` adds a deterministic ±3 s per-replica delay offset
+    (scaling rehearsals should not measure degenerate identical groups);
+    ``jitter=False`` keeps replicas byte-identical, which makes every
+    per-variant-keyed statistic EXACTLY the demo's with mapped keys —
+    the replica-invariance oracle the ``gtfs_statistics_scaled``
+    catalog entry hash-checks.
+
+    Returns (schedule_dict, records_df).
+    """
+    from pyspark.sql import functions as F
+
+    sched = build_schedule(spark)
+    records = build_records(spark)
+    # replica index via explode(sequence) — map-only row multiplication,
+    # no join node (a broadcast crossJoin would plan as an R-row BNLJ)
+    reps = F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("_k")
+
+    def sfx(c):
+        return F.concat(F.col(c), F.lit("#"), F.col("_k").cast("string"))
+
+    def rep(df, str_cols, variant_col: bool = False):
+        out = df.select("*", reps)
+        for c in str_cols:
+            out = out.withColumn(c, sfx(c))
+        if variant_col:
+            out = out.withColumn(
+                "route_variant", F.col("route_variant") + F.col("_k") * 1000
+            )
+        return out.drop("_k")
+
+    sched_r = {
+        "routes": rep(sched["routes"], ["route_id"]),
+        "trips": rep(sched["trips"], ["trip_id", "route_id"], variant_col=True),
+        "stop_times": rep(sched["stop_times"], ["trip_id", "stop_id"]),
+        "stops": rep(sched["stops"], ["stop_id"]),
+        "calendar": sched["calendar"],  # shared service week
+    }
+    jit = (
+        (F.col("_k") % 7 - F.lit(3)).cast("int") if jitter else F.lit(0)
+    )
+    rec_r = (
+        records.select("*", reps)
+        .withColumn("trip_id", sfx("trip_id"))
+        .withColumn("route_id", sfx("route_id"))
+        .withColumn("stop_id", sfx("stop_id"))
+        .withColumn("route_variant", F.col("route_variant") + F.col("_k") * 1000)
+        .withColumn("delay_arrival", (F.col("delay_arrival") + jit).cast("int"))
+        .withColumn(
+            "delay_departure", (F.col("delay_departure") + jit).cast("int")
+        )
+        .drop("_k")
+    )
+    return sched_r, rec_r
