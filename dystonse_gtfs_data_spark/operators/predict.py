@@ -109,6 +109,17 @@ def predict(statistics: DataFrame, requests: DataFrame) -> DataFrame:
     """
     from ..sources.tables import maybe_broadcast
 
+    # The ladder joins below are broadcasts, so the expensive Python
+    # stage (the interpolate UDFs here, the caller's cap/bounds
+    # mapInPandas) inherits the REQUESTS exchange's partitioning — and
+    # AQE coalesces that exchange by BYTES.  Curve rows are byte-small
+    # but CPU-heavy: the R=100 scaled rehearsal (BENCH_gtfs_scaled.json)
+    # found AQE folding the whole tail into ONE task (45.8 s vs ~11 s
+    # parallel).  An explicit numPartitions repartition is exempt from
+    # AQE coalescing; its shuffle moves only slim request rows.
+    requests = requests.repartition(
+        requests.sparkSession.sparkContext.defaultParallelism
+    )
     grouped = _grouped_sets(statistics)
     sets_specific = grouped.select(
         F.col("route_id").alias("s1_route"),
@@ -343,20 +354,54 @@ def generate_realtime_predictions(
     PREDICTIONS-shaped rows (origin Realtime).  prediction_min/max =
     scheduled event time + curve min/max x (src/importer/
     per_schedule_importer.rs:341-366)."""
-    from ..curves.udfs import curve_max_x, curve_min_x
     from ..schemas import ORIGIN_REALTIME
 
     requests = build_prediction_requests(
         realtime_bases(records), stop_times_idx, routes, trips
     )
-    predicted = predict(statistics, requests).filter(
-        F.col("prediction_curve").isNotNull()
+    predicted = predict(statistics, requests)
+    # cap + bounds + the null-curve drop in ONE mapInPandas pass.  The
+    # previous shape — filter(isNotNull) + withColumn(cap_curve_points)
+    # + curve_min_x/curve_max_x scalar UDFs — let projection collapse
+    # inline the cap call into BOTH bound UDFs' arguments AND made the
+    # filter re-derive the interpolate UDFs in a second Arrow stage:
+    # the executed plan ran cap_curve_points three times per row and
+    # _interpolate_set twice, and the R=100 scaled rehearsal measured
+    # that tail at ~112 s of the 121 s total (BENCH_gtfs_scaled.json).
+    # A mapInPandas node yields plain output ATTRIBUTES, which
+    # downstream expressions reference for free — structurally one
+    # Python evaluation, no barrier tricks; folding the null filter in
+    # removes the duplicated filter-side evaluation too.
+    fields = predicted.schema.fields
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("_min_x", T.DoubleType()),
+            T.StructField("_max_x", T.DoubleType()),
+        ]
     )
-    predicted = predicted.withColumn(
-        "prediction_curve", cap_curve_points(F.col("prediction_curve"))
-    )
+
+    def _cap_with_bounds(batches):
+        for pdf in batches:
+            keep, capped, mns, mxs = [], [], [], []
+            for i, rows in enumerate(pdf["prediction_curve"]):
+                c = rows_to_curve(rows)
+                if c is None:
+                    continue  # the filter(isNotNull) of the old shape
+                c = simplify_to_max_points(c, 30)
+                keep.append(i)
+                capped.append(curve_to_rows(c))
+                mns.append(float(c.min_x()))
+                mxs.append(float(c.max_x()))
+            out = pdf.iloc[keep].copy()
+            out["prediction_curve"] = capped
+            out["_min_x"] = mns
+            out["_max_x"] = mxs
+            yield out
+
+    finished = predicted.mapInPandas(_cap_with_bounds, out_schema)
     sched = F.col("scheduled_time").cast("double")
-    return predicted.select(
+    return finished.select(
         "source",
         F.col("event_type").cast("byte").alias("event_type"),
         "stop_id",
@@ -365,12 +410,8 @@ def generate_realtime_predictions(
         "trip_id",
         "trip_start_date",
         "trip_start_time",
-        F.timestamp_seconds(sched + curve_min_x(F.col("prediction_curve"))).alias(
-            "prediction_min"
-        ),
-        F.timestamp_seconds(sched + curve_max_x(F.col("prediction_curve"))).alias(
-            "prediction_max"
-        ),
+        F.timestamp_seconds(sched + F.col("_min_x")).alias("prediction_min"),
+        F.timestamp_seconds(sched + F.col("_max_x")).alias("prediction_max"),
         F.col("precision_type").cast("byte").alias("precision_type"),
         F.lit(ORIGIN_REALTIME).cast("byte").alias("origin_type"),
         "sample_size",
