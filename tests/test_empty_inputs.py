@@ -27,6 +27,7 @@ NOT_SF_TABLE_DRIVEN = {
     "gtfs_records",
     "gtfs_schedule_scan",
     "gtfs_statistics",
+    "gtfs_statistics_scaled",
     "journey_chain",
     "journey_transfers",
     "master_variants",
