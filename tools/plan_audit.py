@@ -104,6 +104,33 @@ def _bnlj_kinds(df) -> list[str]:
     return kinds
 
 
+def _dup_python_udfs(df) -> list[str]:
+    """Duplicated Python-UDF evaluations: within one ArrowEvalPython
+    node, two udf expressions with the SAME canonicalized form are the
+    projection-collapse duplication trap (round 7 measured
+    cap_curve_points running 3x/row after `withColumn(c, udf(x))` +
+    `select(f(c), g(c), c)` collapsed) — each duplicate is a full extra
+    Python evaluation per row.  Returns one descriptor per duplicate."""
+    root = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    if "AdaptiveSparkPlan" in root.getClass().getSimpleName():
+        root = root.initialPlan()
+    dups: list[str] = []
+    for node in _walk(root):
+        if "ArrowEvalPython" not in node.getClass().getSimpleName():
+            continue
+        seen: dict[str, int] = {}
+        udfs = node.udfs()
+        for i in range(udfs.size()):
+            u = udfs.apply(i)
+            key = u.canonicalized().toString()
+            seen[key] = seen.get(key, 0) + 1
+        for key, n in seen.items():
+            if n > 1:
+                short = key.split("(")[0][:40]
+                dups.append(f"{short} x{n}")
+    return dups
+
+
 def formatted_plan(df) -> str:
     return df._jdf.queryExecution().explainString(  # noqa: SLF001
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
@@ -125,6 +152,7 @@ def main() -> int:
             df = fn(spark, sf_dir)
             plan = formatted_plan(df)
             bnlj_kinds = _bnlj_kinds(df)
+            dup_udfs = _dup_python_udfs(df)
         except Exception as e:  # construction failed — that IS a finding
             failures.append(name)
             rows.append((name, -1, -1, -1, f"plan build error: {e}"))
@@ -137,6 +165,9 @@ def main() -> int:
             if flag in plan:
                 notes.append(flag)
                 bad = True
+        if dup_udfs:
+            notes.append("DUP PYTHON UDF: " + ", ".join(dup_udfs))
+            bad = True
         n_bnlj_text = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) or (
             1 if "BroadcastNestedLoopJoin" in plan else 0
         )
