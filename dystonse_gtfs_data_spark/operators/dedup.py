@@ -1726,11 +1726,19 @@ def exact_substring_keep_one(
     id_col: str = "doc_id",
     sep: str = " ",
     cap: int = _MAXREP_CAP_DEFAULT,
+    ranked: bool = False,
 ) -> DataFrame:
     """ExactSubstr removal with the PAPER's keep policy (Lee et al.
     2022 §4.1: "except for one occurrence"): for every maximal corpus
     repeat, the corpus-first occurrence survives CONTIGUOUSLY; all
     other occurrences are cut.
+
+    ``ranked=True`` enumerates the spans with the UNCAPPED
+    prefix-doubling path (:func:`exact_substring_maximal_ranked`) —
+    use it when repeats may exceed ``cap``: a >cap repeat's capped
+    staircase would otherwise let keep-one exempt only the first
+    cap-length step while later steps of the SAME repeat are cut from
+    the keeper document too.
 
     This is the policy-level complement of :func:`exact_substring_dedup`
     (whose keep-first exemption is per WINDOW, so a repeat's surviving
@@ -1751,10 +1759,15 @@ def exact_substring_keep_one(
     """
     arr = F.split(F.col(text_col), re.escape(sep))
     base = docs.select(F.col(id_col), arr.alias("_arr"))
-    spans = exact_substring_maximal(
-        docs, min_len=min_len, text_col=text_col, id_col=id_col, sep=sep,
-        cap=cap,
-    )
+    if ranked:
+        spans = exact_substring_maximal_ranked(
+            docs, min_len=min_len, text_col=text_col, id_col=id_col, sep=sep
+        )
+    else:
+        spans = exact_substring_maximal(
+            docs, min_len=min_len, text_col=text_col, id_col=id_col,
+            sep=sep, cap=cap,
+        )
     keyed = spans.withColumn("_pk", _pos_key(id_col, "s"))
     first = keyed.groupBy("rep_text").agg(F.min("_pk").alias("_first"))
     cuts = (

@@ -436,6 +436,32 @@ class TestExactSubstringRanked:
         out = self._ranked_rows(spark, rows, 2)
         assert out == []
 
+    def test_keep_one_ranked_keeps_long_repeat_contiguously(self, spark):
+        # keep-one over UNCAPPED spans: for a repeat far beyond the cap,
+        # the capped staircase would exempt only the first cap-length
+        # step in the keeper doc (later steps of the SAME repeat are
+        # non-first spans and get cut) — ranked=True keeps the keeper's
+        # full text and removes the other occurrence entirely
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            _MAXREP_CAP_DEFAULT,
+            exact_substring_keep_one,
+        )
+
+        n = _MAXREP_CAP_DEFAULT + 16
+        run = " ".join(f"r{i}" for i in range(n))
+        rows = [(0, run + " xx"), (1, run + " yy")]
+        out = {
+            r["doc_id"]: r
+            for r in exact_substring_keep_one(
+                _docs(spark, rows), min_len=5, ranked=True
+            ).collect()
+        }
+        assert out[0]["clean_text"] == run + " xx"  # keeper intact
+        assert out[0]["removed_tokens"] == 0
+        assert out[1]["clean_text"] == "yy"  # other occurrence cut
+        assert out[1]["removed_tokens"] == n
+        assert out[1]["n_spans"] == 1  # ONE span, not a staircase
+
 
 def _brute_keep_one(rows, k):
     """Reference for the paper's keep policy: maximal repeats via
