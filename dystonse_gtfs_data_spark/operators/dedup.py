@@ -1272,15 +1272,23 @@ def _parquet_cut(df: DataFrame, path: str) -> DataFrame:
 
 
 def _dense_sorted_index(
-    df: DataFrame, cols: list[str]
+    df: DataFrame, cols: list[str], cut=None
 ) -> tuple[DataFrame, int]:
     """Global dense index 0..K-1 over the DISTINCT rows of ``df[cols]``
     in their sort order, without a single-partition window: range
     partition, per-partition ``row_number``, and broadcast per-partition
     offsets.  Driver traffic is one count per shuffle partition (bounded
-    by the partition count, never the data).  Returns (indexed, K)."""
+    by the partition count, never the data).  Returns (indexed, K).
+
+    ``cut`` pins the partition layout across the two consumers (the
+    counts collect and the output join); default :func:`_lineage_cut`.
+    Iterative callers should pass a parquet cut: localCheckpoint blocks
+    accumulate in executor memory until the JVM's ContextCleaner runs,
+    and ~10 rounds of n-row cuts produced GCLocker thrash at sf10."""
     spark = df.sparkSession
-    d = _lineage_cut(
+    if cut is None:
+        cut = _lineage_cut
+    d = cut(
         df.dropDuplicates(cols)
         .repartitionByRange(*[F.col(c) for c in cols])
         .withColumn("_pid", F.spark_partition_id())
@@ -1390,6 +1398,11 @@ def exact_substring_maximal_ranked(
     # eager stages consume the files, but lazily-persisted intermediates
     # may recompute from them on cache eviction.
     tmpdir = tempfile.mkdtemp(prefix="spark_graft_maxrep_ranks_")
+    _cut_seq = [0]
+
+    def _pcut(df):
+        _cut_seq[0] += 1
+        return _parquet_cut(df, os.path.join(tmpdir, f"cut{_cut_seq[0]}"))
 
     pos_tbl = tracked_persist(
         basep.select(
@@ -1397,7 +1410,18 @@ def exact_substring_maximal_ranked(
         )
     )
     n_positions = pos_tbl.count()
-    vocab, _ = _dense_sorted_index(pos_tbl.select("_tok"), ["_tok"])
+    # cut strategy for the NON-compounding intermediates (dense-index
+    # tables, LCP-descend chain — their stats only ADD per round, so
+    # localCheckpoint is stats-safe): localCheckpoint blocks accumulate
+    # in executor memory until the JVM's ContextCleaner gets to them,
+    # and at sf10 (~10 rounds of 67M-row cuts) that produced GCLocker
+    # thrash — measured 393.6 s vs 239.7 s with parquet cuts.  Below
+    # the threshold the parquet round-trips cost more than they save
+    # (sf1: 52.5 s localCheckpoint vs 64.1 s parquet), so pick by the
+    # counted position volume.  The LEVEL tables stay parquet at every
+    # scale: their stats COMPOUND (see _parquet_cut).
+    _cut = _pcut if n_positions > 16_000_000 else _lineage_cut
+    vocab, _ = _dense_sorted_index(pos_tbl.select("_tok"), ["_tok"], cut=_cut)
     level = _parquet_cut(
         pos_tbl.join(vocab, "_tok").select(
             id_col, "pos", F.col("_idx").alias("_r")
@@ -1423,7 +1447,7 @@ def exact_substring_maximal_ranked(
             )
         )
         keys, distinct_keys = _dense_sorted_index(
-            paired.select("_r1", "_r2"), ["_r1", "_r2"]
+            paired.select("_r1", "_r2"), ["_r1", "_r2"], cut=_cut
         )
         level = _parquet_cut(
             paired.join(keys, ["_r1", "_r2"]).select(
@@ -1526,7 +1550,7 @@ def exact_substring_maximal_ranked(
             )
             .drop("_ad", "_ap", "_ra", "_bd", "_bp", "_rb")
         )
-        cur = _lineage_cut(cur)
+        cur = _cut(cur)
     # each pair contributes its LCP to BOTH endpoints; clamp to the
     # suffix length (exact for identical-suffix overshoot, a no-op
     # otherwise)
