@@ -1317,6 +1317,7 @@ def exact_substring_maximal_ranked(
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = " ",
+    checkpoint_positions_threshold: int = 16_000_000,
 ) -> DataFrame:
     """UNCAPPED maximal corpus repeats ≥ ``min_len`` tokens — same
     output contract as :func:`exact_substring_maximal`, with suffix
@@ -1420,7 +1421,11 @@ def exact_substring_maximal_ranked(
     # (sf1: 52.5 s localCheckpoint vs 64.1 s parquet), so pick by the
     # counted position volume.  The LEVEL tables stay parquet at every
     # scale: their stats COMPOUND (see _parquet_cut).
-    _cut = _pcut if n_positions > 16_000_000 else _lineage_cut
+    _cut = (
+        _pcut
+        if n_positions > checkpoint_positions_threshold
+        else _lineage_cut
+    )
     vocab, _ = _dense_sorted_index(pos_tbl.select("_tok"), ["_tok"], cut=_cut)
     level = _parquet_cut(
         pos_tbl.join(vocab, "_tok").select(

@@ -436,6 +436,32 @@ class TestExactSubstringRanked:
         out = self._ranked_rows(spark, rows, 2)
         assert out == []
 
+    def test_parquet_cut_path_matches_checkpoint_path(self, spark):
+        # the >16M-position branch routes every iterative cut through
+        # parquet (the sf10 GCLocker fix) — force it with threshold=0
+        # on a small corpus and pin bit-identical output vs the default
+        # localCheckpoint branch
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            exact_substring_maximal_ranked,
+        )
+
+        rows = _random_corpus(7, n_docs=20, vocab=4, max_len=16)
+        a = sorted(
+            tuple(r)
+            for r in exact_substring_maximal_ranked(
+                _docs(spark, rows), min_len=3
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in exact_substring_maximal_ranked(
+                _docs(spark, rows),
+                min_len=3,
+                checkpoint_positions_threshold=0,
+            ).collect()
+        )
+        assert a == b == _brute_maximal(rows, 3)
+
     def test_keep_one_ranked_keeps_long_repeat_contiguously(self, spark):
         # keep-one over UNCAPPED spans: for a repeat far beyond the cap,
         # the capped staircase would exempt only the first cap-length
