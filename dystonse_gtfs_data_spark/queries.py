@@ -6987,6 +6987,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "url_domains",
     "zorder_layout",
     "zorder_skipping",
+    # r5-vintage entries whose module round 7 rewrote (predict.py:
+    # maybe_broadcast ladder, mapInPandas cap/bounds, AQE-exempt
+    # repartition) — post-rewrite driver evidence
+    "gtfs_predictions",
+    "departure_board",
+    "scheduled_predictions",
+    "gtfs_statistics",
+    "visual_schedule",
 )
 
 
