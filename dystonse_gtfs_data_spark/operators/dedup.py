@@ -1390,15 +1390,19 @@ def exact_substring_maximal_ranked(
         )
 
     # ---- stage 1: prefix-doubling rank tables over ALL positions ----
+    import atexit
     import os
+    import shutil
     import tempfile
 
     # level tables are rebuilt by an iterated self-join: cut them with
     # parquet (stats reset — see _parquet_cut), NOT localCheckpoint.
-    # The directory is left for OS tmp cleanup: the returned plan's
-    # eager stages consume the files, but lazily-persisted intermediates
-    # may recompute from them on cache eviction.
+    # The directory must outlive this call (the RETURNED plan reads the
+    # last descend cut, and lazily-persisted intermediates recompute
+    # from the level files on cache eviction), so it is removed at
+    # process exit — an sf10 invocation leaves ~3 GB otherwise.
     tmpdir = tempfile.mkdtemp(prefix="spark_graft_maxrep_ranks_")
+    atexit.register(shutil.rmtree, tmpdir, ignore_errors=True)
     _cut_seq = [0]
 
     def _pcut(df):
