@@ -309,7 +309,9 @@ def cmd_predict(spark, args) -> None:
             "route_section"
         ),
     )
-    out = predict(stats, req)
+    # one trip's worth of request rows — skip the batch path's
+    # defaultParallelism fan-out (fixed shuffle+task latency, no gain)
+    out = predict(stats, req, wide=False)
     for row in out.collect():
         d = row.asDict()
         curve = d.pop("prediction_curve", None)

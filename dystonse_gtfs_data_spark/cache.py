@@ -12,13 +12,48 @@ accumulate without bound.
 ``release_persisted()`` between queries to drop them once the consuming
 action finished.  Unpersisting is always safe — the worst case is a
 recompute if the frame is re-consumed later.
+
+``tracked_tmpdir`` is the disk analog: a few operators back their
+RETURNED frame with scratch parquet (the ranked-ExactSubstr level
+tables, the streaming-dedup sink) that must outlive the call but not
+the harness's query loop.  ``release_persisted()`` reclaims those
+directories too; process exit is only the backstop.  Unlike a released
+persist, a released tmpdir does NOT recompute — re-consuming the frame
+afterwards raises — so harnesses must release only after the consuming
+action, which every in-repo call site already does.
 """
 
 from __future__ import annotations
 
+import atexit
+import shutil
+
 from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
+_TMPDIRS: list[str] = []
+
+
+def tracked_tmpdir(path: str) -> str:
+    """Register a scratch dir backing a lazily-returned frame.
+
+    Removed by the next :func:`release_persisted` (callers invoke it
+    after the consuming action) or, failing that, at process exit —
+    one registry, one atexit hook, no per-call registration pile-up.
+    """
+    _TMPDIRS.append(path)
+    return path
+
+
+def _purge_tmpdirs() -> int:
+    n = 0
+    while _TMPDIRS:
+        shutil.rmtree(_TMPDIRS.pop(), ignore_errors=True)
+        n += 1
+    return n
+
+
+atexit.register(_purge_tmpdirs)
 
 
 def tracked_persist(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -31,7 +66,11 @@ def tracked_persist(df: DataFrame, eager: bool = False) -> DataFrame:
 
 
 def release_persisted() -> int:
-    """Unpersist every tracked frame (blocking=False); returns the count."""
+    """Unpersist every tracked frame and reclaim tracked scratch dirs.
+
+    Returns the number of frames unpersisted (tmpdirs are counted
+    separately by :func:`_purge_tmpdirs`'s return, discarded here).
+    """
     n = 0
     while _LIVE:
         df = _LIVE.pop()
@@ -40,4 +79,5 @@ def release_persisted() -> int:
             n += 1
         except Exception:
             pass  # session already stopped — nothing to free
+    _purge_tmpdirs()
     return n

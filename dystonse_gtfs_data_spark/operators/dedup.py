@@ -1390,19 +1390,23 @@ def exact_substring_maximal_ranked(
         )
 
     # ---- stage 1: prefix-doubling rank tables over ALL positions ----
-    import atexit
     import os
-    import shutil
     import tempfile
+
+    from ..cache import tracked_tmpdir
 
     # level tables are rebuilt by an iterated self-join: cut them with
     # parquet (stats reset — see _parquet_cut), NOT localCheckpoint.
     # The directory must outlive this call (the RETURNED plan reads the
     # last descend cut, and lazily-persisted intermediates recompute
-    # from the level files on cache eviction), so it is removed at
-    # process exit — an sf10 invocation leaves ~3 GB otherwise.
-    tmpdir = tempfile.mkdtemp(prefix="spark_graft_maxrep_ranks_")
-    atexit.register(shutil.rmtree, tmpdir, ignore_errors=True)
+    # from the level files on cache eviction), so it is tracked in the
+    # cache registry and reclaimed by the harness's release_persisted()
+    # once the result is materialized (~3 GB per sf10 invocation
+    # otherwise, unbounded in a long-lived driver); process exit is the
+    # backstop.
+    tmpdir = tracked_tmpdir(
+        tempfile.mkdtemp(prefix="spark_graft_maxrep_ranks_")
+    )
     _cut_seq = [0]
 
     def _pcut(df):

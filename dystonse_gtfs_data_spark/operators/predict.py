@@ -100,12 +100,20 @@ def _grouped_sets(statistics: DataFrame, slot: int | None = None) -> DataFrame:
     )
 
 
-def predict(statistics: DataFrame, requests: DataFrame) -> DataFrame:
+def predict(
+    statistics: DataFrame, requests: DataFrame, wide: bool = True
+) -> DataFrame:
     """requests columns: route_id, route_variant, route_type,
     route_section (of the target stop), time_slot_id, event_type,
     end_stop_index, and optionally start_stop_index + initial_delay
     (the realtime basis).  Returns requests + prediction_curve +
     precision_type + sample_size.
+
+    ``wide`` selects the batch shape (default): fan the requests over
+    defaultParallelism partitions so the Python curve tail runs wide.
+    Interactive callers (``predict single``, a one-trip board lookup)
+    pass ``wide=False``: a handful of request rows gains nothing from a
+    full shuffle + defaultParallelism task launches of fixed latency.
     """
     from ..sources.tables import maybe_broadcast
 
@@ -117,9 +125,10 @@ def predict(statistics: DataFrame, requests: DataFrame) -> DataFrame:
     # found AQE folding the whole tail into ONE task (45.8 s vs ~11 s
     # parallel).  An explicit numPartitions repartition is exempt from
     # AQE coalescing; its shuffle moves only slim request rows.
-    requests = requests.repartition(
-        requests.sparkSession.sparkContext.defaultParallelism
-    )
+    if wide:
+        requests = requests.repartition(
+            requests.sparkSession.sparkContext.defaultParallelism
+        )
     grouped = _grouped_sets(statistics)
     sets_specific = grouped.select(
         F.col("route_id").alias("s1_route"),

@@ -852,9 +852,9 @@ def q_windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"winstream_{_uuid.uuid4().hex[:8]}"
-    from .streaming.pipeline import stream_state_partitions
+    from .streaming.pipeline import catalog_stream_state
 
-    with stream_state_partitions(spark, 8):
+    with catalog_stream_state(spark, 8):
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -939,9 +939,9 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
     )
     sink = f"ssjoin_{_uuid.uuid4().hex[:8]}"
-    from .streaming.pipeline import stream_state_partitions
+    from .streaming.pipeline import catalog_stream_state
 
-    with stream_state_partitions(spark, 8):
+    with catalog_stream_state(spark, 8):
         q = (
             out.writeStream.format("memory")
             .queryName(sink)
@@ -1012,9 +1012,9 @@ def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"sesswin_{_uuid.uuid4().hex[:8]}"
-    from .streaming.pipeline import stream_state_partitions
+    from .streaming.pipeline import catalog_stream_state
 
-    with stream_state_partitions(spark, 8):
+    with catalog_stream_state(spark, 8):
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -3679,9 +3679,9 @@ def q_basis_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = stateful_basis_stream(stream)
     sink = f"basisstream_{_uuid.uuid4().hex[:8]}"
-    from .streaming.pipeline import stream_state_partitions
+    from .streaming.pipeline import catalog_stream_state
 
-    with stream_state_partitions(spark, 8):
+    with catalog_stream_state(spark, 8):
         q = (
             out.writeStream.outputMode("append")
             .format("memory")
@@ -6079,10 +6079,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    outdir = _tf.mkdtemp(prefix=f"streamdedup_out_{_uuid.uuid4().hex[:8]}_")
-    from .streaming.pipeline import stream_state_partitions
+    from .cache import tracked_tmpdir
+    from .streaming.pipeline import catalog_stream_state
 
-    with stream_state_partitions(spark, 8):
+    # the returned frame reads the sink parquet lazily, so the dir must
+    # outlive this call — tracked for release_persisted() (atexit backstop)
+    outdir = tracked_tmpdir(
+        _tf.mkdtemp(prefix=f"streamdedup_out_{_uuid.uuid4().hex[:8]}_")
+    )
+    with catalog_stream_state(spark, 8):
         q = (
             out.writeStream.format("parquet")
             .option("path", _os.path.join(outdir, "data"))
@@ -6092,6 +6097,11 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    # the landing copies were fully drained by the terminated stream —
+    # safe to reclaim eagerly (the checkpoint lives under outdir)
+    import shutil as _sh
+
+    _sh.rmtree(land, ignore_errors=True)
     return spark.read.parquet(_os.path.join(outdir, "data")).orderBy(
         "event_id"
     )
@@ -6170,7 +6180,7 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.dedup import rowwise_minhash_bands
     from .streaming.aggregations import streaming_near_dup
-    from .streaming.pipeline import stream_state_partitions
+    from .streaming.pipeline import catalog_stream_state
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     hi = docs.agg(F.max("doc_id")).first()[0] or 0
@@ -6208,7 +6218,7 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"streamneardup_{_uuid.uuid4().hex[:8]}"
-    with stream_state_partitions(spark, 8):
+    with catalog_stream_state(spark, 8):
         q = (
             out.writeStream.format("memory")
             .queryName(sink)
@@ -6268,8 +6278,8 @@ def q_stream_near_dup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import rowwise_minhash_bands
     from .streaming.aggregations import streaming_near_dup
     from .streaming.pipeline import (
+        catalog_stream_state,
         drain_availablenow_stream,
-        stream_state_partitions,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -6296,7 +6306,7 @@ def q_stream_near_dup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             src.repartition(spark.sparkContext.defaultParallelism),
             num_hashes=16,
         )
-        with stream_state_partitions(spark, 8):
+        with catalog_stream_state(spark, 8):
             q = (
                 streaming_near_dup(sig, ttl_ms=ttl_ms)
                 .writeStream.format("parquet")
@@ -6931,70 +6941,71 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The driver's per-round CORRECTNESS gate checks a ~50-entry prefix of this
-# catalog.  After round 6 every one of the 134 entries has a green driver
-# row, but 42 entries' NEWEST row is round-4's — and round 6 rewrote modules
-# several of them live in (sampling.py for the reservoir, dedup.py +504
-# lines, clustering.py's kmeans rework).  Round 7's order: the 10 entries
-# whose modules round 6 rewrote FIRST (post-rewrite driver evidence), then
-# the round-7 additions, then the remaining 32 round-4-vintage entries;
-# r5/r6-green entries move to the back (freshest evidence).
+# catalog.  After round 7 the cross-round union is 137/137 green, but 37
+# entries' NEWEST driver row is round-5's.  Round 8's order: the r5-vintage
+# entries whose modules rounds 6-8 touched FIRST (dedup.py rework,
+# monitor_http single-flight, sampling.py, streaming RocksDB default), then
+# the untouched r5 remainder, then the entries whose modules ROUND 8 itself
+# changes (streaming state-store default, predict.py repartition gating,
+# ranked ExactSubstr rank-build pruning) so the post-change driver evidence
+# is fresh; r6/r7-green untouched entries move to the back.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # r4-vintage entries whose modules round 6 rewrote (10)
-    "weighted_sample",
-    "stratified_sample",
-    "dataset_mixture",
-    "pack_sequences",
+    # r5-vintage, modules touched by rounds 6-8 (8)
+    "stream_near_dup_ttl",
+    "paragraph_dedup",
+    "exact_substring_dedup",
+    "monitor_http",
+    "unimax_mixture",
+    "curation_funnel",
+    "banding_plan",
+    "ivfpq_recall",
+    # r5-vintage remainder (29)
+    "best_of_cluster",
+    "boilerplate_lines",
+    "compact_small_files",
+    "delay_quantiles",
+    "display_formatting",
+    "domain_caps",
+    "dsir_selection",
+    "ecdf_per_type",
+    "gopher_rules",
+    "gtfs_records",
+    "journey_transfers",
+    "jsonl_quarantine",
+    "jsonl_roundtrip",
+    "master_variants",
+    "model_score",
+    "nation_revenue",
+    "pair_count_matrix",
+    "perplexity_buckets",
+    "pivot_revenue",
+    "pricing_summary",
+    "rollup_revenue",
+    "route_sections",
+    "stored_curve_quantiles",
+    "tar_shards_dist_write",
+    "tar_shards_roundtrip",
+    "top_revenue_orders",
+    "trip_descriptors",
+    "trip_resolution",
+    "walk_time_bounds",
+    # entries whose modules round 8 changes (streaming state-store default,
+    # predict.py repartition gating, dedup.py rank-build pruning, stream
+    # sink tmpdir lifecycle) — post-change driver evidence.  Names not yet
+    # in REGISTRY are filtered out harmlessly.
     "stream_near_dup",
-    "dedup_eval",
-    "minhash_near_dups_xxhash",
-    "simhash_near_dups_xxhash",
-    "winnow_passage_overlap",
-    "dedup_clusters",
-    # new in round 7 (names not yet in REGISTRY are filtered out harmlessly)
-    "curation_funnel_fused",
-    "exact_substring_ranked",
-    "gtfs_statistics_scaled",
-    # remaining round-4-vintage entries (32)
-    "ann_recall",
-    "basis_stream",
-    "bloom_semi_prune",
-    "bpe_merges",
-    "chunk_documents",
-    "corpus_diff",
-    "curriculum_deciles",
-    "curve_svg_render",
-    "gap_fill_records",
-    "grouping_sets_report",
-    "gtfs_schedule_scan",
-    "heat_strip_pixels",
-    "heat_strip_render",
-    "heavy_hitters",
-    "hll_distinct",
-    "hll_merge",
-    "journey_chain",
-    "pii_redaction",
-    "quantile_sketch",
-    "rank_correlation",
-    "realtime_basis",
-    "repetition_signals",
-    "robust_outliers",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "skipped_updates",
-    "statistics_tree_roundtrip",
     "stream_dedup",
-    "tfidf_terms",
-    "url_domains",
-    "zorder_layout",
-    "zorder_skipping",
-    # r5-vintage entries whose module round 7 rewrote (predict.py:
-    # maybe_broadcast ladder, mapInPandas cap/bounds, AQE-exempt
-    # repartition) — post-rewrite driver evidence
+    "basis_stream",
+    "exact_substring_ranked",
     "gtfs_predictions",
     "departure_board",
     "scheduled_predictions",
     "gtfs_statistics",
-    "visual_schedule",
+    "gtfs_statistics_scaled",
+    "sessionize",
+    "windowed_counts_stream",
+    "session_window_stream",
+    "stream_stream_join",
 )
 
 

@@ -19,7 +19,7 @@ run as a maintenance step per batch or on a schedule.
 from __future__ import annotations
 
 from collections.abc import Callable
-from contextlib import contextmanager
+from contextlib import ExitStack, contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -107,6 +107,31 @@ def rocksdb_state(spark: SparkSession, changelog_checkpointing: bool = True):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
+
+
+@contextmanager
+def catalog_stream_state(spark: SparkSession, n: int = 8):
+    """State config for the catalog's stateful streaming entries:
+    ``stream_state_partitions(n)`` + the RocksDB provider BY DEFAULT.
+
+    RocksDB is the only viable store at corpus scale (state on local
+    disk + block cache vs. full maps in executor heap) and measured
+    equal-or-better at sf1 (BENCH_sf1_state.json: both providers
+    191,265 state rows, RocksDB 21-35 MB on disk vs 46-68 MB heap,
+    equal wall) — so the demo entries run what production runs.  Set
+    ``SPARK_GRAFT_HEAP_STATE=1`` to fall back to the default
+    HDFSBackedStateStoreProvider (the knob, e.g. for an environment
+    without local-disk scratch).  Every catalog entry uses a fresh
+    checkpoint per invocation, so flipping providers between rounds
+    never violates a checkpoint's provider contract.
+    """
+    import os
+
+    with ExitStack() as stack:
+        stack.enter_context(stream_state_partitions(spark, n))
+        if os.environ.get("SPARK_GRAFT_HEAP_STATE") != "1":
+            stack.enter_context(rocksdb_state(spark))
+        yield
 
 
 def drain_availablenow_stream(

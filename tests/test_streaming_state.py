@@ -156,6 +156,27 @@ def test_stream_state_partitions_restores_batch_width(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
 
 
+def test_catalog_stream_state_defaults_to_rocksdb(spark, monkeypatch):
+    from dystonse_gtfs_data_spark.streaming.pipeline import (
+        _ROCKSDB_PROVIDER,
+        catalog_stream_state,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    monkeypatch.delenv("SPARK_GRAFT_HEAP_STATE", raising=False)
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    with catalog_stream_state(spark, 4):
+        assert spark.conf.get(key) == _ROCKSDB_PROVIDER
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get(key, None) != _ROCKSDB_PROVIDER
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_width
+    # the heap knob: catalog entries fall back to the default provider
+    monkeypatch.setenv("SPARK_GRAFT_HEAP_STATE", "1")
+    with catalog_stream_state(spark, 4):
+        assert spark.conf.get(key, None) != _ROCKSDB_PROVIDER
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+
+
 class TestStreamDedup:
     def test_drop_duplicates_within_watermark_across_batches(
         self, spark, tmp_path
