@@ -18,8 +18,11 @@ on selected entries — generalized to all of them:
   fails the audit until it is either fixed or reviewed + documented
   here.  Build sides hidden inside cached (``persist``) or scalar
   subquery subtrees are not walkable; those entries must be in ALLOW.
-- exchange count: not a failure, but reported so a regression that
-  doubles the shuffles of an entry is visible in this file's diff.
+- exchange count: reported, AND guarded — a full run compares each
+  entry's count against the committed PLAN_AUDIT.md and FAILS when it
+  grew >50% without a documented reason in ``EXCHANGE_OK`` below, so a
+  plan regression (a lost broadcast, a new shuffle) blocks the gate as
+  a diff instead of passing as prose.
 
 Entries whose construction EXECUTES work (streaming drains, the HTTP
 round-trip, sink writes) still yield their final DataFrame's plan; the
@@ -72,7 +75,35 @@ ALLOW: dict[str, str] = {
     "fallback_lookup": "same 1-row fallback-ladder attach as gtfs_statistics",
 }
 
+# Entries whose exchange count is EXPECTED to exceed the committed
+# baseline by >50% (reviewed growth; the reason is the documentation).
+# Clear an entry once the regenerated PLAN_AUDIT.md with the new count
+# is committed — the new count then becomes the baseline.
+EXCHANGE_OK: dict[str, str] = {}
+
 HARD_FLAGS = ("CartesianProduct", "BatchEvalPython")
+
+_ROW_RE = re.compile(r"^\| (\S+) \| (-?\d+) \| (-?\d+) \| (-?\d+) \|")
+
+
+def parse_committed_exchanges(text: str) -> dict[str, int]:
+    """Entry → exchange count from a committed PLAN_AUDIT.md's table."""
+    counts: dict[str, int] = {}
+    for line in text.splitlines():
+        m = _ROW_RE.match(line)
+        if m:
+            counts[m.group(1)] = int(m.group(2))
+    return counts
+
+
+def exchange_regressed(n_new: int, n_base: int) -> bool:
+    """True when the exchange count grew >50% vs the committed baseline
+    (a lost broadcast typically adds shuffles in multiples, and exchange
+    counts are deterministic per plan — there is no run-to-run noise to
+    absorb).  Negative counts mean 'no baseline' / 'build error'."""
+    if n_base < 0 or n_new < 0:
+        return False
+    return n_new > n_base * 1.5
 
 
 def _walk(node):
@@ -142,6 +173,12 @@ def formatted_plan(df) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.md"
+    )
+    baseline: dict[str, int] = {}
+    if os.path.exists(path):  # the committed artifact = the baseline
+        baseline = parse_committed_exchanges(open(path).read())
     spark = build_session("plan_audit")
     rows: list[tuple[str, int, int, int, str]] = []
     failures: list[str] = []
@@ -182,9 +219,21 @@ def main() -> int:
                 else:
                     notes.append(f"BNLJ UNCLASSIFIED x{n_opaque}")
                     bad = True
+        n_exchange = len(re.findall(r"\bExchange\b", plan))
+        n_base = baseline.get(name, -1)
+        if exchange_regressed(n_exchange, n_base):
+            if name in EXCHANGE_OK:
+                notes.append(
+                    f"exchanges {n_base}->{n_exchange} ok: {EXCHANGE_OK[name]}"
+                )
+            else:
+                notes.append(
+                    f"EXCHANGE REGRESSION: {n_exchange} vs committed "
+                    f"{n_base} (>50% growth needs an EXCHANGE_OK reason)"
+                )
+                bad = True
         if bad:
             failures.append(name)
-        n_exchange = len(re.findall(r"\bExchange\b", plan))
         n_arrow = len(
             re.findall(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan)
         )
@@ -198,7 +247,9 @@ def main() -> int:
         "BroadcastNestedLoopJoin whose build side is neither a provable",
         "1-row scalar attach nor reviewed + documented in the tool's ALLOW",
         "table.  Exchange / Arrow-batched-Python / ReusedExchange counts",
-        "are reported so plan regressions show up in this file's diff.",
+        "are reported AND guarded: an entry whose exchange count grew >50%",
+        "vs this committed file fails the audit unless the growth has a",
+        "written reason in the tool's EXCHANGE_OK table.",
         "",
         "| entry | exchanges | arrow-python ops | reused exchanges | notes |",
         "|---|---|---|---|---|",
@@ -211,9 +262,6 @@ def main() -> int:
         + (f": {failures}" if failures else "."),
         "",
     ]
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.md"
-    )
     if not only:  # partial runs print, full runs persist the artifact
         with open(path, "w") as f:
             f.write("\n".join(out))
