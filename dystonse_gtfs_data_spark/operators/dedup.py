@@ -1177,6 +1177,14 @@ def exact_substring_dedup_sql(
 #: above the testdata's longest document; tune per corpus.
 _MAXREP_CAP_DEFAULT = 1024
 
+#: telemetry of the LAST prefix-doubling rank build in this process
+#: (exact_substring_maximal_ranked stage 1): retained_positions (the
+#: candidate-reachable subset actually ranked), horizon (retention
+#: distance past the last candidate), rounds (doubling iterations —
+#: each materializes one retained_positions-row level table).  Read by
+#: the scale harness so BENCH artifacts carry the build's shape.
+RANK_BUILD_TELEMETRY: dict[str, int] = {}
+
 
 def _token_lcp(a, b):
     """Length of the common token prefix of two array<string> columns —
@@ -1327,11 +1335,21 @@ def exact_substring_maximal_ranked(
 
     Algorithm (Manber–Myers prefix doubling, distributed):
 
-    1. Level-0 ranks = dense index of distinct tokens; level i+1 ranks
-       re-rank each position by (rank_i[p], rank_i[p+2^i] or -1) — the
-       classic generalized-suffix-array construction over the corpus
-       (suffixes never cross documents; positions are (doc, pos) keys,
-       so no sentinel arithmetic).  Each round is one self-join on the
+    1. Prune the position table to the CANDIDATE-REACHABLE subset
+       first: stages 2-3 only compare ranks at candidate starts and at
+       forward probes c + acc + 2^i < c + 4*maxrep, and consecutive-
+       candidate islands bound maxrep (a length-m repeat makes its
+       first m - min_len + 1 positions candidates), so positions more
+       than 4*(max island + min_len) past their preceding candidate are
+       unreachable and every build round runs at duplication-rate
+       volume instead of corpus volume.  Then level-0 ranks = dense
+       index of distinct tokens; level i+1 ranks re-rank each position
+       by (rank_i[p], rank_i[p+2^i] or -1) — the classic generalized-
+       suffix-array construction over the corpus (suffixes never cross
+       documents; positions are (doc, pos) keys, so no sentinel
+       arithmetic).  A pruned right-edge partner reads as -1 (suffix
+       end); the horizon guarantees such ranks are still prefix-correct
+       for >= 2^i tokens at every offset a probe reaches.  Each round is one self-join on the
        shifted position plus one distributed dense re-rank
        (:func:`_dense_sorted_index` — range partition + local
        row_number + broadcast offsets, never a single-partition
@@ -1413,12 +1431,62 @@ def exact_substring_maximal_ranked(
         _cut_seq[0] += 1
         return _parquet_cut(df, os.path.join(tmpdir, f"cut{_cut_seq[0]}"))
 
+    pos_tbl = basep.select(
+        F.col(id_col), F.posexplode("_arr").alias("pos", "_tok")
+    )
+
+    # ---- candidate-reachable pruning (cuts the build constant) ----
+    # Every position inside a repeat of length m (except the last
+    # min_len-1) is itself a verified candidate start, so consecutive-
+    # candidate ISLANDS bound the longest repeat: maxrep <= max island
+    # length + min_len - 1.  The doubling recurrence and the LCP descend
+    # only ever probe offsets FORWARD of a candidate — rank_{i+1}[p]
+    # needs rank_i[p + 2^i], and descend probes c + acc with
+    # acc + 2^i < 2^(L+1) <= 4*maxrep — so positions farther than
+    # 4*(max island + min_len) past the last candidate at-or-before them
+    # can never influence a comparison stages 2-3 read.  Prune them
+    # BEFORE the build: every round's self-join + dense re-rank then
+    # runs at reachable volume (the duplication rate), not corpus
+    # volume.  Positions at a pruned right edge see their shifted
+    # partner as -1 (as if the suffix ended); by the horizon bound their
+    # ranks are still prefix-correct for at least 2^i tokens at every
+    # offset a probe can reach, which is all stages 2-3 compare.
+    cw = Window.partitionBy(id_col).orderBy("pos")
+    cp = cand.select(F.col(id_col), "pos")
+    isl = cp.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(cw) == 1, 0).otherwise(1),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(cw.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    # bounded 1-row probe: the corpus-wide longest candidate island
+    maxrun = (
+        isl.groupBy(id_col, "_isl")
+        .agg(F.count("*").alias("_n"))
+        .agg(F.max("_n"))
+        .first()[0]
+    )
+    horizon = 4 * (int(maxrun) + min_len)
+    flagged = pos_tbl.join(
+        cp.withColumn("_c", F.lit(1)), [id_col, "pos"], "left"
+    )
+    lastc = F.last(
+        F.when(F.col("_c").isNotNull(), F.col("pos")), ignorenulls=True
+    ).over(cw.rowsBetween(Window.unboundedPreceding, 0))
     pos_tbl = tracked_persist(
-        basep.select(
-            F.col(id_col), F.posexplode("_arr").alias("pos", "_tok")
+        flagged.withColumn("_lc", lastc)
+        .filter(
+            F.col("_lc").isNotNull()
+            & (F.col("pos") - F.col("_lc") <= F.lit(horizon))
         )
+        .drop("_c", "_lc")
     )
     n_positions = pos_tbl.count()
+    RANK_BUILD_TELEMETRY.clear()
+    RANK_BUILD_TELEMETRY.update(
+        {"retained_positions": n_positions, "horizon": horizon}
+    )
     # cut strategy for the NON-compounding intermediates (dense-index
     # tables, LCP-descend chain — their stats only ADD per round, so
     # localCheckpoint is stats-safe): localCheckpoint blocks accumulate
@@ -1483,6 +1551,7 @@ def exact_substring_maximal_ranked(
         if distinct_keys == n_positions or distinct_keys == prev_distinct:
             break
         prev_distinct = distinct_keys
+    RANK_BUILD_TELEMETRY["rounds"] = len(levels) - 1
 
     # ---- stage 2: candidate neighbors in suffix order ----
     ranked = tracked_persist(

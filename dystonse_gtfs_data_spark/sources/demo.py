@@ -204,6 +204,98 @@ def rt_feed_files_dir() -> str:
     return _RT_FEED_DIR[0]
 
 
+def wide_schedule_rows(width: int) -> dict[str, list[tuple]]:
+    """A single-variant schedule whose ONE trip has ``width`` stops —
+    the variant-WIDTH axis of the domain fixture (SURVEY §7 hard-part
+    #4: the stop-pair curve-set explosion is O(stops²) per variant ×
+    12 slots × 2 event types, src/analyser/specific_curves.rs:279-351).
+    ``scale_fixture`` multiplies route COUNT; this multiplies the pair
+    grid per route — a 60-stop tram line vs the demo's 16-stop bus."""
+    st_rows = []
+    for i in range(width):
+        dep = 8 * 3600 + i * 120  # 2-min spacing: 60 stops span 08:00-10:00
+        st_rows.append(("t_wide", i + 1, f"w{i}", dep - 30, dep))
+    return {
+        "routes": [("rw1", "a1", "RW1", 0)],
+        "trips": [("t_wide", "rw1", "svc_wk", "Crosstown", 301)],
+        "stop_times": st_rows,
+        "stops": [
+            (f"w{i}", f"Wide stop {i}", 53.0 + i * 0.0005, 8.8)
+            for i in range(width)
+        ],
+        "calendar": [
+            ("svc_wk", True, True, True, True, True, False, False, MONDAY,
+             dt.date(2024, 12, 31))
+        ],
+    }
+
+
+def wide_records_rows(width: int, vehicles: int = N_VEHICLES) -> list[tuple]:
+    """vehicles × width records for the wide trip, seeded like the demo
+    matrix; the LAST stop reports for only 15 vehicles so the >20-pair
+    guard must prune every pair group ENDING there — pruning OUTPUT
+    without the pair join exploding INPUT is the scaling property under
+    test."""
+    rng = np.random.default_rng(7)
+    start = rng.normal(60, 90, size=(vehicles, 1))
+    drift = rng.normal(15, 30, size=(vehicles, width)).cumsum(axis=1)
+    delays = np.round(start + drift).astype(int)
+    jitter = np.random.default_rng(98).integers(-24, 24, size=delays.shape)
+    rows = []
+    for v in range(vehicles):
+        date = MONDAY + dt.timedelta(days=int(v % 5))
+        start_time = 8 * 3600 + v * 60
+        for i in range(width):
+            if i == width - 1 and v >= 15:
+                continue
+            rows.append(
+                (
+                    "test",
+                    "rw1",
+                    301,
+                    "t_wide",
+                    date,
+                    start_time,
+                    i + 1,
+                    f"w{i}",
+                    dt.datetime(date.year, date.month, date.day, 8, 0,
+                                min(i + 1, 59)),
+                    int(delays[v, i]),
+                    int(delays[v, i] + jitter[v, i]),
+                    "sched_v1",
+                )
+            )
+    return rows
+
+
+def wide_fixture(
+    spark: SparkSession,
+    width: int,
+    r: int = 1,
+    vehicles: int = N_VEHICLES,
+    jitter: bool = True,
+):
+    """(schedule, records) for the width ladder: ONE route variant with
+    ``width`` stops, replicated ``r``-fold with suffixed keys exactly
+    like :func:`scale_fixture` — so a run can scale the pair-grid axis
+    (width² growth per variant) and the group-count axis (×r)
+    independently."""
+    rows = wide_schedule_rows(width)
+    sched = {
+        "routes": spark.createDataFrame(rows["routes"], S.ROUTES),
+        "trips": spark.createDataFrame(rows["trips"], S.TRIPS),
+        "stop_times": spark.createDataFrame(rows["stop_times"], S.STOP_TIMES),
+        "stops": spark.createDataFrame(rows["stops"], S.STOPS),
+        "calendar": spark.createDataFrame(rows["calendar"], S.CALENDAR),
+    }
+    records = spark.createDataFrame(
+        wide_records_rows(width, vehicles), S.RECORDS
+    )
+    if r == 1:
+        return sched, records
+    return _replicate(sched, records, r, jitter)
+
+
 def scale_fixture(spark: SparkSession, r: int, jitter: bool = True):
     """R-fold key-suffix replica of the demo schedule + records — the
     domain analog of tools/make_scaled_sf.py (round-7 verdict task #4).
@@ -224,10 +316,17 @@ def scale_fixture(spark: SparkSession, r: int, jitter: bool = True):
 
     Returns (schedule_dict, records_df).
     """
-    from pyspark.sql import functions as F
-
     sched = build_schedule(spark)
     records = build_records(spark)
+    return _replicate(sched, records, r, jitter)
+
+
+def _replicate(sched, records, r: int, jitter: bool):
+    """R-fold key-suffix replication shared by :func:`scale_fixture`
+    and :func:`wide_fixture` (see scale_fixture's docstring for the
+    key/variant mapping and the jitter semantics)."""
+    from pyspark.sql import functions as F
+
     # replica index via explode(sequence) — map-only row multiplication,
     # no join node (a broadcast crossJoin would plan as an R-row BNLJ)
     reps = F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("_k")

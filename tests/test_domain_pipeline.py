@@ -375,3 +375,81 @@ class TestMonitorOps:
         # recompute exactly from the records instead of approximating:
         # (kept simple: bucket daily, weekdays Mon-Fri)
         assert len(rep) == 5
+
+
+class TestWideFixture:
+    """The variant-WIDTH axis (SURVEY §7 hard-part #4): stop-pair
+    curve-set groups grow O(width²) per variant, and the >20-pair guard
+    must prune OUTPUT groups (the sparse last stop) without the pair
+    join dropping INPUT pairs for full groups."""
+
+    WIDTH = 10
+
+    def test_pair_group_grid_and_guard(self, spark):
+        from dystonse_gtfs_data_spark.sources.demo import wide_fixture
+
+        sched, recs = wide_fixture(spark, self.WIDTH)
+        stats = specific_statistics(recs, sched["stop_times"])
+        groups = (
+            stats.filter(F.col("scope") == "specific")
+            .select(
+                "start_stop_index", "end_stop_index", "time_slot_id",
+                "event_type",
+            )
+            .distinct()
+            .collect()
+        )
+        got = {(r[0], r[1], r[2], r[3]) for r in groups}
+        # every scheduled datetime is a weekday 08:0x → slot 3; plus the
+        # always-on DEFAULT slot (12).  60 vehicles report every stop
+        # except the last (15 < the >20 guard), so the surviving grid is
+        # exactly all pairs among stops 0..WIDTH-2 × {slot 3, 12} × both
+        # event types.
+        expect = {
+            (s, e, slot, et)
+            for s in range(self.WIDTH - 1)
+            for e in range(s + 1, self.WIDTH - 1)
+            for slot in (3, 12)
+            for et in (1, 2)
+            # stop 0's ARRIVAL is scheduled 07:59:30 — one slot earlier
+            # than its departure, so slot matching (both endpoints in the
+            # SAME slot) excludes arrival pairs starting there from slot 3
+            if not (et == 1 and slot == 3 and s == 0)
+        }
+        assert got == expect
+        # a full group (60 vehicle pairs) yields at least one focus
+        # curve; sample_size is build_curve_set's mean-samples-per-kept-
+        # curve, bounded by the 60 contributing pairs
+        rows = (
+            stats.filter(
+                (F.col("scope") == "specific")
+                & (F.col("start_stop_index") == 0)
+                & (F.col("end_stop_index") == 1)
+                & (F.col("time_slot_id") == 12)
+                & (F.col("event_type") == 1)
+            )
+            .select("focus_delay", "sample_size")
+            .collect()
+        )
+        assert rows and all(0 < r["sample_size"] <= 60 for r in rows)
+
+    def test_replication_multiplies_groups_not_width(self, spark):
+        from dystonse_gtfs_data_spark.sources.demo import wide_fixture
+
+        sched, recs = wide_fixture(spark, 6, r=3, jitter=False)
+        stats = specific_statistics(recs, sched["stop_times"])
+        per_variant = (
+            stats.filter(F.col("scope") == "specific")
+            .groupBy("route_variant")
+            .agg(F.countDistinct(
+                "start_stop_index", "end_stop_index", "time_slot_id",
+                "event_type",
+            ).alias("n"))
+            .collect()
+        )
+        # 3 replicas, each with C(5,2)=10 pairs (last stop pruned) ×
+        # 2 slots × 2 event types = 40 groups, minus the 4 slot-3
+        # arrival groups starting at stop 0 (arrival scheduled 07:59:30,
+        # one slot earlier) = 36
+        assert sorted(r["route_variant"] for r in per_variant) == [301, 1301, 2301]
+        assert {r["n"] for r in per_variant} == {36}

@@ -19,7 +19,16 @@ replica curves are not byte-identical.  Group structure under scaling:
   their input volume grows ×R into a constant group count — the skew
   shape worth rehearsing.
 
-Usage: python tools/bench_gtfs_scaled.py [R1,R2,...] (default 1,10,100)
+Round 8 adds the variant-WIDTH axis (SURVEY §7 hard-part #4, the
+reference's own watch item): `scale_fixture` multiplies route COUNT but
+keeps 16 stops per variant, while the stop-pair curve-set grid grows
+O(stops²) per variant × slots × 2 event types — a 60-stop tram line has
+14.8× the pair groups of the 16-stop demo bus.  The width ladder holds
+R fixed and sweeps stops-per-variant, probing curve-set group-count
+growth and pandas-UDAF batch pressure directly.
+
+Usage: python tools/bench_gtfs_scaled.py [R1,R2,...] [W1,W2,...@R]
+  (defaults: replicas 1,10,100; widths 16,30,60@10)
 Prints one JSON line; the committed artifact is BENCH_gtfs_scaled.json.
 """
 
@@ -45,6 +54,12 @@ def main() -> None:
         if len(sys.argv) > 1
         else [1, 10, 100]
     )
+    if len(sys.argv) > 2:
+        wspec, _, wr = sys.argv[2].partition("@")
+        widths = [int(x) for x in wspec.split(",")]
+        width_r = int(wr or "10")
+    else:
+        widths, width_r = [16, 30, 60], 10
     spark = build_session("bench-gtfs-scaled")
 
     from dystonse_gtfs_data_spark.operators.default_curves import (
@@ -96,12 +111,51 @@ def main() -> None:
         recs.unpersist()
         st.unpersist()
         release_persisted()
+
+    from dystonse_gtfs_data_spark.sources.demo import wide_fixture
+
+    out_w = {}
+    for w in widths:
+        sched, recs = wide_fixture(spark, w, r=width_r)
+        recs = recs.persist()
+        n_records = recs.count()
+        st = sched["stop_times"].persist()
+        st.count()
+
+        t0 = time.time()
+        stats = specific_statistics(recs, st)
+        stats_p = stats.persist()
+        n_curves = stats_p.count()
+        t_stats = round(time.time() - t0, 3)
+        n_groups = (
+            stats_p.filter(stats_p.scope == "specific")
+            .select(
+                "route_variant", "start_stop_index", "end_stop_index",
+                "time_slot_id", "event_type",
+            )
+            .distinct()
+            .count()
+        )
+        out_w[str(w)] = {
+            "r": width_r,
+            "n_records": n_records,
+            "n_curves": n_curves,
+            "n_pair_groups": n_groups,
+            "statistics_s": t_stats,
+        }
+        print(f"# W={w} {out_w[str(w)]}", file=sys.stderr, flush=True)
+        stats_p.unpersist()
+        recs.unpersist()
+        st.unpersist()
+        release_persisted()
+
     print(
         json.dumps(
             {
                 "metric": "gtfs_domain_scaled_wall_time",
                 "unit": "sec",
                 "replicas": out,
+                "widths": out_w,
             }
         )
     )
