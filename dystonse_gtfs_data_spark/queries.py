@@ -3834,6 +3834,50 @@ def q_gtfs_statistics_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gtfs_statistics_width",
+    # differential oracle: the single-node specific/semi_specific replica
+    # run on the WIDE fixture (12-stop variant) — the O(width²) stop-pair
+    # grid hash-checked beyond the 16-stop demo bus's shape
+    f"""
+    SELECT scope, route_id, route_variant, start_stop_index, end_stop_index,
+           stop_index, time_slot_id, event_type, focus_delay, n_points,
+           precision_type, sample_size
+    FROM {_dt("expected_gtfs_statistics_wide")}
+    ORDER BY scope, start_stop_index, end_stop_index, stop_index,
+             time_slot_id, event_type, focus_delay
+    """,
+    covers="A7/J4 stop-pair curve sets on a WIDE variant (SURVEY §7 "
+    "hard-part #4, src/analyser/specific_curves.rs:279-351): one 12-stop "
+    "trip makes C(11,2) pair groups × slots × event types, the sparse "
+    "last stop exercises the >20-pair guard, vs the bit-exact single-"
+    "node replica (demo_oracle_pipeline.expected_gtfs_statistics_wide)",
+)
+def q_gtfs_statistics_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.specific_curves import specific_statistics
+    from .sources.demo import wide_fixture
+
+    sched, recs = wide_fixture(spark, 12)
+    stats = specific_statistics(recs, sched["stop_times"])
+    return stats.select(
+        "scope",
+        "route_id",
+        "route_variant",
+        "start_stop_index",
+        "end_stop_index",
+        "stop_index",
+        "time_slot_id",
+        "event_type",
+        F.col("focus_delay").cast("double").alias("focus_delay"),
+        F.size("curve").alias("n_points"),
+        "precision_type",
+        "sample_size",
+    ).orderBy(
+        "scope", "start_stop_index", "end_stop_index", "stop_index",
+        "time_slot_id", "event_type", "focus_delay",
+    )
+
+
+@register(
     "gtfs_predictions",
     # differential oracle: single-node pandas fallback-ladder reimplementation
     f"""
@@ -7002,6 +7046,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scheduled_predictions",
     "gtfs_statistics",
     "gtfs_statistics_scaled",
+    "gtfs_statistics_width",
     "sessionize",
     "windowed_counts_stream",
     "session_window_stream",

@@ -167,6 +167,14 @@ def ensure_demo_oracle_dir() -> str:
         pa.Table.from_pandas(stats, preserve_index=False),
         os.path.join(build_dir, "expected_gtfs_statistics.parquet"),
     )
+    from .demo_oracle_pipeline import expected_gtfs_statistics_wide
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            expected_gtfs_statistics_wide(), preserve_index=False
+        ),
+        os.path.join(build_dir, "expected_gtfs_statistics_wide.parquet"),
+    )
     preds = expected_realtime_predictions()
     pq.write_table(
         pa.Table.from_pandas(preds, preserve_index=False),

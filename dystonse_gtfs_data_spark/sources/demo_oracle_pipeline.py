@@ -450,6 +450,61 @@ def expected_gtfs_statistics() -> pd.DataFrame:
     return out[cols]
 
 
+def expected_gtfs_statistics_wide(width: int = 12) -> pd.DataFrame:
+    """q_gtfs_statistics_width's expected rows: the SAME single-node
+    specific/semi_specific replica run on the WIDE fixture (one trip,
+    ``width`` stops — sources/demo.py wide_schedule_rows/
+    wide_records_rows), so the O(width²) stop-pair grid the reference
+    brute-forces per route (src/analyser/specific_curves.rs:279-351) is
+    hash-checked at a wider variant than the 16-stop demo bus."""
+    from .demo import wide_records_rows, wide_schedule_rows
+
+    rec = pd.DataFrame(wide_records_rows(width), columns=REC_COLS)
+    st = pd.DataFrame(
+        wide_schedule_rows(width)["stop_times"],
+        columns=["trip_id", "stop_sequence", "stop_id", "arrival_time",
+                 "departure_time"],
+    ).sort_values(["trip_id", "stop_sequence"], ignore_index=True)
+    st["stop_index"] = st.groupby("trip_id").cumcount()
+    st["stop_count"] = st.groupby("trip_id")["stop_sequence"].transform("size")
+
+    projected = _projected_records(rec, st)
+    enriched = _enrich(projected, st)
+    rows: list[dict] = []
+    for r in _specific_curve_sets(enriched):
+        rows.append(
+            {
+                "scope": "specific", "route_id": r["route_id"],
+                "route_variant": r["route_variant"],
+                "start_stop_index": r["start_stop_index"],
+                "end_stop_index": r["end_stop_index"], "stop_index": None,
+                "time_slot_id": r["time_slot_id"],
+                "event_type": r["event_type"],
+                "focus_delay": r["focus_delay"],
+                "n_points": len(r["curve"].xs),
+                "precision_type": PRECISION_SPECIFIC,
+                "sample_size": r["sample_size"],
+            }
+        )
+    for r in _general_curves(enriched):
+        rows.append(
+            {
+                "scope": "semi_specific", "route_id": r["route_id"],
+                "route_variant": r["route_variant"],
+                "start_stop_index": None, "end_stop_index": None,
+                "stop_index": r["stop_index"], "time_slot_id": None,
+                "event_type": r["event_type"], "focus_delay": None,
+                "n_points": len(r["curve"].xs),
+                "precision_type": PRECISION_SEMI_SPECIFIC,
+                "sample_size": r["sample_size"],
+            }
+        )
+    cols = ["scope", "route_id", "route_variant", "start_stop_index",
+            "end_stop_index", "stop_index", "time_slot_id", "event_type",
+            "focus_delay", "n_points", "precision_type", "sample_size"]
+    return pd.DataFrame(rows, columns=cols)
+
+
 # --------------------------------------------------------------------------
 # Realtime predictions (predict.py) — fallback ladder + time shift
 # --------------------------------------------------------------------------
