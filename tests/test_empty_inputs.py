@@ -28,6 +28,7 @@ NOT_SF_TABLE_DRIVEN = {
     "gtfs_schedule_scan",
     "gtfs_statistics",
     "gtfs_statistics_scaled",
+    "gtfs_statistics_width",
     "journey_chain",
     "journey_transfers",
     "master_variants",
