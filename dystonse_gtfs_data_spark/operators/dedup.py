@@ -1356,8 +1356,10 @@ def exact_substring_maximal_ranked(
        window).  Rounds stop as soon as every rank is distinct, i.e.
        after ceil(log2(longest repeat)) + 1 rounds, NOT log2(longest
        document) — the early stop is free (the re-rank already counts
-       its distinct keys).  Shuffle volume: O(n) rows × rounds =
-       O(n log maxrep), each row ~24 bytes.
+       its distinct keys).  Shuffle volume: O(reachable) rows ×
+       rounds, each row ~24 bytes, where reachable = the pruned
+       position count (duplication-rate-bound; == n only for a fully
+       duplicated corpus).
     2. Candidate starts (same hash prefilter + exact verify as the
        capped path) join their final rank; final ranks are DISTINCT,
        so rank order == lexicographic suffix order.  Range-partition by
@@ -1377,11 +1379,13 @@ def exact_substring_maximal_ranked(
     Use this when repeats may exceed :data:`_MAXREP_CAP_DEFAULT`
     (dedup-before-train on corpora with whole-file duplication); the
     capped path stays the cheaper default when the cap provably bounds
-    the corpus' repeat length.  At 100 TB: rank tables are n-row
-    (doc, pos, rank) triples persisted per level — O(n log maxrep)
-    storage through the build, freed when the operator's caller
-    releases tracked persists; the candidate stages are the capped
-    path's, whose volume is the duplication rate.
+    the corpus' repeat length.  At 100 TB: rank tables are
+    (doc, pos, rank) triples at REACHABLE volume persisted per level —
+    O(reachable × log maxrep) storage through the build (reachable
+    scales with the duplication rate, ~2% of positions on the sf
+    testdata), reclaimed when the harness's release_persisted() runs;
+    the candidate stages are the capped path's, whose volume is the
+    duplication rate.
     """
     arr = F.split(F.col(text_col), re.escape(sep))  # sep is LITERAL
     base = _spread(docs).select(F.col(id_col), arr.alias("_arr"))
@@ -1396,7 +1400,7 @@ def exact_substring_maximal_ranked(
     )
     # bounded 0/1-row probe: a corpus with no verified repeat start has
     # nothing to rank — skip the iterative suffix-rank build entirely
-    # (the build costs O(n log maxrep) regardless of duplication rate,
+    # (even the pruned build pays the corpus-volume prefilter pass,
     # exactly what an undeduplicated-corpus fast path must not pay)
     if cand.limit(1).count() == 0:
         return basep.limit(0).select(
