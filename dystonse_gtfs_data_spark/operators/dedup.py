@@ -1278,47 +1278,6 @@ def _parquet_cut(df: DataFrame, path: str) -> DataFrame:
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 
-
-def _dense_sorted_index(
-    df: DataFrame, cols: list[str], cut=None
-) -> tuple[DataFrame, int]:
-    """Global dense index 0..K-1 over the DISTINCT rows of ``df[cols]``
-    in their sort order, without a single-partition window: range
-    partition, per-partition ``row_number``, and broadcast per-partition
-    offsets.  Driver traffic is one count per shuffle partition (bounded
-    by the partition count, never the data).  Returns (indexed, K).
-
-    ``cut`` pins the partition layout across the two consumers (the
-    counts collect and the output join); default :func:`_lineage_cut`.
-    Iterative callers should pass a parquet cut: localCheckpoint blocks
-    accumulate in executor memory until the JVM's ContextCleaner runs,
-    and ~10 rounds of n-row cuts produced GCLocker thrash at sf10."""
-    spark = df.sparkSession
-    if cut is None:
-        cut = _lineage_cut
-    d = cut(
-        df.dropDuplicates(cols)
-        .repartitionByRange(*[F.col(c) for c in cols])
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    counts = sorted(
-        (r["_pid"], r["_c"])
-        for r in d.groupBy("_pid").agg(F.count("*").alias("_c")).collect()
-    )
-    offs, acc = [], 0
-    for pid, c in counts:
-        offs.append((pid, acc))
-        acc += c
-    off_df = spark.createDataFrame(offs or [], "_pid int, _off bigint")
-    w = Window.partitionBy("_pid").orderBy(*cols)
-    out = (
-        d.join(F.broadcast(off_df), "_pid")
-        .withColumn("_idx", F.row_number().over(w) - 1 + F.col("_off"))
-        .drop("_pid", "_off")
-    )
-    return out, acc
-
-
 def exact_substring_maximal_ranked(
     docs: DataFrame,
     min_len: int = 20,
@@ -1349,24 +1308,29 @@ def exact_substring_maximal_ranked(
        documents; positions are (doc, pos) keys, so no sentinel
        arithmetic).  A pruned right-edge partner reads as -1 (suffix
        end); the horizon guarantees such ranks are still prefix-correct
-       for >= 2^i tokens at every offset a probe reaches.  Each round is one self-join on the
-       shifted position plus one distributed dense re-rank
-       (:func:`_dense_sorted_index` — range partition + local
-       row_number + broadcast offsets, never a single-partition
-       window).  Rounds stop as soon as every rank is distinct, i.e.
-       after ceil(log2(longest repeat)) + 1 rounds, NOT log2(longest
-       document) — the early stop is free (the re-rank already counts
-       its distinct keys).  Shuffle volume: O(reachable) rows ×
-       rounds, each row ~24 bytes, where reachable = the pruned
-       position count (duplication-rate-bound; == n only for a fully
-       duplicated corpus).
+       for >= 2^i tokens at every offset a probe reaches.  Ranks are
+       COMPETITION ranks (count of strictly-smaller prefixes), which
+       are stable: a position whose group becomes a singleton holds
+       its final suffix-order index forever, so each round FREEZES
+       resolved positions and re-ranks only the still-tied ACTIVE set
+       — bucket refinement (new rank = group rank + within-group
+       offset) via one groupBy + one group-bounded window per round,
+       no global re-sort and no per-round driver collect.  Rounds stop
+       when the active set empties or at the refinement fixpoint.
+       Shuffle volume: O(active_i) rows per round, each ~24 bytes,
+       where active_0 = the pruned reachable set and active_i shrinks
+       as prefixes resolve (geometric on low-duplication corpora;
+       == n throughout only for a fully duplicated corpus).
     2. Candidate starts (same hash prefilter + exact verify as the
        capped path) join their final rank; final ranks are DISTINCT,
        so rank order == lexicographic suffix order.  Range-partition by
        rank, neighbor pairs from per-partition ``lead``, boundary rows
        (2 per partition) paired in one bounded window — the capped
        path's exact layout.
-    3. Neighbor LCPs by descending through the retained level tables:
+    3. Neighbor LCPs by descending through the retained level tables
+       (each holds only that level's ACTIVE positions — two distinct
+       equal-prefix positions are always both active, and a probe that
+       misses the table is frozen/absent, i.e. correctly unequal):
        acc += 2^i when rank_i[a+acc] == rank_i[b+acc] (both present) —
        per level, two (doc, pos)-equi-joins at CANDIDATE volume, with
        a lineage cut per level.  Identical-suffix pairs (full-document
@@ -1382,11 +1346,15 @@ def exact_substring_maximal_ranked(
     the corpus' repeat length.  At 100 TB: rank tables are
     (doc, pos, rank) triples at REACHABLE volume persisted per level —
     O(reachable × log maxrep) storage through the build (reachable
-    scales with the duplication rate, ~2% of positions on the sf
-    testdata), reclaimed when the harness's release_persisted() runs;
+    scales with the duplication rate — 32% of positions on the
+    duplication-heavy sf testdata), reclaimed when the harness's
+    release_persisted() runs;
     the candidate stages are the capped path's, whose volume is the
     duplication rate.
     """
+    import time as _time
+
+    _t0 = _time.time()
     arr = F.split(F.col(text_col), re.escape(sep))  # sep is LITERAL
     base = _spread(docs).select(F.col(id_col), arr.alias("_arr"))
 
@@ -1506,60 +1474,151 @@ def exact_substring_maximal_ranked(
         if n_positions > checkpoint_positions_threshold
         else _lineage_cut
     )
-    vocab, _ = _dense_sorted_index(pos_tbl.select("_tok"), ["_tok"], cut=_cut)
-    level = _parquet_cut(
-        pos_tbl.join(vocab, "_tok").select(
-            id_col, "pos", F.col("_idx").alias("_r")
-        ),
+    spark = docs.sparkSession
+
+    # ---- level 0: GLOBAL competition ranks over tokens ----
+    # rank[p] = count of retained positions whose token sorts strictly
+    # before p's.  Competition ranks (unlike per-round dense numbering)
+    # are STABLE: once a position's group is a singleton, its rank IS
+    # its final suffix-order index and never changes — which is what
+    # lets later rounds FREEZE resolved positions and re-rank only the
+    # still-tied ones (suffix-array bucket refinement, distributed).
+    tok_sizes = pos_tbl.groupBy("_tok").agg(F.count("*").alias("_n"))
+    d0 = _cut(
+        tok_sizes.repartitionByRange(F.col("_tok")).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    pcounts = sorted(
+        (r["_pid"], r["_s"])
+        for r in d0.groupBy("_pid").agg(F.sum("_n").alias("_s")).collect()
+    )
+    offs, acc = [], 0
+    for pid, c in pcounts:
+        offs.append((pid, int(acc)))
+        acc += int(c)
+    off_df = spark.createDataFrame(offs or [], "_pid int, _off bigint")
+    w0 = Window.partitionBy("_pid").orderBy("_tok")
+    vocab = (
+        d0.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "_cum",
+            F.sum("_n").over(w0.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "_r",
+            (F.coalesce(F.col("_cum"), F.lit(0)) + F.col("_off")).cast(
+                "long"
+            ),
+        )
+        .select("_tok", "_r", "_n")
+    )
+    lvl0 = _parquet_cut(
+        pos_tbl.join(vocab, "_tok").select(id_col, "pos", "_r", "_n"),
         os.path.join(tmpdir, "lvl0"),
     )
-    levels = [level]
+
+    # The descend only ever asks "do these two DIFFERENT positions have
+    # equal 2^i-token prefixes?" — two distinct equal-prefix positions
+    # are by definition in a group of size >= 2, so the per-level
+    # tables keep only the still-tied (ACTIVE) positions; a probe that
+    # misses the table is frozen/absent and correctly compares unequal.
+    # one cumulative frozen store, appended per round (a single scan
+    # per lookup instead of a per-round union that grows the plan)
+    frozen_dir = os.path.join(tmpdir, "frozen")
+
+    def _freeze(df):
+        df.select(id_col, "pos", "_r").write.mode("append").parquet(
+            frozen_dir
+        )
+
+    _freeze(lvl0.filter(F.col("_n") == 1))
+    active = lvl0.filter(F.col("_n") > 1).drop("_n")
+    levels = [active]
+    st0 = lvl0.agg(
+        F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias("live"),
+        F.count_distinct(
+            F.when(F.col("_n") > 1, F.col("_r"))
+        ).alias("groups"),
+    ).first()
+    live, prev_groups = int(st0["live"] or 0), int(st0["groups"] or 0)
+    live_per_round = [live]
     span = 1
-    prev_distinct = -1
-    while True:
-        shifted = level.select(
+    while live > 0:
+        # rank at p+span: still-tied positions carry the current level
+        # rank, resolved ones their frozen (final) rank — competition
+        # semantics keep the two value sets order-consistent and
+        # collision-free, so mixing rounds in one key is exact
+        lookup = active.unionByName(spark.read.parquet(frozen_dir))
+        shifted = lookup.select(
             F.col(id_col),
             (F.col("pos") - span).alias("pos"),
             F.col("_r").alias("_r2"),
         )
-        paired = (
-            level.join(shifted, [id_col, "pos"], "left")
-            .select(
-                id_col,
-                "pos",
-                F.col("_r").alias("_r1"),
-                F.coalesce("_r2", F.lit(-1)).alias("_r2"),
-            )
+        paired = active.join(shifted, [id_col, "pos"], "left").select(
+            id_col,
+            "pos",
+            F.col("_r").alias("_r1"),
+            F.coalesce("_r2", F.lit(-1)).alias("_r2"),
         )
-        keys, distinct_keys = _dense_sorted_index(
-            paired.select("_r1", "_r2"), ["_r1", "_r2"], cut=_cut
+        # bucket refinement: new rank of key (r1, r2) = r1 + count of
+        # same-group positions with a strictly smaller r2 — global
+        # competition ranks maintained while shuffling only ACTIVE
+        # rows (one groupBy + one bounded window over the key table;
+        # no global range partition, no per-round driver collect)
+        sizes = paired.groupBy("_r1", "_r2").agg(F.count("*").alias("_n"))
+        wg = Window.partitionBy("_r1").orderBy("_r2")
+        keyrank = sizes.withColumn(
+            "_nr",
+            F.col("_r1")
+            + F.coalesce(
+                F.sum("_n").over(
+                    wg.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
         )
-        level = _parquet_cut(
-            paired.join(keys, ["_r1", "_r2"]).select(
-                id_col, "pos", F.col("_idx").alias("_r")
+        nxt = _parquet_cut(
+            paired.join(keyrank, ["_r1", "_r2"]).select(
+                id_col, "pos", F.col("_nr").alias("_r"), "_n"
             ),
             os.path.join(tmpdir, f"lvl{len(levels)}"),
         )
-        levels.append(level)
+        active = nxt.filter(F.col("_n") > 1).drop("_n")
+        levels.append(active)
         span *= 2
-        # stop at the refinement FIXPOINT, not at "all distinct": a
-        # corpus with fully identical suffixes (whole-document
-        # duplicates) keeps those positions tied at every level, so
-        # all-distinct is unreachable — but an unchanged distinct count
-        # means no group split this round, and the doubling operator is
-        # deterministic on the partition, so no later round splits one
-        # either.  Remaining ties ARE identical suffixes; stage 2
-        # breaks them by position key (any consistent tiebreak is a
-        # valid suffix order for interchangeable suffixes) and the
-        # stage-3 clamp makes their LCP exact.
-        if distinct_keys == n_positions or distinct_keys == prev_distinct:
+        st = nxt.agg(
+            F.sum(F.when(F.col("_n") == 1, 1).otherwise(0)).alias("froze"),
+            F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias("live"),
+            F.count_distinct(
+                F.when(F.col("_n") > 1, F.col("_r"))
+            ).alias("groups"),
+        ).first()
+        froze = int(st["froze"] or 0)
+        live = int(st["live"] or 0)
+        groups = int(st["groups"] or 0)
+        live_per_round.append(live)
+        if froze:
+            _freeze(nxt.filter(F.col("_n") == 1))
+        # refinement FIXPOINT, not "all distinct": identical suffixes
+        # (whole-document duplicates) stay tied at every level.  If
+        # nothing froze and no group split this round, the
+        # deterministic doubling operator never changes anything later
+        # — remaining ties ARE identical suffixes; stage 2 breaks them
+        # by position key (any consistent tiebreak is a valid suffix
+        # order for interchangeable suffixes) and the stage-3 clamp
+        # makes their LCP exact.
+        if froze == 0 and groups == prev_groups:
             break
-        prev_distinct = distinct_keys
+        prev_groups = groups
+    final_ranks = spark.read.parquet(frozen_dir).unionByName(active)
     RANK_BUILD_TELEMETRY["rounds"] = len(levels) - 1
+    RANK_BUILD_TELEMETRY["active_rows_per_round"] = live_per_round
+    RANK_BUILD_TELEMETRY["build_s"] = round(_time.time() - _t0, 1)
 
     # ---- stage 2: candidate neighbors in suffix order ----
     ranked = tracked_persist(
-        cand.join(levels[-1], [id_col, "pos"])
+        cand.join(final_ranks, [id_col, "pos"])
         .repartitionByRange(F.col("_r"), F.col("_pk"))
         .withColumn("_pid", F.spark_partition_id())
     )
@@ -1637,6 +1696,9 @@ def exact_substring_maximal_ranked(
             .drop("_ad", "_ap", "_ra", "_bd", "_bp", "_rb")
         )
         cur = _cut(cur)
+    RANK_BUILD_TELEMETRY["descend_s"] = round(
+        _time.time() - _t0 - RANK_BUILD_TELEMETRY["build_s"], 1
+    )
     # each pair contributes its LCP to BOTH endpoints; clamp to the
     # suffix length (exact for identical-suffix overshoot, a no-op
     # otherwise)
