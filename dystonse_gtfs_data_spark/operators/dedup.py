@@ -1439,7 +1439,8 @@ def exact_substring_maximal_ranked(
         .agg(F.max("_n"))
         .first()[0]
     )
-    horizon = 4 * (int(maxrun) + min_len)
+    maxrep_bound = int(maxrun) + min_len  # > any repeat/identical-suffix len
+    horizon = 4 * maxrep_bound
     flagged = pos_tbl.join(
         cp.withColumn("_c", F.lit(1)), [id_col, "pos"], "left"
     )
@@ -1603,12 +1604,25 @@ def exact_substring_maximal_ranked(
         # refinement FIXPOINT, not "all distinct": identical suffixes
         # (whole-document duplicates) stay tied at every level.  If
         # nothing froze and no group split this round, the
-        # deterministic doubling operator never changes anything later
-        # — remaining ties ARE identical suffixes; stage 2 breaks them
-        # by position key (any consistent tiebreak is a valid suffix
-        # order for interchangeable suffixes) and the stage-3 clamp
-        # makes their LCP exact.
+        # deterministic doubling operator produces byte-identical
+        # levels forever — remaining ties ARE identical suffixes;
+        # stage 2 breaks them by position key (any consistent tiebreak
+        # is a valid suffix order for interchangeable suffixes) and
+        # the stage-3 clamp makes their LCP exact — PROVIDED the level
+        # list is deep enough: a tied pair's descend accumulates
+        # 2^(L+1)-1, which must reach the suffix length for the clamp
+        # to snap it UP.  (A corpus whose ONLY repeats are whole-
+        # document duplicates hits the fixpoint at round 1; stopping
+        # there silently returned LCP <= 3 — a latent round-7 bug,
+        # pinned by the pure-duplicate regression test.)  Since
+        # post-fixpoint levels are identical, pad the list with the
+        # CURRENT level until the span covers the island-derived
+        # repeat bound — depth without further shuffles.
         if froze == 0 and groups == prev_groups:
+            while span < maxrep_bound:
+                levels.append(active)
+                live_per_round.append(live)
+                span *= 2
             break
         prev_groups = groups
     final_ranks = spark.read.parquet(frozen_dir).unionByName(active)

@@ -431,6 +431,29 @@ class TestExactSubstringRanked:
         )
         assert got == expect
 
+    def test_pure_duplicate_corpus_full_spans(self, spark):
+        # regression: a corpus whose ONLY repeats are whole-document
+        # duplicates hits the refinement fixpoint at round 1 (every
+        # tied group is an identical suffix, nothing ever splits or
+        # freezes).  The descend's clamp needs level depth covering the
+        # repeat length to snap the tied-pair LCP UP to the suffix
+        # length; without the span>=bound guard the build stopped with
+        # acc <= 3 and silently returned ZERO spans (latent since the
+        # operator landed).  40-token twin docs + unique filler must
+        # come out as two full-document spans.
+        run = " ".join(f"d{i}" for i in range(40))
+        rows = [
+            (0, run),
+            (1, run),
+            (2, " ".join(f"u{i}" for i in range(40))),
+        ]
+        got = self._ranked_rows(spark, rows, 20)
+        assert got == [
+            (0, 0, 40, 40, run),
+            (1, 0, 40, 40, run),
+        ]
+        assert got == _brute_maximal(rows, 20)
+
     def test_no_repeats_short_circuits_empty(self, spark):
         rows = [(0, "a b c"), (1, "d e f")]
         out = self._ranked_rows(spark, rows, 2)
