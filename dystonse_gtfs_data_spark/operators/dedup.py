@@ -214,6 +214,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_bands: int = 16,
     rows_per_band: int = 4,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_id, band slice) to get
     candidate near-dup pairs (id_a < id_b).  The join key is the raw
@@ -221,7 +222,22 @@ def minhash_lsh_candidates(
     co-locate, everything else never meets (the LSH property), so the
     shuffle is O(docs × bands); joining the 4-element slice itself
     instead of a hash of it keeps the key engine-portable for oracles
-    at negligible extra shuffle width."""
+    at negligible extra shuffle width.
+
+    ``hot_bucket_cap`` is the corpus-scale valve for MASS-DUPLICATED
+    content: a band bucket with n members emits n(n-1)/2 pairs, so one
+    boilerplate document duplicated 1 M times yields ~5·10^11 candidate
+    rows from a single bucket — a guaranteed job death at 100 TB that
+    the demo scales never hit.  With the cap set, buckets larger than
+    it emit a STAR to the bucket's min-id representative (n-1 edges)
+    instead of all pairs.  Downstream each star edge is still
+    exact-Jaccard-verified, and for the case that creates hot buckets
+    (near-identical texts, which also share full signatures) every
+    edge verifies at J≈1, so transitive CLUSTERS are unchanged — the
+    approximation only loses contrived pairs that collide with a hot
+    bucket while being near-dups of each other but not of the
+    representative.  Default None keeps exact all-pairs enumeration
+    (the oracle-hashed catalog setting)."""
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -236,16 +252,40 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_sig")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
+    if hot_bucket_cap is None:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(b, ["band_id", "band_sig"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+    sizes = banded.groupBy("band_id", "band_sig").agg(
+        F.count("*").alias("_bn"), F.min(id_col).alias("_rep")
+    )
+    sized = banded.join(sizes, ["band_id", "band_sig"])
+    small = sized.filter(F.col("_bn") <= hot_bucket_cap)
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs_small = (
         a.join(b, ["band_id", "band_sig"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
     )
+    pairs_hot = (
+        sized.filter(
+            (F.col("_bn") > hot_bucket_cap) & (F.col(id_col) > F.col("_rep"))
+        )
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return pairs_small.unionByName(pairs_hot).distinct()
 
 
 def ngram_jaccard_pairs(

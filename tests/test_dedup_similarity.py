@@ -494,3 +494,50 @@ class TestBandingPlan:
         pairs = spark.createDataFrame([], "jaccard double")
         # no observed pairs -> no plan rows (degenerate-input contract)
         assert banding_plan(pairs, 64, 0.5).count() == 0
+
+
+def test_hot_bucket_cap_star_preserves_clusters(spark):
+    # the 100 TB valve: a band bucket with n members normally emits
+    # n(n-1)/2 candidate pairs (mass-duplicated boilerplate -> job
+    # death); with hot_bucket_cap set, hot buckets emit a star to the
+    # min-id representative instead.  For the case that CREATES hot
+    # buckets (identical texts -> identical signatures) every star edge
+    # verifies at J=1, so transitive clusters are unchanged.
+    from dystonse_gtfs_data_spark.operators.clustering import dedup_clusters
+    from dystonse_gtfs_data_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    run = " ".join(f"w{i % 7}" for i in range(60))
+    rows = [(i, run) for i in range(40)]  # one 40-clique
+    rows += [(100, "a b c d e f g h i j"), (101, "a b c d e f g h i j")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(docs)
+
+    full = minhash_lsh_candidates(sigs)
+    star = minhash_lsh_candidates(sigs, hot_bucket_cap=8)
+    n_full = full.count()
+    n_star = star.count()
+    # the clique collapses from C(40,2)=780 pairs to a 39-edge star;
+    # the small (100,101) bucket stays exact all-pairs
+    assert n_full == 780 + 1
+    assert n_star == 39 + 1
+    assert star.exceptAll(full).count() == 0  # star edges are a subset
+
+    cf = {(r["doc_id"], r["cluster"]) for r in dedup_clusters(full).collect()}
+    cs = {(r["doc_id"], r["cluster"]) for r in dedup_clusters(star).collect()}
+    assert cf == cs  # identical transitive clusters
+
+
+def test_hot_bucket_cap_none_is_exact_default(doc_corpus):
+    from dystonse_gtfs_data_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(doc_corpus)
+    a = {tuple(r) for r in minhash_lsh_candidates(sigs).collect()}
+    # a cap larger than every bucket must reproduce the exact pair set
+    b = {tuple(r) for r in minhash_lsh_candidates(sigs, hot_bucket_cap=10_000).collect()}
+    assert a == b
