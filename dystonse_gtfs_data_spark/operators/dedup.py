@@ -626,10 +626,20 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     base_hash: str = "xxhash64",
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using the
     4×16-bit chunk pigeonhole: pairs within distance 3 share at least one
-    of four 16-bit chunks → equi-join per chunk, then exact popcount."""
+    of four 16-bit chunks → equi-join per chunk, then exact popcount.
+
+    ``hot_bucket_cap`` is the same mass-duplication valve as
+    :func:`minhash_lsh_candidates`: a chunk bucket with n members emits
+    n(n-1)/2 join rows, and identical texts land every copy in all four
+    of the same buckets.  Above the cap a bucket emits a STAR to its
+    min-id representative; star edges still pass the exact popcount, and
+    for identical texts (hamming 0 to the representative) transitive
+    clusters are unchanged.  Default None = exact enumeration (the
+    oracle-hashed catalog setting)."""
     sig = simhash(docs, text_col, id_col, base_hash=base_hash)
     chunks = sig.select(
         F.col(id_col),
@@ -648,17 +658,53 @@ def simhash_near_duplicates(
             )
         ).alias("c"),
     ).select(id_col, "simhash", "c.chunk_id", "c.chunk")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
-        a.join(b, ["chunk_id", "chunk"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+    if hot_bucket_cap is None:
+        a, b = chunks.alias("a"), chunks.alias("b")
+        cand = (
+            a.join(b, ["chunk_id", "chunk"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sig_a"),
+                F.col("b.simhash").alias("sig_b"),
+            )
         )
-        .distinct()
+    else:
+        sizes = chunks.groupBy("chunk_id", "chunk").agg(
+            F.count("*").alias("_bn"),
+            F.min_by(F.struct(F.col(id_col), "simhash"), F.col(id_col)).alias(
+                "_rep"
+            ),
+        )
+        sized = chunks.join(sizes, ["chunk_id", "chunk"])
+        small = sized.filter(F.col("_bn") <= hot_bucket_cap)
+        a, b = small.alias("a"), small.alias("b")
+        exact_pairs = (
+            a.join(b, ["chunk_id", "chunk"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sig_a"),
+                F.col("b.simhash").alias("sig_b"),
+            )
+        )
+        star_pairs = (
+            sized.filter(
+                (F.col("_bn") > hot_bucket_cap)
+                & (F.col(id_col) > F.col(f"_rep.{id_col}"))
+            )
+            .select(
+                F.col(f"_rep.{id_col}").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.col("_rep.simhash").alias("sig_a"),
+                F.col("simhash").alias("sig_b"),
+            )
+        )
+        cand = exact_pairs.unionByName(star_pairs)
+    return (
+        cand.distinct()
         .withColumn(
             "hamming",
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
@@ -666,7 +712,6 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    return pairs
 
 
 def decontaminate(

@@ -541,3 +541,31 @@ def test_hot_bucket_cap_none_is_exact_default(doc_corpus):
     # a cap larger than every bucket must reproduce the exact pair set
     b = {tuple(r) for r in minhash_lsh_candidates(sigs, hot_bucket_cap=10_000).collect()}
     assert a == b
+
+
+def test_simhash_hot_bucket_cap_preserves_clusters(spark):
+    from dystonse_gtfs_data_spark.operators.clustering import dedup_clusters
+    from dystonse_gtfs_data_spark.operators.dedup import simhash_near_duplicates
+
+    run = " ".join(f"w{i % 7}" for i in range(60))
+    rows = [(i, run) for i in range(40)]  # identical simhash -> 4 hot chunks
+    rows += [(100, "a b c d e f g h i j"), (101, "a b c d e f g h i j")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    full = simhash_near_duplicates(docs)
+    star = simhash_near_duplicates(docs, hot_bucket_cap=8)
+    assert full.count() == 780 + 1
+    assert star.count() == 39 + 1
+    assert star.exceptAll(full).count() == 0  # subset, hamming values equal
+
+    cf = {(r["doc_id"], r["cluster"]) for r in dedup_clusters(full.select("id_a", "id_b")).collect()}
+    cs = {(r["doc_id"], r["cluster"]) for r in dedup_clusters(star.select("id_a", "id_b")).collect()}
+    assert cf == cs
+
+
+def test_simhash_hot_bucket_cap_none_is_exact_default(doc_corpus):
+    from dystonse_gtfs_data_spark.operators.dedup import simhash_near_duplicates
+
+    a = {tuple(r) for r in simhash_near_duplicates(doc_corpus).collect()}
+    b = {tuple(r) for r in simhash_near_duplicates(doc_corpus, hot_bucket_cap=10_000).collect()}
+    assert a == b
