@@ -47,6 +47,17 @@ def test_components_partitioning_invariant(spark):
     assert a == b
 
 
+def test_deep_chain_converges_under_default_max_iter(spark):
+    # 61-node path (diameter 60): plain neighbor-min needs 60 rounds and
+    # RAISED under the default max_iter=25 before the pointer-jump step;
+    # with label-of-label shortcutting the reach doubles per round, so
+    # this converges in ~7 rounds.  LSH graphs over gradual-drift text
+    # produce exactly this chain shape at corpus scale.
+    p = pairs_df(spark, [(i, i + 1) for i in range(60)])
+    got = {r["id"]: r["cluster"] for r in connected_components(p).collect()}
+    assert got == {i: 0 for i in range(61)}
+
+
 def test_max_iter_raises_loudly(spark):
     p = pairs_df(spark, [(i, i + 1) for i in range(8)])
     with pytest.raises(RuntimeError, match="did not converge"):
