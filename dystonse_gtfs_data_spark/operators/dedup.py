@@ -714,6 +714,99 @@ def simhash_near_duplicates(
     )
 
 
+def edit_distance_near_duplicates(
+    docs: DataFrame,
+    prefix_len: int = 200,
+    max_dist: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    collapse_identical_prefix: bool = False,
+    hot_block_cap: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-dup pairs ``(id_a < id_b, dist)`` over bounded
+    document prefixes: multi-key blocking (length-bucket × first-word
+    and length-bucket × tail-20-chars-of-prefix, unioned) keeps the
+    candidate space an EQUI-join, and the banded 3-arg ``levenshtein``
+    DP (O(n·d), short-circuits past ``max_dist``) runs only on blocked
+    pairs.
+
+    Two corpus-scale valves, both default-off (the catalog oracle
+    hashes the exact all-pairs setting):
+
+    ``collapse_identical_prefix=True`` — a document duplicated n times
+    puts n identical prefixes in one block: n(n-1)/2 zero-distance DP
+    pairs (~5·10^11 rows for one boilerplate text duplicated 1 M
+    times).  Docs are grouped by the exact compared key (prefix,
+    length-bucket, first-word) first; each group emits a dist-0 STAR to
+    its min-id representative, and the blocking + DP run on
+    representatives only.  Unlike the LSH star caps this is
+    CLUSTER-EXACT unconditionally: every blocking key and the DP input
+    are functions of the group key, so a cross-group member pair exists
+    in the full output iff the representative pair does, at the same
+    distance — the star output connects exactly the components the full
+    pair set connects.
+
+    ``hot_block_cap`` — blocks with more members than the cap (after
+    collapsing, when enabled) are DROPPED from candidate generation:
+    classic block purging, an explicit documented recall trade for
+    blocks too coarse to pair (e.g. every same-length doc starting with
+    "the"), mirroring ``max_shingle_df`` on the Jaccard path.  Pairs
+    sharing a surviving second key still pair.
+    """
+    d = docs.select(
+        F.col(id_col).alias("_id"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("p"),
+        F.floor(F.length(text_col) / 50).cast("int").alias("lb"),
+        F.split_part(F.trim(F.col(text_col)), F.lit(" "), F.lit(1)).alias("w1"),
+    )
+    stars = None
+    if collapse_identical_prefix:
+        groups = d.groupBy("p", "lb", "w1").agg(F.min("_id").alias("_rep"))
+        stars = (
+            d.join(groups, ["p", "lb", "w1"])
+            .filter(F.col("_id") > F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col("_id").alias("id_b"),
+                F.lit(0).cast("int").alias("dist"),
+            )
+        )
+        d = groups.select(F.col("_rep").alias("_id"), "p", "lb", "w1")
+    tail = F.substring(F.col("p"), F.greatest(F.length("p") - 19, F.lit(1)), 20)
+    keys = (
+        d.select("_id", "p", "lb", F.col("w1").alias("bk"))
+        .union(d.select("_id", "p", "lb", tail.alias("bk")))
+        .distinct()
+    )
+    if hot_block_cap is not None:
+        bn = keys.groupBy("lb", "bk").agg(F.count("*").alias("_bn"))
+        keys = keys.join(
+            bn.filter(F.col("_bn") <= hot_block_cap).select("lb", "bk"),
+            ["lb", "bk"],
+        )
+    a = keys.select(F.col("_id").alias("id_a"), F.col("p").alias("pa"), "lb", "bk")
+    b = keys.select(F.col("_id").alias("id_b"), F.col("p").alias("pb"), "lb", "bk")
+    cand = (
+        a.join(b, ["lb", "bk"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length-difference lower bound: |len(a)-len(b)| ≤ d is
+            # necessary for distance ≤ d — kills most pairs pre-DP
+            & (F.abs(F.length("pa") - F.length("pb")) <= max_dist)
+        )
+        .select("id_a", "id_b", "pa", "pb")
+        .distinct()
+    )
+    pairs = (
+        cand.withColumn("dist", F.levenshtein("pa", "pb", max_dist).cast("int"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select("id_a", "id_b", "dist")
+    )
+    if stars is not None:
+        pairs = pairs.unionByName(stars)
+    return pairs
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

@@ -452,9 +452,22 @@ def embedding_near_duplicates(
     dim: int = 64,
     n_planes: int = 12,
     n_tables: int = 6,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold)
-    via multi-table hyperplane LSH candidate generation + exact rescore."""
+    via multi-table hyperplane LSH candidate generation + exact rescore.
+
+    ``hot_bucket_cap`` is the same mass-duplication valve as
+    :func:`..operators.dedup.minhash_lsh_candidates`: identical
+    embeddings (mass-duplicated documents embed identically) share
+    every bucket of every table, so one vector duplicated n times emits
+    ~n²/2 · n_tables candidate rows — job death at corpus scale.
+    Buckets above the cap emit a STAR to the bucket's min-id
+    representative; star edges still go through the exact cosine
+    rescore, and for the content that creates hot buckets (identical
+    vectors) each edge rescores at cosine 1.0, so transitive clusters
+    are unchanged.  Default None keeps exact all-pairs enumeration (the
+    oracle-hashed catalog setting)."""
     all_planes = [_hyperplanes(dim, n_planes, seed=101 + t) for t in range(n_tables)]
     bucket_udf = lsh_bucket_table_udf(all_planes)
     tagged = vectors.select(
@@ -462,17 +475,67 @@ def embedding_near_duplicates(
         F.col(vec_col).alias("vec"),
         F.posexplode(bucket_udf(F.col(vec_col))).alias("table_id", "bucket"),
     )
-    a, b = tagged.alias("a"), tagged.alias("b")
-    return (
-        a.join(b, ["table_id", "bucket"])
-        .filter(F.col("a.vid") < F.col("b.vid"))
-        .select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            F.col("a.vec").alias("vec_a"),
-            F.col("b.vec").alias("vec_b"),
+    if hot_bucket_cap is None:
+        a, b = tagged.alias("a"), tagged.alias("b")
+        cand = (
+            a.join(b, ["table_id", "bucket"])
+            .filter(F.col("a.vid") < F.col("b.vid"))
+            .select(
+                F.col("a.vid").alias("id_a"),
+                F.col("b.vid").alias("id_b"),
+                F.col("a.vec").alias("vec_a"),
+                F.col("b.vec").alias("vec_b"),
+            )
         )
-        .dropDuplicates(["id_a", "id_b"])
+    else:
+        sizes = tagged.groupBy("table_id", "bucket").agg(
+            F.count("*").alias("_bn"), F.min("vid").alias("_rep")
+        )
+        sized = tagged.join(sizes, ["table_id", "bucket"])
+        small = sized.filter(F.col("_bn") <= hot_bucket_cap)
+        a, b = small.alias("a"), small.alias("b")
+        pairs_small = (
+            a.join(b, ["table_id", "bucket"])
+            .filter(F.col("a.vid") < F.col("b.vid"))
+            .select(
+                F.col("a.vid").alias("id_a"),
+                F.col("b.vid").alias("id_b"),
+                F.col("a.vec").alias("vec_a"),
+                F.col("b.vec").alias("vec_b"),
+            )
+        )
+        # hot buckets: n-1 star edges to the representative.  A narrow
+        # (table, bucket) → rep-vector lookup (the rep's own bucket row)
+        # keeps the sizes agg slim and attaches the rep vector once per
+        # hot bucket; only _rep_vec is projected so the sized side's
+        # _rep stays the single source of the rep id.
+        rep_vecs = (
+            sizes.filter(F.col("_bn") > hot_bucket_cap)
+            .join(
+                tagged.select(
+                    F.col("vid").alias("_rep"),
+                    "table_id",
+                    "bucket",
+                    F.col("vec").alias("_rep_vec"),
+                ),
+                ["table_id", "bucket", "_rep"],
+            )
+            .select("table_id", "bucket", "_rep_vec")
+        )
+        pairs_hot = (
+            sized.filter(F.col("_bn") > hot_bucket_cap)
+            .join(rep_vecs, ["table_id", "bucket"])
+            .filter(F.col("vid") > F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col("vid").alias("id_b"),
+                F.col("_rep_vec").alias("vec_a"),
+                F.col("vec").alias("vec_b"),
+            )
+        )
+        cand = pairs_small.unionByName(pairs_hot)
+    return (
+        cand.dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "cosine",
             _dot(F.col("vec_a"), F.col("vec_b"))
@@ -696,6 +759,7 @@ def semantic_dedup(
     k: int | None = 8,
     rounds: int = 2,
     threshold: float = 0.4,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
     removal with the pair space bounded by k-means clustering instead of
@@ -723,6 +787,26 @@ def semantic_dedup(
     took 34.1 s, and the gap widens with N as the pair join (Σ m_c² ≈
     N²/k) overtakes the assignment's N·k distance work.  The catalog
     entry pins k=8 so its static SQL twin stays reproducible.
+
+    ``collapse_identical=True`` is the MASS-DUPLICATION valve, and
+    unlike the LSH star caps it is OUTPUT-EXACT: AQE can split a hot
+    cluster's shuffle partitions, but not the Σ m_c² pair count itself
+    — one vector duplicated 1 M times is ~5·10^11 intra-cluster pairs
+    no matter how they are partitioned.  The k-means assignment still
+    runs on the FULL corpus (it is the linear, broadcast-shaped stage —
+    and seeding/centroids depend on duplicate multiplicity, so
+    clustering representatives would change assignments); only the
+    quadratic pair join collapses to one min-id representative per
+    byte-identical vector group.  Equivalence: a representative r is a
+    dup in the full run iff some lower-id same-cluster member y reaches
+    threshold; rep(y) ≤ y has y's exact vector, hence y's cluster and
+    cosine, so the rep-level test fires iff the full run's does.  A
+    non-representative x always has the lower-id identical-vector
+    rep(x) in its own cluster, so x is a dup iff cosine(v, v) reaches
+    threshold — evaluated per row with the same rounded expression, so
+    the zero-vector NaN case classifies exactly as the full run would.
+    Default False keeps the single-pass shape the catalog oracle
+    hashes.
     """
     from ..cache import tracked_persist
     from .clustering import kmeans_assign
@@ -746,6 +830,17 @@ def semantic_dedup(
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
     )
+    if collapse_identical:
+        # one min-id representative per byte-identical vector group;
+        # the pair join below sees representatives only
+        reps = tracked_persist(
+            embeddings.groupBy(F.col(vec_col).alias("_v")).agg(
+                F.min(F.col(id_col)).alias("_rep")
+            )
+        )
+        vecs = vecs.join(
+            reps.select(F.col("_rep").alias("vid")), "vid", "leftsemi"
+        )
     members = assign.join(vecs, "vid")
     a = members.select(
         F.col("vid").alias("id_a"),
@@ -777,6 +872,39 @@ def semantic_dedup(
         .select(F.col("id_a").alias("vid"))
         .distinct()
     )
+    if collapse_identical:
+        # expand rep-level verdicts back to every copy: a rep keeps per
+        # the (equivalent) rep-level test; a non-rep always has its
+        # lower-id identical-vector rep in-cluster, so it is a dup iff
+        # its self-cosine reaches threshold (same rounded expression,
+        # exact NaN classification for zero vectors)
+        self_cos = F.round(
+            _dot(F.col(vec_col), F.col(vec_col))
+            / (_norm(F.col(vec_col)) * _norm(F.col(vec_col))),
+            4,
+        )
+        return (
+            embeddings.select(id_col, vec_col)
+            .join(reps, F.col(vec_col) == F.col("_v"))
+            .join(assign, F.col(id_col) == F.col("vid"))
+            .join(
+                dup_ids.select(F.col("vid").alias("_rep")).withColumn(
+                    "_dup", F.lit(True)
+                ),
+                "_rep",
+                "left",
+            )
+            .select(
+                F.col(id_col),
+                "cluster",
+                F.when(
+                    F.col(id_col) == F.col("_rep"),
+                    F.coalesce(~F.col("_dup"), F.lit(True)),
+                )
+                .otherwise(~(self_cos >= F.lit(threshold)))
+                .alias("keep"),
+            )
+        )
     return (
         assign.join(dup_ids.withColumn("_dup", F.lit(True)), "vid", "left")
         .select(

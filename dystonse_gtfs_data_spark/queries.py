@@ -6758,49 +6758,15 @@ _EDIT_MAX = 20  #: max edit distance for a near-dup pair
     "DP distance, so the twin is pure SQL",
 )
 def q_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # defaults = exact all-pairs (the setting this entry's oracle
+    # hashes); collapse_identical_prefix / hot_block_cap are the
+    # documented production valves for mass-duplicated corpora
+    from .operators.dedup import edit_distance_near_duplicates
+
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        F.substring("text", 1, _EDIT_PREFIX).alias("p"),
-        F.floor(F.length("text") / 50).cast("int").alias("lb"),
-        F.split_part(F.trim("text"), F.lit(" "), F.lit(1)).alias("w1"),
-    )
-    tail = F.substring(
-        F.col("p"), F.greatest(F.length("p") - 19, F.lit(1)), 20
-    )
-    keys = d.select("doc_id", "p", "lb", F.col("w1").alias("bk")).union(
-        d.select("doc_id", "p", "lb", tail.alias("bk"))
-    ).distinct()
-    a = keys.select(
-        F.col("doc_id").alias("id_a"), F.col("p").alias("pa"), "lb", "bk"
-    )
-    b = keys.select(
-        F.col("doc_id").alias("id_b"), F.col("p").alias("pb"), "lb", "bk"
-    )
-    cand = (
-        a.join(b, ["lb", "bk"])
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            # length-difference lower bound: |len(a)-len(b)| ≤ d is
-            # necessary for distance ≤ d — kills most pairs pre-DP
-            & (
-                F.abs(F.length("pa") - F.length("pb")) <= _EDIT_MAX
-            )
-        )
-        .select("id_a", "id_b", "pa", "pb")
-        .distinct()
-    )
-    # 3-arg levenshtein: banded DP short-circuits past the threshold
-    # (O(n·d) not O(n²); returns -1 when exceeded) — the oracle computes
-    # the full distance and filters, same kept rows
-    return (
-        cand.withColumn(
-            "dist", F.levenshtein("pa", "pb", _EDIT_MAX).cast("int")
-        )
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= _EDIT_MAX))
-        .select("id_a", "id_b", "dist")
-        .orderBy("id_a", "id_b")
-    )
+    return edit_distance_near_duplicates(
+        docs, prefix_len=_EDIT_PREFIX, max_dist=_EDIT_MAX
+    ).orderBy("id_a", "id_b")
 
 
 _CHUNK_SIZE = 200

@@ -569,3 +569,126 @@ def test_simhash_hot_bucket_cap_none_is_exact_default(doc_corpus):
     a = {tuple(r) for r in simhash_near_duplicates(doc_corpus).collect()}
     b = {tuple(r) for r in simhash_near_duplicates(doc_corpus, hot_bucket_cap=10_000).collect()}
     assert a == b
+
+
+def test_embedding_hot_bucket_cap_star_preserves_clusters(spark):
+    # identical embeddings share every bucket of every LSH table: a
+    # vector duplicated n times is ~n²/2 · n_tables candidate rows.
+    # With the cap, hot buckets emit a star to the min-id rep; star
+    # edges rescore at cosine 1.0, so transitive clusters are unchanged.
+    from dystonse_gtfs_data_spark.operators.clustering import dedup_clusters
+
+    rng = np.random.default_rng(5)
+    hot = [float(x) for x in rng.normal(size=16)]
+    other = [float(x) for x in rng.normal(size=16)]
+    rows = [(i, hot) for i in range(30)]  # 30 identical vectors
+    rows += [(100, other), (101, [x * 1.0001 for x in other])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    full = embedding_near_duplicates(df, threshold=0.99, dim=16)
+    star = embedding_near_duplicates(df, threshold=0.99, dim=16, hot_bucket_cap=8)
+    pf = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    ps = {(r["id_a"], r["id_b"]) for r in star.collect()}
+    assert {(a, b) for a, b in pf if a < 30} == {
+        (a, b) for a, b in itertools.combinations(range(30), 2)
+    }
+    assert {(a, b) for a, b in ps if a < 30} == {(0, b) for b in range(1, 30)}
+    assert ps <= pf  # star edges are a subset with identical cosines
+
+    cf = {(r["doc_id"], r["cluster"]) for r in dedup_clusters(full.select("id_a", "id_b")).collect()}
+    cs = {(r["doc_id"], r["cluster"]) for r in dedup_clusters(star.select("id_a", "id_b")).collect()}
+    assert cf == cs
+
+
+def test_embedding_hot_bucket_cap_none_is_exact_default(vec_corpus):
+    df, _ = vec_corpus
+    a = {tuple(r) for r in embedding_near_duplicates(df, threshold=0.9, dim=16).collect()}
+    b = {
+        tuple(r)
+        for r in embedding_near_duplicates(
+            df, threshold=0.9, dim=16, hot_bucket_cap=10_000
+        ).collect()
+    }
+    assert a == b
+
+
+def test_semantic_dedup_collapse_identical_is_output_exact(spark):
+    # the SemDeDup mass-duplication valve collapses byte-identical
+    # vectors before the intra-cluster pair join; the output (id,
+    # cluster, keep) must be IDENTICAL to the uncollapsed run — the
+    # collapse is exact, not an approximation.
+    from dystonse_gtfs_data_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(9)
+    dup_a = [float(x) for x in rng.normal(size=8)]
+    dup_b = [float(x) for x in rng.normal(size=8)]
+    rows = [(i, dup_a) for i in range(12)]           # 12 identical copies
+    rows += [(20 + i, dup_b) for i in range(5)]      # 5 identical copies
+    rows += [(40 + i, [float(x) for x in rng.normal(size=8)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    base = {
+        (r["vec_id"], r["cluster"], r["keep"])
+        for r in semantic_dedup(df, k=3, rounds=2, threshold=0.9).collect()
+    }
+    fast = {
+        (r["vec_id"], r["cluster"], r["keep"])
+        for r in semantic_dedup(
+            df, k=3, rounds=2, threshold=0.9, collapse_identical=True
+        ).collect()
+    }
+    assert base == fast
+
+
+def test_edit_distance_collapse_and_block_cap(spark):
+    # identical prefixes: n copies of one text are n(n-1)/2 dist-0 DP
+    # pairs; the collapse valve emits a dist-0 star to the min-id rep
+    # and runs blocking/DP on representatives only — cluster-exact by
+    # construction (every blocking key is a function of the group key).
+    from dystonse_gtfs_data_spark.operators.clustering import dedup_clusters
+    from dystonse_gtfs_data_spark.operators.dedup import (
+        edit_distance_near_duplicates,
+    )
+
+    boiler = " ".join(f"tok{i % 5}" for i in range(30))
+    rows = [(i, boiler) for i in range(25)]  # 25 exact copies
+    rows += [(100, boiler + " extraone"), (200, "zz " + " ".join(f"u{i}" for i in range(28)))]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    full = edit_distance_near_duplicates(docs, prefix_len=200, max_dist=20)
+    star = edit_distance_near_duplicates(
+        docs, prefix_len=200, max_dist=20, collapse_identical_prefix=True
+    )
+    pf = {(r["id_a"], r["id_b"], r["dist"]) for r in full.collect()}
+    ps = {(r["id_a"], r["id_b"], r["dist"]) for r in star.collect()}
+    # the copy clique collapses from C(25,2) dist-0 pairs to a 24-edge star
+    assert len([p for p in pf if p[0] < 100 and p[1] < 100]) == 300
+    assert {p for p in ps if p[0] < 100 and p[1] < 100} == {
+        (0, b, 0) for b in range(1, 25)
+    }
+    assert ps <= pf
+    cf = {(r["doc_id"], r["cluster"]) for r in dedup_clusters(full.select("id_a", "id_b")).collect()}
+    cs = {(r["doc_id"], r["cluster"]) for r in dedup_clusters(star.select("id_a", "id_b")).collect()}
+    assert cf == cs
+
+    # block purging: cap below the clique size drops the hot block's
+    # pairs entirely (documented recall trade), small blocks unaffected
+    purged = edit_distance_near_duplicates(
+        docs, prefix_len=200, max_dist=20, hot_block_cap=10
+    )
+    pp = {(r["id_a"], r["id_b"], r["dist"]) for r in purged.collect()}
+    assert not [p for p in pp if p[0] < 100 and p[1] < 100]
+    assert pp <= pf
+
+
+def test_edit_distance_operator_default_matches_catalog_shape(doc_corpus):
+    # the catalog entry calls the operator with defaults; defaults must
+    # be the exact all-pairs setting (valves off)
+    from dystonse_gtfs_data_spark.operators.dedup import (
+        edit_distance_near_duplicates,
+    )
+
+    out = edit_distance_near_duplicates(doc_corpus, prefix_len=200, max_dist=20)
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    assert got[(0, 1)] == 0  # the exact-dup pair at distance 0
+    assert all(0 <= d <= 20 for d in got.values())
