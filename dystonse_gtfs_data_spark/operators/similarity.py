@@ -202,6 +202,7 @@ def lsh_topk(
     n_tables: int = 4,
     plane_family: str = "lcg",
     round_digits: int | None = None,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """Approximate top-k: compare only within matching sign-buckets across
     ``n_tables`` independent hyperplane tables.  Shuffle is O(rows ×
@@ -215,7 +216,15 @@ def lsh_topk(
     bucket bits come from exact int64 arithmetic, so an independent SQL
     twin regenerates identical candidate sets.  ``round_digits`` rounds
     the cosine before ranking (cross-engine float agreement, same
-    convention as :func:`cosine_topk`)."""
+    convention as :func:`cosine_topk`).
+
+    ``collapse_identical=True`` is the same output-exact
+    mass-duplication valve as :func:`ivf_topk`: identical corpus
+    vectors share every bucket of every table (Q × n × tables scored
+    rows for content that can only contribute k ranks); one min-id
+    representative per distinct vector is scored and expanded with the
+    group's k+1 smallest member ids under the (cosine desc, id asc)
+    tie-break."""
     if plane_family == "portable":
         all_planes = [
             portable_hyperplanes(dim, n_planes, table=t) for t in range(n_tables)
@@ -233,6 +242,28 @@ def lsh_topk(
         )
 
     tagged_q = tag(queries, "query_id", "q_vec")
+    if collapse_identical:
+        reps, members = _collapse_members(corpus, id_col, vec_col, k)
+        tagged_r = reps.select(
+            F.col("_rep"),
+            F.col("_rvec").alias("c_vec"),
+            F.posexplode(bucket_udf(F.col("_rvec"))).alias("table_id", "bucket"),
+        )
+        scored = (
+            tagged_r.join(tagged_q, ["table_id", "bucket"])
+            .select(
+                "query_id",
+                "_rep",
+                (
+                    _dot(F.col("q_vec"), F.col("c_vec"))
+                    / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+                ).alias("cosine"),
+            )
+            .dropDuplicates(["query_id", "_rep"])
+        )
+        if round_digits is not None:
+            scored = scored.withColumn("cosine", F.round("cosine", round_digits))
+        return _expand_topk(scored, members, k, round_before_rank=True)
     tagged_c = tag(corpus, "neighbor_id", "c_vec")
     scored = (
         tagged_c.join(tagged_q, ["table_id", "bucket"])
@@ -407,6 +438,57 @@ def train_centroids(
     return kmeans_codebook(sample, k, iterations)
 
 
+def _collapse_members(
+    corpus: DataFrame, id_col: str, vec_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared helper for the ANN ``collapse_identical`` valves: one
+    min-id representative per byte-identical vector group, plus each
+    group's k+1 SMALLEST member ids (any later member cannot reach a
+    global top-k past its k+1 smaller-id identical-cosine siblings, and
+    one slot may be lost to the query filtering itself out).
+
+    Returns ``(reps, members)``: reps = (_rvec, _rep); members =
+    (_rep, member_id) with ≤ k+1 rows per rep.  The per-group id sort
+    is a window over the vector key — a 1 M-copy group lands in one
+    task, but the work is a linear-ish sort, not a quadratic join."""
+    w = Window.partitionBy(vec_col).orderBy(F.col(id_col).asc())
+    members = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k + 1)
+        .withColumn("_rep", F.min(id_col).over(Window.partitionBy(vec_col)))
+        .select("_rep", F.col(id_col).alias("member_id"))
+    )
+    reps = corpus.groupBy(F.col(vec_col).alias("_rvec")).agg(
+        F.min(F.col(id_col)).alias("_rep")
+    )
+    return reps, members
+
+
+def _expand_topk(
+    scored_reps: DataFrame, members: DataFrame, k: int, round_before_rank: bool
+) -> DataFrame:
+    """Expand rep-level scores (query_id, _rep, cosine) back to member
+    rows, drop the query itself, and rank (cosine desc, id asc) — the
+    same total order the uncollapsed path ranks, so the top-k is
+    output-exact."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    out = (
+        scored_reps.join(members, "_rep")
+        .filter(F.col("member_id") != F.col("query_id"))
+        .select("query_id", F.col("member_id").alias("neighbor_id"), "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    if round_before_rank:
+        return out.select("query_id", "neighbor_id", "cosine", "rank")
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -415,16 +497,44 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 4,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest
     centroid's inverted list; each query probes its ``n_probe`` nearest
     lists and scores only those vectors — an equi-join on centroid_id, so
-    the scored pair count shrinks by ~k/n_probe versus brute force."""
-    c_assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "centroid_id"
-    )
+    the scored pair count shrinks by ~k/n_probe versus brute force.
+
+    ``collapse_identical=True`` is the mass-duplication valve for the
+    QUERY side of the quadratic: a vector duplicated n times puts n
+    identical entries in one inverted list, and every query probing
+    that list scores all n (Q × n scored rows for content that can
+    only ever contribute k ranks).  Identical vectors assign to the
+    same list, so scoring one min-id representative per distinct
+    vector and expanding with each group's k+1 smallest member ids is
+    OUTPUT-EXACT under the (cosine desc, id asc) tie-break: a member
+    beyond its group's (k+1)-th smallest id always has k+1 identical-
+    cosine, smaller-id siblings ranked ahead of it (one of which may
+    be the query itself, hence +1).  Default False keeps the
+    single-pass shape the catalog oracle hashes."""
     q_assigned = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "centroid_id"
+    )
+    if collapse_identical:
+        reps, members = _collapse_members(corpus, id_col, vec_col, k)
+        c_assigned = ivf_assign(
+            reps, centroids, "_rep", "_rvec", n_probe=1
+        ).select("_rep", F.col("_rvec").alias("c_vec"), "centroid_id")
+        scored = c_assigned.join(F.broadcast(q_assigned), "centroid_id").select(
+            "query_id",
+            "_rep",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+            ).alias("cosine"),
+        )
+        return _expand_topk(scored, members, k, round_before_rank=False)
+    c_assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "centroid_id"
     )
     scored = (
         c_assigned.join(F.broadcast(q_assigned), "centroid_id")
@@ -665,6 +775,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 4,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate top-k (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): corpus vectors live in
@@ -679,7 +790,13 @@ def ivfpq_topk(
     (the reconstruction's norm factors across subspaces, so it is a
     literal lookup, not a recomputation).  The probe join ships only
     (id, centroid_id, codes) for the corpus — the ~30× payload cut that
-    makes billion-vector IVF-PQ the standard scale ANN layout."""
+    makes billion-vector IVF-PQ the standard scale ANN layout.
+
+    ``collapse_identical=True`` is the same output-exact
+    mass-duplication valve as :func:`ivf_topk`: identical vectors have
+    identical codes and ADC cosines, so one min-id representative per
+    distinct vector is scored and expanded with the group's k+1
+    smallest member ids under the (cosine desc, id asc) tie-break."""
     sd = len(codebooks[0][0]) if codebooks else 0
     if not centroids or not codebooks:
         return (
@@ -691,8 +808,16 @@ def ivfpq_topk(
             ).filter(F.lit(False))
         )
     code_cols = tuple(f"code_{m}" for m in range(len(codebooks)))
+    members = None
+    if collapse_identical:
+        reps, members = _collapse_members(corpus, id_col, vec_col, k)
+        corpus_side = reps.select(
+            F.col("_rep").alias(id_col), F.col("_rvec").alias(vec_col)
+        )
+    else:
+        corpus_side = corpus
     c_assigned = ivf_assign(
-        pq_encode(corpus, codebooks, id_col, vec_col),
+        pq_encode(corpus_side, codebooks, id_col, vec_col),
         centroids,
         id_col,
         vec_col,
@@ -730,6 +855,13 @@ def ivfpq_topk(
         n2 = n2 + F.element_at(
             F.array(*[F.lit(float(v)) for v in norm2[m]]), code + 1
         )
+    if collapse_identical:
+        scored = c_assigned.join(F.broadcast(q_assigned), "centroid_id").select(
+            "query_id",
+            F.col("neighbor_id").alias("_rep"),
+            (adc / (_norm(F.col("q_vec")) * F.sqrt(n2))).alias("cosine"),
+        )
+        return _expand_topk(scored, members, k, round_before_rank=False)
     scored = (
         c_assigned.join(F.broadcast(q_assigned), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -6999,20 +6999,32 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "trip_descriptors",
     "trip_resolution",
     "walk_time_bounds",
+    # entries whose DEFAULT-path code round 8 changed (pointer-jumping
+    # connected components; edit-distance moved to the operator;
+    # semantic_dedup restructured around the collapse valve) —
+    # post-change driver evidence outranks vintage refresh for these
+    "dedup_clusters",
+    "best_of_cluster",
+    "edit_distance_dedup",
+    "semantic_dedup",
     # entries whose modules round 8 changes (streaming state-store default,
     # predict.py repartition gating, dedup.py rank-build pruning, stream
     # sink tmpdir lifecycle) — post-change driver evidence.  Names not yet
-    # in REGISTRY are filtered out harmlessly.
+    # in REGISTRY are filtered out harmlessly.  gtfs_statistics_width is
+    # new this round (no driver row yet), so it rides ahead of the
+    # r6/r7-rowed tail; the ~50-entry driver prefix cuts whatever falls
+    # past it (the T7 streaming quartet keeps its pytest RocksDB
+    # coverage either way).
     "stream_near_dup",
     "stream_dedup",
     "basis_stream",
+    "gtfs_statistics_width",
     "exact_substring_ranked",
     "gtfs_predictions",
     "departure_board",
     "scheduled_predictions",
     "gtfs_statistics",
     "gtfs_statistics_scaled",
-    "gtfs_statistics_width",
     "sessionize",
     "windowed_counts_stream",
     "session_window_stream",

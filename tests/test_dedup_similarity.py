@@ -692,3 +692,83 @@ def test_edit_distance_operator_default_matches_catalog_shape(doc_corpus):
     got = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
     assert got[(0, 1)] == 0  # the exact-dup pair at distance 0
     assert all(0 <= d <= 20 for d in got.values())
+
+
+def test_ann_topk_collapse_identical_is_output_exact(spark):
+    # the ANN mass-duplication valve: a vector duplicated n times puts
+    # n identical entries in every probed list/bucket (Q × n scored
+    # rows for content that can only contribute k ranks).  Scoring one
+    # representative per distinct vector and expanding with the k+1
+    # smallest member ids must reproduce the EXACT top-k under the
+    # (cosine desc, id asc) tie-break — including the case where the
+    # query itself is one of the k+1 smallest ids of its own group.
+    from dystonse_gtfs_data_spark.operators.similarity import (
+        ivf_topk,
+        lsh_topk,
+        train_centroids,
+    )
+
+    rng = np.random.default_rng(17)
+    dim = 16
+    hot = [float(x) for x in rng.normal(size=dim)]
+    rows = [(i, hot) for i in range(40)]  # ids 0..39 identical
+    rows += [(100 + i, [float(x) for x in rng.normal(size=dim)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # queries include id 0 and id 3 (members of the hot group: the
+    # self-filter must not cost a rank) and two distinct vectors
+    qs = df.filter(F.col("vec_id").isin([0, 3, 100, 101]))
+
+    cents = train_centroids(df, k=4, iterations=2)
+    base = {
+        tuple(r)
+        for r in ivf_topk(qs, df, cents, k=5, n_probe=2).collect()
+    }
+    fast = {
+        tuple(r)
+        for r in ivf_topk(
+            qs, df, cents, k=5, n_probe=2, collapse_identical=True
+        ).collect()
+    }
+    assert base == fast
+
+    base_l = {
+        tuple(r)
+        for r in lsh_topk(qs, df, k=5, dim=dim, round_digits=4).collect()
+    }
+    fast_l = {
+        tuple(r)
+        for r in lsh_topk(
+            qs, df, k=5, dim=dim, round_digits=4, collapse_identical=True
+        ).collect()
+    }
+    assert base_l == fast_l
+
+
+def test_ivfpq_topk_collapse_identical_is_output_exact(spark):
+    from dystonse_gtfs_data_spark.operators.similarity import (
+        ivfpq_topk,
+        train_centroids,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(23)
+    dim = 16
+    hot = [float(x) for x in rng.normal(size=dim)]
+    rows = [(i, hot) for i in range(40)]
+    rows += [(100 + i, [float(x) for x in rng.normal(size=dim)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.filter(F.col("vec_id").isin([0, 3, 100, 101]))
+    cents = train_centroids(df, k=4, iterations=2)
+    books = train_pq_codebooks(df, m_sub=4, ksub=4, iterations=2)
+
+    base = {
+        tuple(r)
+        for r in ivfpq_topk(qs, df, cents, books, k=5, n_probe=2).collect()
+    }
+    fast = {
+        tuple(r)
+        for r in ivfpq_topk(
+            qs, df, cents, books, k=5, n_probe=2, collapse_identical=True
+        ).collect()
+    }
+    assert base == fast
