@@ -343,6 +343,7 @@ def ngram_jaccard_near_duplicates(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard near-dup — no LSH recall loss.
 
@@ -352,12 +353,59 @@ def ngram_jaccard_near_duplicates(
     shingles (jaccard 0) are never materialized.  At corpus scale the
     skew risk is ultra-common shingles (stop-phrase hot keys):
     ``max_shingle_df`` drops shingles appearing in more than that many
-    documents — an explicit, documented recall trade (a shingle shared
-    by thousands of docs contributes almost nothing to a >= 0.5 Jaccard
-    pair anyway).  Default None = exact.
+    documents — an explicit, documented recall trade for DISTINCT docs
+    that merely share a stop phrase.  Default None = exact.
+
+    ``max_shingle_df`` alone has a blind spot the probing campaign
+    made precise: BYTE-IDENTICAL documents share *every* shingle, so
+    under mass duplication every one of their shingles exceeds the cap
+    and the most-duplicated content in the corpus silently loses ALL
+    its pairs.  ``collapse_identical=True`` closes it: byte-identical
+    texts group to a min-id representative first (each group emits a
+    jaccard-1.0 STAR — identical shingle sets), and the inverted index
+    runs on representatives only.  This is CLUSTER-EXACT
+    unconditionally, because jaccard is a function of the two texts: a
+    cross-group member pair exists at a given jaccard iff the
+    representative pair does.  It also removes the quadratic the
+    df-cap was papering over (n identical docs = n²/2 inverted-index
+    pairs), so the production setting is ``collapse_identical=True``
+    with ``max_shingle_df`` reserved for genuinely distinct hot
+    phrases.  Default False keeps the single-pass shape the catalog
+    oracle hashes.
 
     Output: (id_a < id_b, jaccard) with jaccard >= threshold.
     """
+    if collapse_identical:
+        groups = docs.groupBy(F.col(text_col).alias("_t")).agg(
+            F.min(F.col(id_col)).alias("_rep")
+        )
+        stars = (
+            # identical text ⇒ identical shingle set ⇒ jaccard exactly
+            # 1.0, with no empty-set corner: shingles() maps a doc
+            # shorter than shingle_k tokens to one whole-text shingle,
+            # so identical short docs pair in the full run too
+            docs.select(F.col(id_col), F.col(text_col))
+            .join(groups, F.col(text_col) == F.col("_t"))
+            .filter(F.col(id_col) > F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        reps = groups.select(
+            F.col("_rep").alias(id_col), F.col("_t").alias(text_col)
+        )
+        core = ngram_jaccard_near_duplicates(
+            reps,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_k=shingle_k,
+            threshold=threshold,
+            max_shingle_df=max_shingle_df,
+            collapse_identical=False,
+        )
+        return core.unionByName(stars)
     ex = _explode_parallel(
         _spread(docs),
         [F.col(id_col)],

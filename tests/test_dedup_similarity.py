@@ -772,3 +772,65 @@ def test_ivfpq_topk_collapse_identical_is_output_exact(spark):
         ).collect()
     }
     assert base == fast
+
+
+def test_ngram_jaccard_collapse_identical_fixes_df_cap_blind_spot(spark):
+    # max_shingle_df alone DROPS every pair between byte-identical docs
+    # under mass duplication (they share all shingles, so every shingle
+    # exceeds the cap) — the most-duplicated content loses all pairs.
+    # collapse_identical emits a jaccard-1.0 star per identical-text
+    # group and runs the index on representatives: cluster-exact, since
+    # jaccard is a function of the two texts.
+    from dystonse_gtfs_data_spark.operators.clustering import dedup_clusters
+    from dystonse_gtfs_data_spark.operators.dedup import (
+        ngram_jaccard_near_duplicates,
+    )
+
+    boiler = " ".join(f"tok{i % 6}" for i in range(24))
+    near = boiler + " extra trailing words here"
+    rows = [(i, boiler) for i in range(30)]       # 30 identical copies
+    rows += [(100, near), (200, "zz " + " ".join(f"u{i}" for i in range(20)))]
+    rows += [(300, "a b"), (301, "a b")]          # shorter than k: one whole-text shingle
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_near_duplicates(docs, threshold=0.3).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_near_duplicates(
+            docs, threshold=0.3, max_shingle_df=10
+        ).collect()
+    }
+    coll = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_near_duplicates(
+            docs, threshold=0.3, collapse_identical=True
+        ).collect()
+    }
+    # the df-cap blind spot: identical-copy pairs all gone
+    assert not [p for p in capped if p[0] < 100 and p[1] < 100]
+    # full has the C(30,2) clique; collapse has the 29-edge star
+    assert len([p for p in full if p[0] < 100 and p[1] < 100]) == 435
+    assert {p for p in coll if p[0] < 100 and p[1] < 100} == {
+        (0, b) for b in range(1, 30)
+    }
+    # short identical twins still pair in BOTH modes: shingles() maps a
+    # doc shorter than k tokens to one whole-text shingle, never an
+    # empty set, so the star semantics match the inverted index exactly
+    assert (300, 301) in full and (300, 301) in coll
+    # cluster-exact: identical transitive components
+    cf = {
+        (r["doc_id"], r["cluster"])
+        for r in dedup_clusters(
+            spark.createDataFrame(sorted(full), ["id_a", "id_b"])
+        ).collect()
+    }
+    cc = {
+        (r["doc_id"], r["cluster"])
+        for r in dedup_clusters(
+            spark.createDataFrame(sorted(coll), ["id_a", "id_b"])
+        ).collect()
+    }
+    assert cf == cc
