@@ -41,9 +41,12 @@ def connected_components(
 
     Scale shape per round: ONE shuffle join of labels onto the
     pre-partitioned edge list (edges are hash-partitioned by ``src``
-    once, outside the loop, so only the label side moves) and ONE
-    union + min-groupBy (map-side combine) — two exchanges per round,
-    no left join.  Lineage is CUT eagerly at the loop boundary and
+    once, outside the loop, so only the label side moves), ONE
+    union + min-groupBy (map-side combine), and ONE pointer-jump
+    self-join of the min-labels onto themselves (cluster == id) —
+    three exchanges per round, no left-join row loss (the jump join
+    is left+coalesce but its key always resolves).  Lineage is CUT
+    eagerly at the loop boundary and
     every round (checkpoint) — without this, each round's logical plan
     re-nests the full upstream pair-mining plan several times over
     (edges appears in both join inputs) and Catalyst's analyze/optimize
@@ -92,20 +95,25 @@ def connected_components(
             # one cut per round materializes the composed step below
             .persist()
         )
-        # pointer jump: label ids are node ids, so neigh(label) exists
-        # for every label — replace cluster by its label's label.  The
-        # left join + coalesce is belt-and-braces for the (impossible
-        # by construction) missing-parent case rather than dropping
-        # rows on an inner join.
-        parent = neigh.select(
-            F.col("id").alias("_p_id"), F.col("cluster").alias("_p_cluster")
-        )
-        labels = cut(
-            neigh.join(parent, neigh.cluster == F.col("_p_id"), "left").select(
-                "id", F.coalesce("_p_cluster", "cluster").alias("cluster")
+        try:
+            # pointer jump: label ids are node ids, so neigh(label)
+            # exists for every label — replace cluster by its label's
+            # label.  The left join + coalesce is belt-and-braces for
+            # the (impossible by construction) missing-parent case
+            # rather than dropping rows on an inner join.
+            parent = neigh.select(
+                F.col("id").alias("_p_id"),
+                F.col("cluster").alias("_p_cluster"),
             )
-        )
-        neigh.unpersist()
+            labels = cut(
+                neigh.join(
+                    parent, neigh.cluster == F.col("_p_id"), "left"
+                ).select(
+                    "id", F.coalesce("_p_cluster", "cluster").alias("cluster")
+                )
+            )
+        finally:
+            neigh.unpersist()
         new_sum = labels.agg(_label_sum).collect()[0][0]
         if new_sum == prev_sum:
             return labels

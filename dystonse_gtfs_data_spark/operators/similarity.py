@@ -1037,7 +1037,11 @@ def semantic_dedup(
         # the (equivalent) rep-level test; a non-rep always has its
         # lower-id identical-vector rep in-cluster, so it is a dup iff
         # its self-cosine reaches threshold (same rounded expression,
-        # exact NaN classification for zero vectors)
+        # exact NaN classification for zero vectors).  eqNullSafe +
+        # the outer coalesce keep NULL-embedding rows: groupBy groups
+        # nulls into one rep group, a plain == join would drop them,
+        # and the base path classifies them keep=True (null cosine
+        # never reaches the threshold filter) — match that exactly.
         self_cos = F.round(
             _dot(F.col(vec_col), F.col(vec_col))
             / (_norm(F.col(vec_col)) * _norm(F.col(vec_col))),
@@ -1045,7 +1049,7 @@ def semantic_dedup(
         )
         return (
             embeddings.select(id_col, vec_col)
-            .join(reps, F.col(vec_col) == F.col("_v"))
+            .join(reps, F.col(vec_col).eqNullSafe(F.col("_v")))
             .join(assign, F.col(id_col) == F.col("vid"))
             .join(
                 dup_ids.select(F.col("vid").alias("_rep")).withColumn(
@@ -1061,7 +1065,9 @@ def semantic_dedup(
                     F.col(id_col) == F.col("_rep"),
                     F.coalesce(~F.col("_dup"), F.lit(True)),
                 )
-                .otherwise(~(self_cos >= F.lit(threshold)))
+                .otherwise(
+                    F.coalesce(~(self_cos >= F.lit(threshold)), F.lit(True))
+                )
                 .alias("keep"),
             )
         )

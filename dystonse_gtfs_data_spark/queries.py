@@ -1653,6 +1653,71 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_near_duplicates(d, threshold=0.5).orderBy("id_a", "id_b")
 
 
+# ---- production-valve twin: collapse_identical=True -----------------------
+# The sf tables contain no byte-identical texts (every doc_id has distinct
+# text), so the valved entry builds its duplicate groups explicitly: the
+# first 20 documents are unioned back in under doc_id+100000 — 20 two-member
+# identical-text groups plus 480 singletons, exercising the star emission,
+# the rep-only inverted index, AND the all-singleton fall-through in one
+# driver-hashed run.  The twin replicates the collapse semantics (stars +
+# rep-level jaccard), built from the SAME parameterized jaccard template as
+# the base entry so the two cannot drift.
+def _ngram_collapsed_sql() -> str:
+    t = _jaccard_sql(0.5).replace("FROM documents", "FROM reps")
+    ctes, final = t.rsplit("SELECT i.id_a,", 1)
+    ctes = ctes.strip().removeprefix("WITH").strip()
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      WHERE doc_id < 20
+    ),
+    grp AS (SELECT text AS _t, min(doc_id) AS _rep FROM corpus GROUP BY text),
+    reps AS (SELECT _rep AS doc_id, _t AS text FROM grp),
+    {ctes},
+    core AS (SELECT i.id_a,{final.strip()}),
+    stars AS (
+      SELECT g._rep AS id_a, c.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+      FROM corpus c JOIN grp g ON c.text = g._t
+      WHERE c.doc_id > g._rep
+    )
+    SELECT id_a, id_b, jaccard FROM core
+    UNION ALL
+    SELECT id_a, id_b, jaccard FROM stars
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "ngram_jaccard_dedup_collapsed",
+    None,  # replaced below (built from the shared jaccard template)
+)
+def q_ngram_jaccard_dedup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return ngram_jaccard_near_duplicates(
+        corpus, threshold=0.5, collapse_identical=True
+    ).orderBy("id_a", "id_b")
+
+
+REGISTRY["ngram_jaccard_dedup_collapsed"] = QuerySpec(
+    fn=REGISTRY["ngram_jaccard_dedup_collapsed"].fn,
+    oracle=_ngram_collapsed_sql(),
+    covers="PRODUCTION 100 TB setting of the n-gram Jaccard dedup "
+    "(collapse_identical=True, the mass-duplication valve): byte-identical "
+    "texts collapse to a min-id representative before the inverted-index "
+    "self-join and re-emit as jaccard-1.0 stars — cluster-exact by "
+    "construction (jaccard is a function of the two texts); driver-hashed "
+    "on a corpus with real duplicate groups, so the valve path itself "
+    "carries oracle evidence, not just pytest equivalence",
+)
+
+
 @register(
     "model_score",
     None,  # replaced below (built from the scoring module's SQL twin)
@@ -2758,6 +2823,55 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(q, emb, k=5, plane_family="portable", round_digits=4).orderBy(
         "query_id", "rank"
     )
+
+
+# ---- production-valve twin: collapse_identical=True -----------------------
+# Duplicate groups built explicitly (the sf embeddings are all-distinct):
+# the first 20 vectors are unioned back under vec_id+100000, so the five
+# query vectors are themselves members of identical-vector groups — the
+# hardest expansion case (the query filters itself out of its own group,
+# which is why _collapse_members keeps k+1 member ids).  The valve is
+# OUTPUT-EXACT, so the oracle is the UNMODIFIED base LSH twin evaluated
+# over the same duplicated corpus: the driver hash certifies the collapsed
+# plan reproduces full-run top-k bit-for-bit, not just on pytest fixtures.
+_LSH_EMB_CTE = "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+_LSH_EMB_DUP_CTE = """emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 20
+    ),"""
+assert _LSH_TOPK_SQL.count(_LSH_EMB_CTE) == 1
+
+
+@register(
+    "lsh_topk_collapsed",
+    _LSH_TOPK_SQL.replace(_LSH_EMB_CTE, _LSH_EMB_DUP_CTE)
+    + "\n    ORDER BY query_id, rank",
+    covers="PRODUCTION 100 TB setting of the LSH top-k "
+    "(collapse_identical=True, the ANN mass-duplication valve): one "
+    "representative per byte-identical vector group is bucketed and "
+    "scored, then expanded with the group's k+1 smallest member ids under "
+    "the (cosine desc, id asc) tie-break — OUTPUT-EXACT, certified here by "
+    "hashing the valved plan against the base-semantics SQL twin on a "
+    "corpus with real duplicate groups (queries inside their own groups)",
+)
+def q_lsh_topk_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(
+        q,
+        corpus,
+        k=5,
+        plane_family="portable",
+        round_digits=4,
+        collapse_identical=True,
+    ).orderBy("query_id", "rank")
 
 
 @register(
@@ -5601,6 +5715,62 @@ def _finalize_semantic_dedup_oracle() -> None:
 _finalize_semantic_dedup_oracle()
 
 
+# ---- production-valve twin: collapse_identical=True -----------------------
+# Same explicit-duplicate construction as the other valved entries (the sf
+# embeddings are all-distinct): the first 20 vectors re-enter under
+# vec_id+100000, forming 20 two-member identical-vector groups.  The k-means
+# assignment still runs on the FULL duplicated corpus (collapse only bounds
+# the quadratic pair join), and the valve is OUTPUT-EXACT, so the oracle is
+# the UNMODIFIED base SemDeDup twin instantiated over the same duplicated
+# corpus as a subquery table.
+_SEMDEDUP_DUP_TABLE = (
+    "(SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL "
+    "SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings "
+    "WHERE vec_id < 20)"
+)
+
+
+@register(
+    "semantic_dedup_collapsed",
+    None,  # replaced below (built from the similarity module's SQL twin)
+)
+def q_semantic_dedup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    return semantic_dedup(
+        corpus, k=8, rounds=2, threshold=0.4, collapse_identical=True
+    )
+
+
+def _finalize_semantic_dedup_collapsed_oracle() -> None:
+    from .operators.similarity import semantic_dedup_sql
+
+    spec = REGISTRY["semantic_dedup_collapsed"]
+    REGISTRY["semantic_dedup_collapsed"] = QuerySpec(
+        fn=spec.fn,
+        oracle=semantic_dedup_sql(
+            _SEMDEDUP_DUP_TABLE, k=8, rounds=2, threshold=0.4
+        ),
+        covers="PRODUCTION 100 TB setting of SemDeDup "
+        "(collapse_identical=True, the OUTPUT-EXACT mass-duplication "
+        "valve): the quadratic intra-cluster pair join runs on one min-id "
+        "representative per byte-identical vector group while the k-means "
+        "assignment covers the full corpus; certified by hashing the "
+        "valved plan against the base-semantics SQL twin on a corpus with "
+        "real duplicate groups",
+    )
+
+
+_finalize_semantic_dedup_collapsed_oracle()
+
+
 @register(
     "heavy_hitters",
     None,  # replaced below (built from the sketch module's SQL twin)
@@ -6951,84 +7121,79 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The driver's per-round CORRECTNESS gate checks a ~50-entry prefix of this
-# catalog.  After round 7 the cross-round union is 137/137 green, but 37
-# entries' NEWEST driver row is round-5's.  Round 8's order: the r5-vintage
-# entries whose modules rounds 6-8 touched FIRST (dedup.py rework,
-# monitor_http single-flight, sampling.py, streaming RocksDB default), then
-# the untouched r5 remainder, then the entries whose modules ROUND 8 itself
-# changes (streaming state-store default, predict.py repartition gating,
-# ranked ExactSubstr rank-build pruning) so the post-change driver evidence
-# is fresh; r6/r7-green untouched entries move to the back.
+# catalog.  After round 8 the cross-round union is 138/138 green with
+# freshness r8:50 / r7:40 / r6:48.  Round 9's order: the three NEW
+# production-valve entries first (no driver row exists at all —
+# collapse_identical ON with its own oracle twin, closing the "valves are
+# pytest-only" gap), then the three r6-vintage streaming entries whose
+# RocksDB state-store default postdates their last driver row, then the
+# r6-vintage ANN family (their modules gained the collapse valves, and the
+# round-9 train_centroids hash-order sampling changes the IVF codebook),
+# then the untouched r6 remainder alphabetically; departure_board_cached
+# rides last of the r6 block (its base entry is r8-green).  A short
+# post-change tail refreshes r7/r8-green entries whose modules round 9
+# touches (ivf codebook → ivfpq_recall; clustering/similarity edits).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # r5-vintage, modules touched by rounds 6-8 (8)
-    "stream_near_dup_ttl",
-    "paragraph_dedup",
-    "exact_substring_dedup",
-    "monitor_http",
-    "unimax_mixture",
-    "curation_funnel",
-    "banding_plan",
-    "ivfpq_recall",
-    # r5-vintage remainder (29)
-    "best_of_cluster",
-    "boilerplate_lines",
-    "compact_small_files",
-    "delay_quantiles",
-    "display_formatting",
-    "domain_caps",
-    "dsir_selection",
-    "ecdf_per_type",
-    "gopher_rules",
-    "gtfs_records",
-    "journey_transfers",
-    "jsonl_quarantine",
-    "jsonl_roundtrip",
-    "master_variants",
-    "model_score",
-    "nation_revenue",
-    "pair_count_matrix",
-    "perplexity_buckets",
-    "pivot_revenue",
-    "pricing_summary",
-    "rollup_revenue",
-    "route_sections",
-    "stored_curve_quantiles",
-    "tar_shards_dist_write",
-    "tar_shards_roundtrip",
-    "top_revenue_orders",
-    "trip_descriptors",
-    "trip_resolution",
-    "walk_time_bounds",
-    # entries whose DEFAULT-path code round 8 changed (pointer-jumping
-    # connected components; edit-distance moved to the operator;
-    # semantic_dedup restructured around the collapse valve) —
-    # post-change driver evidence outranks vintage refresh for these
-    "dedup_clusters",
-    "best_of_cluster",
-    "edit_distance_dedup",
-    "semantic_dedup",
-    # entries whose modules round 8 changes (streaming state-store default,
-    # predict.py repartition gating, dedup.py rank-build pruning, stream
-    # sink tmpdir lifecycle) — post-change driver evidence.  Names not yet
-    # in REGISTRY are filtered out harmlessly.  gtfs_statistics_width is
-    # new this round (no driver row yet), so it rides ahead of the
-    # r6/r7-rowed tail; the ~50-entry driver prefix cuts whatever falls
-    # past it (the T7 streaming quartet keeps its pytest RocksDB
-    # coverage either way).
-    "stream_near_dup",
-    "stream_dedup",
-    "basis_stream",
-    "gtfs_statistics_width",
-    "exact_substring_ranked",
-    "gtfs_predictions",
-    "departure_board",
-    "scheduled_predictions",
-    "gtfs_statistics",
-    "gtfs_statistics_scaled",
-    "sessionize",
+    # NEW round-9 valved entries (no driver row yet)
+    "ngram_jaccard_dedup_collapsed",
+    "lsh_topk_collapsed",
+    "semantic_dedup_collapsed",
+    # r6-vintage streaming entries on the (post-r6) RocksDB default
     "windowed_counts_stream",
     "session_window_stream",
     "stream_stream_join",
+    "sessionize",
+    # r6-vintage ANN/clustering family (collapse valves + codebook change)
+    "lsh_topk",
+    "ivf_topk",
+    "ivfpq_topk",
+    "cosine_topk",
+    "embedding_near_dups",
+    "kmeans_clusters",
+    # r6-vintage remainder
+    "asof_join",
+    "audio_rms",
+    "autocomplete",
+    "average_curves_groups",
+    "bigram_lm_score",
+    "bpe_tokenize",
+    "clean_corpus",
+    "curve_codec_roundtrip",
+    "decontaminate",
+    "delay_rounding",
+    "duration_parse",
+    "exact_substring_keep_one",
+    "exact_substring_maximal",
+    "extended_stops",
+    "fallback_lookup",
+    "fingerprint_dedup",
+    "forward_fill",
+    "image_phash_dedup",
+    "image_stats",
+    "inactive_customers",
+    "interval_counts",
+    "lang_id",
+    "latest_wins_dedup",
+    "make_curve_ecdf",
+    "minhash_near_dups",
+    "ngram_jaccard_dedup",
+    "percent_encoding",
+    "quality_scores",
+    "reservoir_per_key",
+    "running_totals",
+    "simhash_near_dups",
+    "simplify_curves",
+    "time_slots",
+    "token_counts",
+    "transfer_probability_matrix",
+    "video_frame_stats",
+    "winnow_fingerprints",
+    "departure_board_cached",
+    # post-change refresh (r7/r8-green, modules round 9 touches)
+    "ivfpq_recall",
+    "semantic_dedup",
+    "dedup_clusters",
+    "edit_distance_dedup",
 )
 
 
