@@ -88,6 +88,14 @@ def xxhash64(data: bytes, seed: int = 42) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def xxhash64_long(value: int, seed: int = 42) -> int:
+    """``F.xxhash64(bigint_col)`` semantics: Spark hashes a LONG as its
+    8 little-endian two's-complement bytes (verified value-for-value
+    against the JVM in tests).  Used by the codebook-sampling replicas
+    so 'order by xxhash64(id)' is reproducible off-Spark."""
+    return xxhash64(value.to_bytes(8, "little", signed=True), seed)
+
+
 def spark_abs_xxhash64(text: str, seed: int = 42) -> int:
     """``F.abs(F.xxhash64(col))`` semantics, including Java's
     ``Math.abs(Long.MIN_VALUE) == Long.MIN_VALUE`` edge."""

@@ -425,26 +425,34 @@ def train_centroids(
     iterations: int = 3,
     sample_size: int = 4096,
 ) -> list[list[float]]:
-    """IVF codebook training on a bounded deterministic sample: the first
-    ``sample_size`` vectors by id order come to the driver (k × dim and
-    sample × dim are both tiny next to the corpus), then pure-numpy
-    Lloyd iterations.  Sample-based codebook training is the standard
-    IVF practice at scale — a 16-centroid codebook does not need a full
-    pass over 100 TB — and keeps training fully deterministic (a
-    distributed avg() would be ulp-nondeterministic in its summation
-    order, making results irreproducible run to run).
+    """IVF codebook training on a bounded deterministic sample: the
+    ``sample_size`` vectors smallest by ``(xxhash64(vec_id), vec_id)``
+    come to the driver (k × dim and sample × dim are both tiny next to
+    the corpus), then pure-numpy Lloyd iterations.  Sample-based
+    codebook training is the standard IVF practice at scale — a
+    16-centroid codebook does not need a full pass over 100 TB — and
+    keeps training fully deterministic (a distributed avg() would be
+    ulp-nondeterministic in its summation order, making results
+    irreproducible run to run).
 
-    Sample-quality hazard (found by degenerate-shape probing): id-order
-    sampling assumes ids are uncorrelated with content.  If the low id
-    range is mass-duplicated (one vector in every sampled slot), Lloyd
-    sees one point, every centroid collapses onto it, the whole corpus
-    assigns to a single inverted list, and ivf_topk degrades to brute
-    force — measured 4× slower than a healthy codebook on a 20 %-
-    duplicated 100 k corpus.  Production ingestion should sample on a
-    content-independent order (e.g. ``orderBy(xxhash64(id))``) or
-    deduplicate the sample; the id-order default is pinned because the
-    catalog oracles replay it literally."""
-    sample_rows = vectors.orderBy("vec_id").limit(sample_size).collect()
+    The HASH order is load-bearing, not cosmetic (hazard found by
+    degenerate-shape probing): plain id-order sampling assumes ids are
+    uncorrelated with content, and if the low id range is
+    mass-duplicated (one vector in every sampled slot) Lloyd sees one
+    point, every centroid collapses onto it, the whole corpus assigns
+    to a single inverted list, and ivf_topk silently degrades to brute
+    force — measured 4× slower on a 20 %-duplicated 100 k corpus.
+    ``xxhash64(vec_id)`` decorrelates the sample from ingestion order
+    at zero extra passes (the sort key is computed in the same scan),
+    and the single-node replica oracles recompute the identical order
+    via the pure-Python hash (functions/xxh.py:xxhash64_long), so the
+    codebook stays driver-hash-checkable.  The vec_id tie-break makes
+    the order total even under (astronomically unlikely) hash ties."""
+    sample_rows = (
+        vectors.orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+        .limit(sample_size)
+        .collect()
+    )
     sample = [list(r[vec_col]) for r in sample_rows]
     return kmeans_codebook(sample, k, iterations)
 

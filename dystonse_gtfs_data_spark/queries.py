@@ -2958,11 +2958,16 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # ONE bounded sample collect feeds both trainers (identical rows the
-    # replica derives from its stable id sort)
+    # ONE bounded sample collect feeds both trainers, in the same
+    # content-independent (xxhash64(vec_id), vec_id) order as
+    # train_centroids — mass-duplicated low-id ranges cannot collapse
+    # the codebook, and the replica derives the identical order from
+    # the pure-Python hash
     sample = [
         list(r["embedding"])
-        for r in emb.orderBy("vec_id").limit(4096).collect()
+        for r in emb.orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+        .limit(4096)
+        .collect()
     ]
     cents = kmeans_codebook(sample, 8, 2)
     books = pq_train_codebooks(sample, m_sub=8, ksub=8, iterations=2)

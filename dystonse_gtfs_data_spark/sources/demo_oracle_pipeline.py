@@ -1008,13 +1008,17 @@ def expected_ivf_topk(
 
     import pyarrow.parquet as pq
 
+    from ..functions.xxh import xxhash64_long
     from ..operators.similarity import kmeans_codebook
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
     ids = [int(i) for i in t["vec_id"]]
     vecs = [[float(x) for x in v] for v in t["embedding"]]
     fp = corpus_fingerprint(ids, vecs)
-    order = np.argsort(ids, kind="stable")
+    # content-independent sample order, replicating the engine's
+    # orderBy(xxhash64(vec_id), vec_id) bit-for-bit via the pure-Python
+    # hash (functions/xxh.py) — see train_centroids' hazard note
+    order = sorted(range(len(ids)), key=lambda i: (xxhash64_long(ids[i]), ids[i]))
     sample = [vecs[i] for i in order[:4096]]
     cents = np.asarray(kmeans_codebook(sample, k_codebook, iterations), dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
@@ -1088,6 +1092,7 @@ def expected_ivfpq_topk(
 
     import pyarrow.parquet as pq
 
+    from ..functions.xxh import xxhash64_long
     from ..operators.similarity import (
         fold_dot_py,
         kmeans_codebook,
@@ -1102,7 +1107,10 @@ def expected_ivfpq_topk(
         return pd.DataFrame(
             columns=["corpus_fp", "query_id", "neighbor_id", "cosine", "rank"]
         )
-    order = np.argsort(ids, kind="stable")
+    # content-independent sample order, replicating the engine's
+    # orderBy(xxhash64(vec_id), vec_id) bit-for-bit via the pure-Python
+    # hash (functions/xxh.py) — see train_centroids' hazard note
+    order = sorted(range(len(ids)), key=lambda i: (xxhash64_long(ids[i]), ids[i]))
     sample = [vecs[i] for i in order[:4096]]
     cents = np.asarray(
         kmeans_codebook(sample, k_codebook, iterations), dtype=np.float64

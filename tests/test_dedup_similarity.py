@@ -834,3 +834,52 @@ def test_ngram_jaccard_collapse_identical_fixes_df_cap_blind_spot(spark):
         ).collect()
     }
     assert cf == cc
+
+
+def test_xxhash64_long_matches_jvm(spark):
+    # the codebook-sampling order key: the pure-Python replica must
+    # reproduce F.xxhash64(bigint) exactly (little-endian
+    # two's-complement long, seed 42, signed result) or the IVF
+    # differential oracles drift off the engine's sample
+    from dystonse_gtfs_data_spark.functions.xxh import xxhash64_long
+
+    ids = [0, 1, 5, 499, 4096, 123456789, -7, -(1 << 63), (1 << 63) - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    got = {
+        r["vec_id"]: r["h"]
+        for r in df.select("vec_id", F.xxhash64("vec_id").alias("h")).collect()
+    }
+    assert got == {i: xxhash64_long(i) for i in ids}
+
+
+def test_train_centroids_survives_mass_duplicated_low_ids(spark):
+    # the hazard the hash-order sampling exists for: ids 0..sample_size
+    # all one vector.  Under id-order sampling Lloyd saw ONE point,
+    # every centroid collapsed onto it, and the whole corpus landed in
+    # a single inverted list (ivf_topk silently degraded to brute
+    # force, measured 4x).  Hash-order sampling must keep the codebook
+    # diverse and the inverted lists populated.
+    from dystonse_gtfs_data_spark.operators.similarity import (
+        ivf_assign,
+        train_centroids,
+    )
+
+    rng = np.random.default_rng(23)
+    dim = 16
+    hot = [float(x) for x in rng.normal(size=dim)]
+    rows = [(i, hot) for i in range(200)]  # low-id mass duplication
+    rows += [
+        (1000 + i, [float(x) for x in rng.normal(size=dim)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = train_centroids(df, k=4, iterations=2, sample_size=150)
+    # codebook not collapsed: centroids pairwise distinct
+    as_tuples = {tuple(round(x, 9) for x in c) for c in cents}
+    assert len(as_tuples) == 4
+    # and the corpus spreads over >1 inverted list
+    lists = {
+        r["centroid_id"] for r in ivf_assign(df, cents).collect()
+    }
+    assert len(lists) > 1
