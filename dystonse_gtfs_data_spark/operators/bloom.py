@@ -103,6 +103,37 @@ def bloom_dense(word_rows, m_bits: int = BLOOM_M_BITS) -> list[int]:
     return words
 
 
+def bloom_words_literal(spark, words: list[int]) -> Column:
+    """The dense word list as ONE ArrayType(LongType) Literal.
+
+    ``F.lit(list)`` lowers to ``array(lit, lit, …)`` — one child
+    expression PER ELEMENT — which is fine at the 2 k-word default
+    width but OOMs codegen/task-deserialization once a count-sized
+    filter reaches hundreds of thousands of words (found live: the
+    sf10 repeat prefilter at n=1.2 M keys → 306 k words → executor
+    heap death).  Packing the words into a byte buffer and calling the
+    JVM's public ``functions.lit(Array[Long])`` yields a single
+    compact Literal: one py4j transfer, one plan node, one task-binary
+    broadcast.  Falls back to ``F.lit`` for tiny filters or if the
+    gateway shape ever changes."""
+    import struct
+
+    if len(words) <= 4096:
+        return F.lit(words).cast("array<bigint>")
+    try:
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        data = struct.pack(f">{len(words)}q", *words)
+        jarr = sc._gateway.new_array(jvm.long, len(words))
+        jvm.java.nio.ByteBuffer.wrap(bytearray(data)).asLongBuffer().get(jarr)
+        jcol = jvm.org.apache.spark.sql.functions.lit(jarr)
+        from pyspark.sql.classic.column import Column as _Column
+
+        return _Column(jcol)
+    except Exception:
+        return F.lit(words).cast("array<bigint>")
+
+
 def bloom_might_contain(
     key: Column,
     bloom: Column,
@@ -113,6 +144,10 @@ def bloom_might_contain(
     """Membership probe: all ``k`` bits set.  Pure JVM expressions
     (``getbit`` over the broadcast array) — stays inside whole-stage
     codegen, no Python, no shuffle."""
+    # a literal word list whose values all fit in int32 (e.g. an EMPTY
+    # filter: all zeros) infers array<int>, and getbit then rejects bit
+    # positions >= 32 — pin the element type the probe math assumes
+    bloom = bloom.cast("array<bigint>")
     cond = F.lit(True)
     for i in range(k):
         pos = _bloom_pos(key, i, m_bits, base_hash)
@@ -147,7 +182,11 @@ def bloom_semi_join(
     )
     probed = large.filter(
         bloom_might_contain(
-            F.col(large_key), F.lit(words), m_bits, k, base_hash
+            F.col(large_key),
+            bloom_words_literal(large.sparkSession, words),
+            m_bits,
+            k,
+            base_hash,
         )
     )
     return probed.join(

@@ -232,6 +232,58 @@ _CURVE_SET_SCHEMA = (
 
 DEFAULT_SLOT = 12
 
+#: Groups-aware sizing of the curve-set applyInPandas stage.  The
+#: W=100@R=100 width rehearsal (BENCH_gtfs_scaled.json) found the
+#: binding constraint is per-task AGGREGATION STATE (groups × pair
+#: lists), not shuffle bytes: inheriting the session's shuffle
+#: partitions put ~60 k groups in one hash-agg task and hit a JVM
+#: memory cliff at the default heap, while 256 partitions (~7.5 k
+#: groups/task) ran clean.  AQE cannot fix this — it coalesces by
+#: BYTES, and curve state is byte-small/state-heavy (the round-7
+#: defect class) — so the operator derives an explicit partition
+#: count from a group-count estimate instead of a manual knob.
+#: ~8 k groups/task reproduces the proven-clean manual point (256
+#: partitions over 1.93 M groups ≈ 7.5 k/task ran green at 8 g) with a
+#: ~7× margin under the measured ~60 k/task cliff; the first cut at
+#: 4 k/task was green too but paid ~31% in per-task overhead (491.8 s
+#: vs 374.6 s hand-tuned at W=100@R=100).
+_CURVE_SET_GROUPS_PER_TASK = 8192
+_CURVE_SET_MAX_PARTITIONS = 65536
+
+
+def _curve_set_partitions(enriched: DataFrame) -> int:
+    """Estimate the (variant × pair × slot × event) group count from a
+    slim per-variant aggregate of ``enriched`` (one extra
+    map-side-combined pass over the already-built subtree: W_v distinct
+    stops → W_v(W_v−1)/2 pairs, ×2 event types, ×(distinct slots + 1
+    default) — an upper-bound estimate, and overestimating costs only
+    near-empty tasks), then size the explicit repartition so each task
+    holds ~_CURVE_SET_GROUPS_PER_TASK groups."""
+    row = (
+        enriched.groupBy("route_id", "route_variant")
+        .agg(
+            F.count_distinct(F.col("stop_index")).alias("w"),
+            F.count_distinct(F.col("slot_departure")).alias("s"),
+        )
+        .select(
+            F.sum(
+                F.col("w")
+                * (F.col("w") - 1)
+                * (F.col("s") + F.lit(1))  # matched slots + DEFAULT
+            ).alias("g")  # ×2 event types and ÷2 pair orientations cancel
+        )
+        .collect()[0]
+    )
+    est = int(row["g"] or 0)
+    floor = enriched.sparkSession.sparkContext.defaultParallelism
+    return max(
+        floor,
+        min(
+            _CURVE_SET_MAX_PARTITIONS,
+            -(-est // _CURVE_SET_GROUPS_PER_TASK),
+        ),
+    )
+
 
 def stop_pair_curve_sets(enriched: DataFrame) -> DataFrame:
     """A7/J4: the stop-pair self-join + curve-set build.
@@ -301,10 +353,19 @@ def stop_pair_curve_sets(enriched: DataFrame) -> DataFrame:
     default_slot = pairs.withColumn("time_slot_id", F.lit(DEFAULT_SLOT))
     all_pairs = slotted.unionByName(default_slot).drop("slot_start", "slot_end")
 
-    return all_pairs.groupBy(
+    keys = [
         "route_id", "route_variant", "start_stop_index", "end_stop_index",
         "time_slot_id", "event_type",
-    ).applyInPandas(_curve_set_udf, _CURVE_SET_SCHEMA)
+    ]
+    # explicit hash repartition on the group keys: satisfies the
+    # applyInPandas distribution requirement (no second exchange), is
+    # exempt from AQE byte-coalescing, and its count comes from the
+    # group estimate — see _curve_set_partitions
+    return (
+        all_pairs.repartition(_curve_set_partitions(enriched), *keys)
+        .groupBy(*keys)
+        .applyInPandas(_curve_set_udf, _CURVE_SET_SCHEMA)
+    )
 
 
 def specific_statistics(records: DataFrame, stop_times: DataFrame) -> DataFrame:

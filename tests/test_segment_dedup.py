@@ -672,3 +672,39 @@ class TestSegmentDedupHardening:
             for r in con.execute(paragraph_dedup_sql("documents", sep="|")).fetchall()
         }
         assert got == oracle
+
+
+def test_prefilter_bloom_path_matches_exact_join_path(spark):
+    # the bloom probe is a prune, not the answer: the gtext
+    # verification stage downstream is the authoritative occurs-twice
+    # test, so both prefilter paths must return the IDENTICAL
+    # (id, pos) set on any corpus
+    import re
+
+    from dystonse_gtfs_data_spark.operators.dedup import (
+        _verified_repeat_starts,
+    )
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = " ".join(rng.choice(vocab) for _ in range(12))
+    rows = []
+    for i in range(30):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25)))
+        text = f"{body} {boiler}" if i % 3 == 0 else body
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = docs.select(
+        "doc_id", F.split(F.col("text"), re.escape(" ")).alias("_arr")
+    )
+    kw = dict(min_len=6, sep=" ", id_col="doc_id")
+    fast = {
+        (r["doc_id"], r["pos"])
+        for r in _verified_repeat_starts(base, bloom_prune=True, **kw).collect()
+    }
+    exact = {
+        (r["doc_id"], r["pos"])
+        for r in _verified_repeat_starts(base, bloom_prune=False, **kw).collect()
+    }
+    assert fast == exact
+    assert fast  # the boilerplate suffix repeats across 10 docs

@@ -51,9 +51,100 @@ def run_stream_near_dup_rocksdb(spark, sf_dir):
         _noop(Q.REGISTRY["stream_near_dup"].fn(spark, sf_dir))
 
 
+def _stream_dedup_evicting(spark, sf_dir):
+    """Eviction-realistic stream_dedup: the catalog entry's 87,600-hour
+    watermark never expires state during the replay, so it measures the
+    provider's WORST case (pure changelog-write overhead, zero
+    eviction benefit).  This variant slices the feed into 16 event-time
+    windows fed oldest-first (each staged file holds every record
+    twice, so the dedup state is HIT within the reorder horizon) with a
+    2-slice watermark horizon — state older than ~2 slices is evicted
+    while the stream is still running, the shape a bounded-state store
+    exists for.  Output is still exactly the distinct feed (duplicates
+    arrive inside the horizon; nothing is late), asserted below."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    n_expected = ev.count()
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    span_s = max(1, int((b["hi"] - b["lo"]).total_seconds()))
+    n_slices = 16
+    slice_s = span_s // n_slices + 1
+    sliced = ev.withColumn(
+        "_sl",
+        F.least(
+            F.lit(n_slices - 1),
+            ((F.unix_timestamp("ts") - F.lit(int(b["lo"].timestamp())))
+             / F.lit(slice_s)).cast("int"),
+        ),
+    )
+    stage0 = tempfile.mkdtemp(prefix="sdev_stage_")
+    land = tempfile.mkdtemp(prefix="sdev_land_")
+    outdir = tempfile.mkdtemp(prefix="sdev_out_")
+    try:
+        sliced.write.partitionBy("_sl").parquet(stage0, mode="overwrite")
+        for k in range(n_slices):  # sequential → strictly increasing mtimes
+            part = spark.read.parquet(os.path.join(stage0, f"_sl={k}"))
+            part.union(part).coalesce(2).write.parquet(
+                os.path.join(land, f"s{k:02d}")
+            )
+        schema = spark.read.parquet(os.path.join(land, "s00")).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(land + "/*")
+        )
+        deduped = src.withWatermark(
+            "ts", f"{2 * slice_s} seconds"
+        ).dropDuplicatesWithinWatermark(["event_id"])
+        from dystonse_gtfs_data_spark.streaming.pipeline import (
+            catalog_stream_state,
+        )
+
+        with catalog_stream_state(spark, 8):
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", os.path.join(outdir, "data"))
+                .option("checkpointLocation", os.path.join(outdir, "ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        n_out = spark.read.parquet(os.path.join(outdir, "data")).count()
+        if n_out != n_expected:
+            raise AssertionError(
+                f"evicting dedup output {n_out} != distinct feed {n_expected}"
+            )
+    finally:
+        shutil.rmtree(stage0, ignore_errors=True)
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(outdir, ignore_errors=True)
+
+
+def run_stream_dedup_evicting(spark, sf_dir):
+    _stream_dedup_evicting(spark, sf_dir)
+
+
+def run_stream_dedup_evicting_heap(spark, sf_dir):
+    os.environ["SPARK_GRAFT_HEAP_STATE"] = "1"
+    try:
+        _stream_dedup_evicting(spark, sf_dir)
+    finally:
+        os.environ.pop("SPARK_GRAFT_HEAP_STATE", None)
+
+
 SPECIALS = {
     "semantic_dedup_sqrtN": run_semantic_sqrtn,
     "stream_near_dup_rocksdb": run_stream_near_dup_rocksdb,
+    "stream_dedup_evicting": run_stream_dedup_evicting,
+    "stream_dedup_evicting_heap": run_stream_dedup_evicting_heap,
 }
 
 DEFAULT_NAMES = (
