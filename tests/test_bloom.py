@@ -107,3 +107,44 @@ def test_portable_hash_positions_are_pinned(spark):
         *[_bloom_pos(F.col("k"), i, 1024, "md5").alias(f"p{i}") for i in range(4)]
     ).collect()[0]
     assert [got[f"p{i}"] for i in range(4)] == [917, 585, 608, 885]
+
+
+def test_bloom_words_literal_single_literal_matches_per_element_lit(spark):
+    # the count-sized-filter path: one compact ArrayType(LongType)
+    # Literal via the JVM's lit(Array[Long]) must probe identically to
+    # the per-element F.lit (which is only safe at small widths — a
+    # 306k-word filter OOMed executors on per-element literals)
+    import random
+
+    from dystonse_gtfs_data_spark.operators.bloom import (
+        bloom_words_literal,
+    )
+
+    rng = random.Random(7)
+    # > 4096 words forces the JVM single-literal path; mix in negative
+    # longs (bit_or outputs are SIGNED int64)
+    words = [rng.randrange(-(1 << 63), 1 << 63) for _ in range(5000)]
+    probe = spark.range(0, 2000).select(
+        (F.col("id") % 5000 + 1).cast("int").alias("idx")
+    )
+    got = probe.select(
+        F.element_at(bloom_words_literal(spark, words), F.col("idx")).alias("w")
+    ).collect()
+    assert [r["w"] for r in got] == [words[i % 5000] for i in range(2000)]
+
+
+def test_bloom_words_literal_small_path_is_bigint(spark):
+    # all-zero word lists must still probe as array<bigint> (getbit
+    # rejects positions >= 32 on int elements)
+    from dystonse_gtfs_data_spark.operators.bloom import (
+        bloom_might_contain,
+        bloom_words_literal,
+    )
+
+    lit0 = bloom_words_literal(spark, [0] * 2048)
+    n = (
+        spark.range(0, 100)
+        .filter(bloom_might_contain(F.col("id"), lit0, 1 << 17))
+        .count()
+    )
+    assert n == 0

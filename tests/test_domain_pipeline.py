@@ -453,3 +453,37 @@ class TestWideFixture:
         # one slot earlier) = 36
         assert sorted(r["route_variant"] for r in per_variant) == [301, 1301, 2301]
         assert {r["n"] for r in per_variant} == {36}
+
+
+def test_curve_set_partition_estimate_scales_with_groups(spark):
+    # the W=100@R=100 cliff guard: the estimator must grow the explicit
+    # partition count once the (variant x pair x slot x event) estimate
+    # passes the per-task budget, and floor at defaultParallelism below
+    from dystonse_gtfs_data_spark.operators.specific_curves import (
+        _CURVE_SET_GROUPS_PER_TASK,
+        _curve_set_partitions,
+    )
+    from pyspark.sql import functions as F
+
+    floor = spark.sparkContext.defaultParallelism
+    # tiny shape: one variant, 4 stops, 1 slot -> est ~ 4*3*2 = 24
+    rows = [("r1", 1, i, 3) for i in range(4)]
+    small = spark.createDataFrame(
+        rows,
+        "route_id string, route_variant long, stop_index int, slot_departure int",
+    )
+    assert _curve_set_partitions(small) == floor
+    # wide shape: 300 variants x 60 stops x 4 slots
+    # est = 300 * 60*59 * 5 = 5.31M -> ceil(est/budget) partitions
+    wide = (
+        spark.range(0, 300)
+        .select(
+            F.concat(F.lit("r"), F.col("id")).alias("route_id"),
+            F.col("id").alias("route_variant"),
+        )
+        .crossJoin(spark.range(0, 60).select(F.col("id").cast("int").alias("stop_index")))
+        .withColumn("slot_departure", (F.col("stop_index") % 4).cast("int"))
+    )
+    est = 300 * 60 * 59 * 5
+    expected = max(floor, -(-est // _CURVE_SET_GROUPS_PER_TASK))
+    assert _curve_set_partitions(wide) == expected
