@@ -883,3 +883,85 @@ def test_train_centroids_survives_mass_duplicated_low_ids(spark):
         r["centroid_id"] for r in ivf_assign(df, cents).collect()
     }
     assert len(lists) > 1
+
+
+def test_ngram_collapse_composes_with_df_cap(spark):
+    # the documented PRODUCTION combination: collapse_identical=True
+    # closes the df-cap's identical-doc blind spot, max_shingle_df
+    # stays as the recall trade for genuinely-distinct hot phrases.
+    # With both ON, identical-copy groups must keep their full stars
+    # even when every shingle they contain busts the cap.
+    from dystonse_gtfs_data_spark.operators.dedup import (
+        ngram_jaccard_near_duplicates,
+    )
+
+    boiler = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, boiler) for i in range(10)]  # identical group, hot shingles
+    # distinct docs that merely share the hot phrase (the intended
+    # df-cap casualty)
+    rows += [(100 + i, f"{boiler} unique{i} tail{i} word{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_near_duplicates(
+            docs, threshold=0.5, max_shingle_df=3, collapse_identical=True
+        ).collect()
+    }
+    # the star survives the cap: all 9 copy edges to the min-id rep
+    assert {(0, b) for b in range(1, 10)} <= got
+    # and the capped inverted index drops the hot-phrase-only pairs
+    # among DISTINCT docs (the documented recall trade)
+    assert not [p for p in got if p[0] >= 100]
+
+
+def test_semantic_dedup_collapse_composes_with_sqrtn_valve(spark):
+    # both production valves ON (k=None -> sqrt(N) clusters +
+    # collapse_identical): output must still equal the base run with
+    # the same derived k — the two valves are independent by design
+    # (k sizing sees the FULL corpus count; collapse only bounds the
+    # pair join)
+    from dystonse_gtfs_data_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(41)
+    hot = [float(x) for x in rng.normal(size=8)]
+    rows = [(i, hot) for i in range(30)]
+    rows += [(100 + i, [float(x) for x in rng.normal(size=8)]) for i in range(70)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k_auto = max(8, round(df.count() ** 0.5))  # the valve's own formula
+    base = {
+        (r["vec_id"], r["cluster"], r["keep"])
+        for r in semantic_dedup(df, k=k_auto, rounds=2, threshold=0.9).collect()
+    }
+    fast = {
+        (r["vec_id"], r["cluster"], r["keep"])
+        for r in semantic_dedup(
+            df, k=None, rounds=2, threshold=0.9, collapse_identical=True
+        ).collect()
+    }
+    assert base == fast
+
+
+def test_semantic_dedup_collapse_keeps_null_embeddings(spark):
+    # round-9 ADVICE fix: rows with a NULL embedding must survive the
+    # collapse expansion (eqNullSafe join + keep coalesce) exactly as
+    # the base path classifies them (keep=True: null cosine never
+    # reaches the threshold filter)
+    from dystonse_gtfs_data_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    v = [float(x) for x in rng.normal(size=4)]
+    rows = [(0, v), (1, v), (2, None), (3, None),
+            (4, [float(x) for x in rng.normal(size=4)])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = {
+        (r["vec_id"], r["keep"])
+        for r in semantic_dedup(df, k=2, rounds=1, threshold=0.9).collect()
+    }
+    fast = {
+        (r["vec_id"], r["keep"])
+        for r in semantic_dedup(
+            df, k=2, rounds=1, threshold=0.9, collapse_identical=True
+        ).collect()
+    }
+    assert base == fast
+    assert len(fast) == len(base)
