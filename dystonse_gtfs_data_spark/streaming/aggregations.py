@@ -151,6 +151,75 @@ def stateful_basis_stream(
 
 _NEARDUP_STATE_SCHEMA = "first_id long, last_seen_ms long"
 _NEARDUP_OUTPUT_SCHEMA = "doc_id long, band_id int, dup_of long"
+_NEARDUP_BUCKET_STATE_SCHEMA = (
+    "band_ids array<int>, band_sigs array<string>, "
+    "first_ids array<long>, seen_ms array<long>"
+)
+
+
+def _make_near_dup_bucket_fn(ttl_ms: int | None):
+    def _bucket_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Keyed by a HASH BUCKET of (band_id, band_sig); the state row
+        packs the bucket's whole signature index as parallel arrays.
+        Output-identical to the per-signature keying, but the number of
+        Python group invocations per micro-batch drops from
+        O(distinct signatures) to O(buckets) — the sf10 profile showed
+        per-signature keying spending its wall on ~2 M pandas state
+        calls per batch, not on the dedup math.
+
+        TTL semantics match the per-signature form observably: expiry
+        is decided by the stored per-signature timestamp AT LOOKUP
+        (an aged-out signature treats the arriving doc as a new
+        original), expired entries are purged whenever their bucket is
+        touched, and the bucket-level ProcessingTimeTimeout reclaims
+        idle buckets — correct wholesale, because a bucket idle past
+        the TTL implies every entry in it is expired."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        now = int(state.getCurrentProcessingTimeMs()) if ttl_ms else 0
+        idx: dict[tuple, tuple] = {}
+        if state.exists:
+            b_ids, b_sigs, firsts, seens = state.get
+            for bi, sig, f, t in zip(b_ids, b_sigs, firsts, seens):
+                if ttl_ms and now - int(t) > ttl_ms:
+                    continue  # purge aged-out entries on touch
+                idx[(int(bi), sig)] = (int(f), int(t))
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        out = []
+        for did, bi, sig in zip(
+            batch["doc_id"], batch["band_id"], batch["band_sig"]
+        ):
+            did, bi = int(did), int(bi)
+            hit = idx.get((bi, sig))
+            if hit is None:
+                idx[(bi, sig)] = (did, now)
+            else:
+                if did != hit[0]:
+                    out.append(
+                        {"doc_id": did, "band_id": bi, "dup_of": hit[0]}
+                    )
+                idx[(bi, sig)] = (hit[0], now)  # refresh last-seen
+        if idx:
+            keys = list(idx)
+            state.update(
+                (
+                    [k[0] for k in keys],
+                    [k[1] for k in keys],
+                    [idx[k][0] for k in keys],
+                    [idx[k][1] for k in keys],
+                )
+            )
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out)
+
+    return _bucket_fn
 
 
 def _make_near_dup_fn(ttl_ms: int | None):
@@ -204,28 +273,59 @@ def _make_near_dup_fn(ttl_ms: int | None):
     return _near_dup_fn
 
 
-def streaming_near_dup(bands: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+def streaming_near_dup(
+    bands: DataFrame,
+    ttl_ms: int | None = None,
+    n_buckets: int | None = 1024,
+) -> DataFrame:
     """Streaming minhash near-dup detection (the incremental form of the
     batch minhash+LSH pipeline): ``bands`` is the stateless per-row
     signature projection (operators/dedup.rowwise_minhash_bands) over a
-    streaming source; the keyed state store holds one row per distinct
-    (band_id, band_sig) ever seen — the accumulating LSH index.  State
-    is O(distinct signatures), not O(documents × bands).
+    streaming source; the keyed state holds the accumulating LSH index
+    — one entry per distinct (band_id, band_sig) seen inside the dedup
+    horizon, O(distinct signatures), not O(documents × bands).
 
-    ``ttl_ms`` bounds the index for unbounded feeds: signatures idle
-    past the TTL are evicted from the state store
-    (ProcessingTimeTimeout), and a doc re-presenting an expired
-    signature is treated as a new original — the sliding dedup horizon
-    a production crawl pipeline runs with (reference analog: the T4
-    retention semantics, src/importer/mod.rs:174-198)."""
-    return bands.groupBy("band_id", "band_sig").applyInPandasWithState(
-        _make_near_dup_fn(ttl_ms),
+    ``n_buckets`` (default 1024) keys the state by a hash BUCKET of the
+    signature, with each bucket's index packed into one state row as
+    parallel arrays.  Output-identical to per-signature keying
+    (``n_buckets=None``, kept for A/B), but the Python stateful
+    operator's per-key invocation cost stops scaling with the corpus: a
+    round-9 sf10 profile showed per-signature keying paying for ~2 M
+    pandas state calls per micro-batch while the dedup math itself was
+    trivial.  Trade: a touched bucket rewrites its whole row (~2 k
+    entries at sf10/1024 buckets), so raise ``n_buckets`` with corpus
+    size to keep value sizes and write amplification bounded —
+    buckets ≈ √(expected signatures) is a reasonable production rule.
+
+    ``ttl_ms`` bounds the index for unbounded feeds: a doc
+    re-presenting a signature older than the TTL is treated as a new
+    original (per-signature timestamps, checked at lookup), expired
+    entries are purged whenever their bucket is touched, and idle
+    buckets are reclaimed by ProcessingTimeTimeout — an idle bucket's
+    entries are uniformly expired, so wholesale removal preserves the
+    per-signature semantics (reference analog: the T4 retention
+    semantics, src/importer/mod.rs:174-198)."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    if n_buckets is None:
+        return bands.groupBy("band_id", "band_sig").applyInPandasWithState(
+            _make_near_dup_fn(ttl_ms),
+            outputStructType=_NEARDUP_OUTPUT_SCHEMA,
+            stateStructType=_NEARDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    bucketed = bands.withColumn(
+        "_bucket",
+        F.pmod(F.xxhash64("band_id", "band_sig"), F.lit(n_buckets)),
+    )
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
+        _make_near_dup_bucket_fn(ttl_ms),
         outputStructType=_NEARDUP_OUTPUT_SCHEMA,
-        stateStructType=_NEARDUP_STATE_SCHEMA,
+        stateStructType=_NEARDUP_BUCKET_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if ttl_ms
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=timeout,
     )

@@ -562,3 +562,70 @@ class TestRocksDBStateStore:
             )
             == "unset-ok"
         )
+
+
+def test_bucketed_near_dup_matches_per_signature_keying(spark, tmp_path):
+    # round-9 bucketed-state keying (n_buckets) must be OUTPUT-IDENTICAL
+    # to the per-signature form (n_buckets=None) — same hits, same
+    # dup_of attribution, across a multi-batch replay with duplicate
+    # groups spanning batches
+    import random
+
+    from dystonse_gtfs_data_spark.operators.dedup import (
+        rowwise_minhash_bands,
+    )
+    from dystonse_gtfs_data_spark.streaming.aggregations import (
+        streaming_near_dup,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(15)) for _ in range(12)
+    ]
+    rows = []
+    for i in range(40):
+        rows.append((i, texts[i % 12]))  # every text repeats across ids
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    land = tmp_path / "land"
+    land.mkdir()
+    import os as _os
+
+    for b in range(2):  # id-ranged two-batch replay, pinned mtimes
+        bdir = str(land / f"b{b:03d}")
+        df.filter(
+            (F.col("doc_id") >= b * 20) & (F.col("doc_id") < (b + 1) * 20)
+        ).coalesce(1).write.parquet(bdir)
+        for root, _dirs, names in _os.walk(bdir):
+            for n in names:
+                _os.utime(_os.path.join(root, n), (1_000_000 + b,) * 2)
+
+    def run(n_buckets, tag):
+        src = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land) + "/*")
+        )
+        out = str(tmp_path / f"out_{tag}")
+        q = (
+            streaming_near_dup(
+                rowwise_minhash_bands(src, num_hashes=16),
+                n_buckets=n_buckets,
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["doc_id"], r["band_id"], r["dup_of"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    bucketed = run(16, "bucketed")  # small bucket count → real packing
+    persig = run(None, "persig")
+    assert bucketed == persig
+    assert bucketed  # repeated texts must produce hits

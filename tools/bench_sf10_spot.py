@@ -140,9 +140,27 @@ def run_stream_dedup_evicting_heap(spark, sf_dir):
         os.environ.pop("SPARK_GRAFT_HEAP_STATE", None)
 
 
+def run_stream_near_dup_persig(spark, sf_dir):
+    """The pre-round-9 per-signature state keying (n_buckets=None),
+    kept as the A/B leg for the bucketed-state default."""
+    from dystonse_gtfs_data_spark.streaming import aggregations as agg
+
+    orig = agg.streaming_near_dup
+
+    def _persig(bands, ttl_ms=None, n_buckets=1024):
+        return orig(bands, ttl_ms, n_buckets=None)
+
+    agg.streaming_near_dup = _persig
+    try:
+        _noop(Q.REGISTRY["stream_near_dup"].fn(spark, sf_dir))
+    finally:
+        agg.streaming_near_dup = orig
+
+
 SPECIALS = {
     "semantic_dedup_sqrtN": run_semantic_sqrtn,
     "stream_near_dup_rocksdb": run_stream_near_dup_rocksdb,
+    "stream_near_dup_persig": run_stream_near_dup_persig,
     "stream_dedup_evicting": run_stream_dedup_evicting,
     "stream_dedup_evicting_heap": run_stream_dedup_evicting_heap,
 }
