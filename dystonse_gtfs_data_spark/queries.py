@@ -7143,6 +7143,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_dedup_collapsed",
     "lsh_topk_collapsed",
     "semantic_dedup_collapsed",
+    # round-9 post-change evidence: streaming near-dup switched to
+    # bucketed state keying this round (11x at sf10, output-identical)
+    # — their r8 rows predate the new default
+    "stream_near_dup",
+    "stream_near_dup_ttl",
     # r6-vintage streaming entries on the (post-r6) RocksDB default
     "windowed_counts_stream",
     "session_window_stream",
