@@ -114,13 +114,126 @@ def _make_basis_fn(ttl_ms: int | None):
     return _basis_fn
 
 
+_BASIS_BUCKET_STATE_SCHEMA = (
+    "trip_ids array<string>, start_dates array<string>, "
+    "start_times array<int>, stop_seqs array<int>, delays array<int>, "
+    "tors_us array<long>, seen_ms array<long>"
+)
+
+
+def _make_basis_bucket_fn(ttl_ms: int | None):
+    def _bucket_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Bucketed form of :func:`_make_basis_fn` (the round-9
+        streaming-near-dup lesson applied to the per-vehicle basis):
+        keyed by a hash BUCKET of the vehicle key, the bucket's
+        retained bases packed into one state row as parallel arrays.
+        Output-identical — same per-vehicle latest-wins advance, same
+        emit-on-change — but the Python stateful operator pays one
+        invocation per BUCKET per micro-batch instead of one per
+        vehicle (measured: 30 k synthetic vehicles cost 20.9 s under
+        per-vehicle keying, ~0.6 ms per vehicle per batch of pure
+        invocation overhead).
+
+        TTL parity: per-vehicle timestamps decide expiry at lookup, an
+        expired vehicle restarts fresh, expired entries purge whenever
+        their bucket is rewritten, and the bucket-level
+        ProcessingTimeTimeout reclaims idle buckets (uniformly expired
+        by definition of idle)."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        now = int(state.getCurrentProcessingTimeMs()) if ttl_ms else 0
+        idx: dict[tuple, tuple] = {}
+        if state.exists:
+            tids, dates, times, seqs, dels, tors, seens = state.get
+            for t, d, tt, sq, dl, tor, sn in zip(
+                tids, dates, times, seqs, dels, tors, seens
+            ):
+                if ttl_ms and now - int(sn) > ttl_ms:
+                    continue  # aged-out vehicle: restarts fresh
+                idx[(t, d, int(tt))] = (int(sq), int(dl), int(tor), int(sn))
+        batch = pd.concat(list(pdfs), ignore_index=True).dropna(
+            subset=["delay_departure"]
+        )
+        if batch.empty:
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        out = []
+        latest = (
+            batch.sort_values(["time_of_recording", "stop_sequence"])
+            .groupby(
+                ["trip_id", "trip_start_date", "trip_start_time"],
+                sort=False,
+                dropna=False,  # Spark groups null keys; match it
+            )
+            .tail(1)
+        )
+        for row in latest.itertuples(index=False):
+            vkey = (
+                row.trip_id,
+                row.trip_start_date,
+                int(row.trip_start_time),
+            )
+            tor_us = int(pd.Timestamp(row.time_of_recording).value // 1_000)
+            best = (int(row.stop_sequence), int(row.delay_departure), tor_us)
+            prev = idx.get(vkey)
+            if prev is not None and (best[2], best[0]) <= (prev[2], prev[0]):
+                continue  # stale (late) data → keep the newer basis
+            idx[vkey] = (*best, now)
+            if prev is not None and (prev[0], prev[1]) == (best[0], best[1]):
+                continue  # unchanged basis → no output
+            out.append(
+                {
+                    "trip_id": vkey[0],
+                    "trip_start_date": vkey[1],
+                    "trip_start_time": vkey[2],
+                    "stop_sequence": best[0],
+                    "delay_departure": best[1],
+                    "time_of_recording_us": best[2],
+                }
+            )
+        if idx:
+            keys = list(idx)
+            state.update(
+                (
+                    [k[0] for k in keys],
+                    [k[1] for k in keys],
+                    [k[2] for k in keys],
+                    [idx[k][0] for k in keys],
+                    [idx[k][1] for k in keys],
+                    [idx[k][2] for k in keys],
+                    [idx[k][3] for k in keys],
+                )
+            )
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out)
+
+    return _bucket_fn
+
+
 def stateful_basis_stream(
-    updates: DataFrame, ttl_ms: int | None = None
+    updates: DataFrame,
+    ttl_ms: int | None = None,
+    n_buckets: int | None = 1024,
 ) -> DataFrame:
     """updates: streaming RT_UPDATES-shaped frame (trip_id, start_date,
     start_time parsed to seconds upstream).  Output: one row per basis
     *change* per vehicle.  ``ttl_ms`` bounds the state store: vehicles
-    idle past it are evicted (and a later reappearance starts fresh)."""
+    idle past it are evicted (and a later reappearance starts fresh).
+
+    ``n_buckets`` (default 1024) keys the state by a hash bucket of the
+    vehicle key with the bucket's bases packed into one state row —
+    output-identical to per-vehicle keying (``n_buckets=None``, kept
+    for A/B) but the per-key pandas invocation cost stops scaling with
+    the fleet (measured 0.6 ms/vehicle/batch of pure overhead at 30 k
+    synthetic vehicles; see _make_basis_bucket_fn)."""
     keyed = updates.select(
         "trip_id",
         F.col("start_date").alias("trip_start_date"),
@@ -134,18 +247,34 @@ def stateful_basis_stream(
         "departure_delay",
         F.col("header_timestamp").alias("time_of_recording"),
     ).withColumnRenamed("departure_delay", "delay_departure")
-    return keyed.groupBy(
-        "trip_id", "trip_start_date", "trip_start_time"
-    ).applyInPandasWithState(
-        _make_basis_fn(ttl_ms),
-        outputStructType=_BASIS_OUTPUT_SCHEMA,
-        stateStructType=_BASIS_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if ttl_ms
-            else GroupStateTimeout.NoTimeout
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    if n_buckets is None:
+        return keyed.groupBy(
+            "trip_id", "trip_start_date", "trip_start_time"
+        ).applyInPandasWithState(
+            _make_basis_fn(ttl_ms),
+            outputStructType=_BASIS_OUTPUT_SCHEMA,
+            stateStructType=_BASIS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    bucketed = keyed.withColumn(
+        "_bucket",
+        F.pmod(
+            F.xxhash64("trip_id", "trip_start_date", "trip_start_time"),
+            F.lit(n_buckets),
         ),
+    )
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
+        _make_basis_bucket_fn(ttl_ms),
+        outputStructType=_BASIS_OUTPUT_SCHEMA,
+        stateStructType=_BASIS_BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
     )
 
 

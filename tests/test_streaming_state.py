@@ -629,3 +629,66 @@ def test_bucketed_near_dup_matches_per_signature_keying(spark, tmp_path):
     persig = run(None, "persig")
     assert bucketed == persig
     assert bucketed  # repeated texts must produce hits
+
+
+def test_bucketed_basis_matches_per_vehicle_keying(spark, tmp_path):
+    # bucketed basis state (round-9) must be OUTPUT-IDENTICAL to the
+    # per-vehicle keying: same emit-on-change rows, same latest-wins
+    # advance across micro-batches, including a late stale batch that
+    # must NOT clobber the newer basis
+    import os as _os
+
+    from dystonse_gtfs_data_spark.streaming.aggregations import (
+        stateful_basis_stream,
+    )
+
+    rows = []
+    # 6 vehicles x 2 feed files; vehicle v3 gets a STALE second update
+    for v in range(6):
+        rows.append((f"f1", f"t{v}", "20240101", "08:00:00", 3, 60 + v, 120,
+                     "2024-01-01 08:10:00"))
+        rows.append((f"f2", f"t{v}", "20240101", "08:00:00",
+                     2 if v == 3 else 5, 90 + v, 150,
+                     "2024-01-01 08:05:00" if v == 3 else "2024-01-01 08:20:00"))
+    df = spark.createDataFrame(
+        rows,
+        "feed_file string, trip_id string, start_date string, "
+        "start_time string, stop_sequence int, departure_delay int, "
+        "arrival_delay int, header_timestamp string",
+    ).withColumn("header_timestamp", F.col("header_timestamp").cast("timestamp"))
+    land = tmp_path / "land"
+    land.mkdir()
+    for i, f in enumerate(("f1", "f2")):
+        bdir = str(land / f"b{i:03d}")
+        df.filter(F.col("feed_file") == f).coalesce(1).write.parquet(bdir)
+        for root, _dirs, names in _os.walk(bdir):
+            for n in names:
+                _os.utime(_os.path.join(root, n), (1_000_000 + i,) * 2)
+
+    def run(n_buckets, tag):
+        src = (
+            spark.readStream.schema(
+                spark.read.parquet(str(land / "b000")).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land) + "/*")
+        )
+        out_dir = str(tmp_path / f"out_{tag}")
+        q = (
+            stateful_basis_stream(src, n_buckets=n_buckets)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+
+    bucketed = run(8, "bucketed")  # small bucket count → real packing
+    persig = run(None, "pervehicle")
+    assert bucketed == persig
+    # every vehicle emitted its first basis; the 5 advancing vehicles
+    # emitted a second row; the stale vehicle (t3) did not
+    assert len(bucketed) == 11
