@@ -7143,11 +7143,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_dedup_collapsed",
     "lsh_topk_collapsed",
     "semantic_dedup_collapsed",
-    # round-9 post-change evidence: streaming near-dup switched to
-    # bucketed state keying this round (11x at sf10, output-identical)
-    # — their r8 rows predate the new default
+    # round-9 post-change evidence: the two Python stateful operators
+    # switched to bucketed state keying this round (11x at sf10 /
+    # 5.8x at 30k vehicles, output-identical) — these entries' r8 rows
+    # predate the new defaults
     "stream_near_dup",
     "stream_near_dup_ttl",
+    "basis_stream",
     # r6-vintage streaming entries on the (post-r6) RocksDB default
     "windowed_counts_stream",
     "session_window_stream",
