@@ -130,7 +130,21 @@ def bloom_words_literal(spark, words: list[int]) -> Column:
         from pyspark.sql.classic.column import Column as _Column
 
         return _Column(jcol)
-    except Exception:
+    except Exception as exc:
+        # the gateway internals above are absent under Spark Connect —
+        # degrading a >4096-word filter to array(lit, …) is exactly the
+        # per-element codegen-OOM path the compact Literal exists to
+        # avoid, so make the degradation loud before the heap does
+        import warnings
+
+        warnings.warn(
+            f"bloom_words_literal: compact JVM Array[Long] literal "
+            f"unavailable ({type(exc).__name__}: {exc}); falling back to "
+            f"per-element F.lit for {len(words)} words — expect codegen/"
+            f"task-binary blowup at this width",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return F.lit(words).cast("array<bigint>")
 
 

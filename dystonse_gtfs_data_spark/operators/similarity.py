@@ -448,13 +448,24 @@ def train_centroids(
     via the pure-Python hash (functions/xxh.py:xxhash64_long), so the
     codebook stays driver-hash-checkable.  The vec_id tie-break makes
     the order total even under (astronomically unlikely) hash ties."""
-    sample_rows = (
+    sample = _hash_ordered_sample(vectors, vec_col, sample_size)
+    return kmeans_codebook(sample, k, iterations)
+
+
+def _hash_ordered_sample(
+    vectors: DataFrame, vec_col: str, sample_size: int
+) -> list[list[float]]:
+    """The one codebook-sampling policy, shared by both trainers: the
+    ``sample_size`` vectors smallest by ``(xxhash64(vec_id), vec_id)``.
+    Content-independent (mass-duplicated id ranges cannot monopolize the
+    sample) and replayable by the single-node oracles via the pure-Python
+    xxhash64 twin (functions/xxh.py)."""
+    rows = (
         vectors.orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
         .limit(sample_size)
         .collect()
     )
-    sample = [list(r[vec_col]) for r in sample_rows]
-    return kmeans_codebook(sample, k, iterations)
+    return [list(r[vec_col]) for r in rows]
 
 
 def _collapse_members(
@@ -794,11 +805,16 @@ def train_pq_codebooks(
     sample_size: int = 4096,
 ):
     """PQ codebooks from the same bounded deterministic sample policy as
-    :func:`train_centroids` (first ``sample_size`` ids; m_sub × ksub ×
-    subdim floats come back — tiny)."""
-    rows = vectors.orderBy("vec_id").limit(sample_size).collect()
+    :func:`train_centroids` — ``sample_size`` vectors smallest by
+    ``(xxhash64(vec_id), vec_id)`` via the shared
+    :func:`_hash_ordered_sample` helper, so both trainers see the same
+    mass-duplication-immune sample (m_sub × ksub × subdim floats come
+    back — tiny)."""
     return pq_train_codebooks(
-        [list(r[vec_col]) for r in rows], m_sub, ksub, iterations
+        _hash_ordered_sample(vectors, vec_col, sample_size),
+        m_sub,
+        ksub,
+        iterations,
     )
 
 

@@ -285,7 +285,9 @@ def _curve_set_partitions(enriched: DataFrame) -> int:
     )
 
 
-def stop_pair_curve_sets(enriched: DataFrame) -> DataFrame:
+def stop_pair_curve_sets(
+    enriched: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
     """A7/J4: the stop-pair self-join + curve-set build.
 
     Pair semantics (src/analyser/specific_curves.rs:279-351): join two
@@ -295,6 +297,14 @@ def stop_pair_curve_sets(enriched: DataFrame) -> DataFrame:
     ±3000 s exclusive; both are rounded toward zero to 12-s multiples; a
     pair belongs to a specific time slot only if BOTH endpoint datetimes
     match it, and always to the DEFAULT slot; > 20 pairs per group.
+
+    NOTE: with ``num_partitions=None`` (the default) BUILDING the
+    returned DataFrame runs one eager Spark job — the
+    :func:`_curve_set_partitions` group-count estimate over the
+    enriched subtree that sizes the curve-agg repartition.  Callers
+    constructing plans without executing them (or who already know the
+    group count) can pass an explicit ``num_partitions`` to keep
+    construction lazy.
     """
     starts = enriched.filter(F.col("delay_departure").isNotNull()).select(
         "route_id",
@@ -361,8 +371,13 @@ def stop_pair_curve_sets(enriched: DataFrame) -> DataFrame:
     # applyInPandas distribution requirement (no second exchange), is
     # exempt from AQE byte-coalescing, and its count comes from the
     # group estimate — see _curve_set_partitions
+    n_parts = (
+        num_partitions
+        if num_partitions is not None
+        else _curve_set_partitions(enriched)
+    )
     return (
-        all_pairs.repartition(_curve_set_partitions(enriched), *keys)
+        all_pairs.repartition(n_parts, *keys)
         .groupBy(*keys)
         .applyInPandas(_curve_set_udf, _CURVE_SET_SCHEMA)
     )

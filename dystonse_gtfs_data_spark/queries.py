@@ -2841,7 +2841,14 @@ _LSH_EMB_DUP_CTE = """emb AS (
       SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings WHERE vec_id < 20
     ),"""
-assert _LSH_TOPK_SQL.count(_LSH_EMB_CTE) == 1
+# loud failure even under `python -O` (an assert would be stripped and
+# the .replace() below would silently no-op, testing the unduplicated
+# corpus against the duplicated query output)
+if _LSH_TOPK_SQL.count(_LSH_EMB_CTE) != 1:
+    raise ValueError(
+        "lsh_topk oracle template drifted: expected exactly one "
+        f"occurrence of the emb CTE, found {_LSH_TOPK_SQL.count(_LSH_EMB_CTE)}"
+    )
 
 
 @register(

@@ -85,7 +85,14 @@ def _make_basis_fn(ttl_ms: int | None):
             if ttl_ms:
                 state.setTimeoutDuration(ttl_ms)
             return
-        last = batch.sort_values(["time_of_recording", "stop_sequence"]).iloc[-1]
+        # delay_departure in the key + stable mergesort: rows tied on
+        # (time, seq) but differing in delay must resolve identically in
+        # the per-vehicle and bucketed forms (and run to run) — the
+        # default unstable quicksort breaks both guarantees on ties
+        last = batch.sort_values(
+            ["time_of_recording", "stop_sequence", "delay_departure"],
+            kind="mergesort",
+        ).iloc[-1]
         tor_us = int(pd.Timestamp(last["time_of_recording"]).value // 1_000)
         best = (int(last["stop_sequence"]), int(last["delay_departure"]), tor_us)
         if prev is not None and (best[2], best[0]) <= (prev[2], prev[0]):
@@ -163,7 +170,12 @@ def _make_basis_bucket_fn(ttl_ms: int | None):
             return
         out = []
         latest = (
-            batch.sort_values(["time_of_recording", "stop_sequence"])
+            # same (time, seq, delay) mergesort as the per-vehicle form:
+            # tie rows must pick the same winner in both keyings
+            batch.sort_values(
+                ["time_of_recording", "stop_sequence", "delay_departure"],
+                kind="mergesort",
+            )
             .groupby(
                 ["trip_id", "trip_start_date", "trip_start_time"],
                 sort=False,

