@@ -1430,21 +1430,11 @@ def _token_lcp(a, b):
     )
 
 
-#: Bloom sizing for the repeat-starts prefilter: bits per repeated-hash
-#: key (16 → ~0.1% false-positive at k=6) and the key count past which
-#: the probe falls back to the exact equi-join (2^28-bit = 32 MiB
-#: literal ceiling; a corpus with more repeated grams than that is
-#: boilerplate-dominated and the join side is the honest plan).
-_PREFILTER_BLOOM_BITS_PER_KEY = 16
-_PREFILTER_BLOOM_MAX_KEYS = 16_000_000
-
-
 def _verified_repeat_starts(
     base: DataFrame,
     min_len: int,
     sep: str,
     id_col: str,
-    bloom_prune: bool = False,
 ) -> DataFrame:
     """Positions whose ``min_len``-gram occurs ≥ 2 times corpus-wide —
     the shared stage 1-2 of the maximal-repeat operators: xxhash64 gram
@@ -1453,28 +1443,17 @@ def _verified_repeat_starts(
     any keep-first exemption.  ``base`` is (id, _arr).  Returns
     (id, pos).
 
-    ``bloom_prune`` replaces the candidate equi-join of the full-volume
-    gram stream against the repeated-hash set with a map-only Bloom
-    probe (count-sized bit array shipped as one compact literal,
-    exact-join fallback past the key ceiling).  EXACTNESS IS UNCHANGED
-    either way: like hash collisions, Bloom false positives only add
-    candidates, and the gtext verification stage below is the
-    authoritative occurs-twice test (equivalence pytest-pinned).
-
-    It DEFAULTS OFF because the measured result is NEGATIVE — a
-    round-9 sf10 A/B at min_len=20 (25 M positions, 1.22 M repeated
-    hashes) ran 138.0 s bloom vs 69.4 s join at identical output
-    (41,300 spans, identical round telemetry): this stage's cost is
+    A Bloom-probe variant of the candidate join was built and measured
+    in round 9 and RETIRED in round 10 (negative result, kept in
+    COVERAGE.md): at sf10/min_len=20 it ran 138.0 s vs 69.4 s for this
+    equi-join at identical output, because the stage's cost is
     dominated by COMPUTING the gram stream (a ~20-token concat_ws +
-    xxhash64 per corpus position), which the probe evaluates a second
-    time on the filter side, while the equi-join path computes it once
-    and reuses the single gh exchange for both the occurs-twice
-    aggregate and the candidate join (ReuseExchange, verified in the
-    plan).  A Bloom prune pays off when the probe side is CHEAP to
-    recompute or the filter replaces a shuffle that cannot be reused —
-    neither holds here.  Kept as an option (and as the documented
-    negative result) rather than deleted, since the break-even flips
-    if the gram stream is ever materialized once and read twice."""
+    xxhash64 per position), which a map-side probe evaluates a second
+    time, while the equi-join computes it once and reuses the single
+    gh exchange for both the occurs-twice aggregate and the candidate
+    join (ReuseExchange, verified in the plan).  A Bloom prune only
+    pays when the probe side is cheap to recompute or the filter
+    replaces an unreusable shuffle — neither holds here."""
 
     def _gram(i):
         return F.struct(
@@ -1501,43 +1480,7 @@ def _verified_repeat_starts(
         .filter(F.col("_c") > 1)
         .select("gh")
     )
-    cand = None
-    if bloom_prune:
-        from ..cache import tracked_persist
-        from .bloom import (
-            bloom_build,
-            bloom_dense,
-            bloom_might_contain,
-            bloom_words_literal,
-        )
-
-        # tracked: the fallback plan below references hot, and an
-        # exception between count and build must not leak the cache
-        # past the harness's release_persisted()
-        hot = tracked_persist(hot)
-        n_hot = hot.count()
-        if n_hot <= _PREFILTER_BLOOM_MAX_KEYS:
-            m_bits = max(
-                1 << 17,
-                (n_hot * _PREFILTER_BLOOM_BITS_PER_KEY + 63) // 64 * 64,
-            )
-            words = bloom_dense(
-                bloom_build(hot, "gh", m_bits=m_bits).collect(), m_bits
-            )
-            # the filter is a driver-side literal now; the plan no
-            # longer references hot, so its cache can go immediately
-            hot.unpersist()
-            cand = occ.filter(
-                bloom_might_contain(
-                    F.col("gh"),
-                    bloom_words_literal(base.sparkSession, words),
-                    m_bits,
-                )
-            ).drop("gh")
-    if cand is None:
-        # exact-join path: bloom disabled, or repeated-hash set too
-        # large for a broadcast-literal filter
-        cand = occ.join(hot, "gh").drop("gh")
+    cand = occ.join(hot, "gh").drop("gh")
     # exact-text verification (hash collisions add candidates, never
     # results) on the SLIM gram text only — suffix payloads attach
     # after, so they never ride through the gtext self-join

@@ -674,12 +674,14 @@ class TestSegmentDedupHardening:
         assert got == oracle
 
 
-def test_prefilter_bloom_path_matches_exact_join_path(spark):
-    # the bloom probe is a prune, not the answer: the gtext
-    # verification stage downstream is the authoritative occurs-twice
-    # test, so both prefilter paths must return the IDENTICAL
-    # (id, pos) set on any corpus
+def test_verified_repeat_starts_matches_python_oracle(spark):
+    # repurposed from the retired bloom-prune equivalence probe
+    # (round-10: the prune option was removed after a negative sf10
+    # A/B — see _verified_repeat_starts docstring): the surviving
+    # equi-join path is now pinned against a brute-force pure-Python
+    # occurs-twice oracle on the same corpus
     import re
+    from collections import Counter
 
     from dystonse_gtfs_data_spark.operators.dedup import (
         _verified_repeat_starts,
@@ -697,14 +699,21 @@ def test_prefilter_bloom_path_matches_exact_join_path(spark):
     base = docs.select(
         "doc_id", F.split(F.col("text"), re.escape(" ")).alias("_arr")
     )
-    kw = dict(min_len=6, sep=" ", id_col="doc_id")
-    fast = {
+    min_len = 6
+    got = {
         (r["doc_id"], r["pos"])
-        for r in _verified_repeat_starts(base, bloom_prune=True, **kw).collect()
+        for r in _verified_repeat_starts(
+            base, min_len=min_len, sep=" ", id_col="doc_id"
+        ).collect()
     }
-    exact = {
-        (r["doc_id"], r["pos"])
-        for r in _verified_repeat_starts(base, bloom_prune=False, **kw).collect()
-    }
-    assert fast == exact
-    assert fast  # the boilerplate suffix repeats across 10 docs
+    grams: Counter = Counter()
+    positions = []
+    for i, text in rows:
+        toks = text.split(" ")
+        for p in range(len(toks) - min_len + 1):
+            g = " ".join(toks[p : p + min_len])
+            grams[g] += 1
+            positions.append((i, p, g))
+    expected = {(i, p) for i, p, g in positions if grams[g] > 1}
+    assert got == expected
+    assert got  # the boilerplate suffix repeats across 10 docs
