@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "weighted_sample",         # weight-proportional exact-integer sampling
     # round-4 additions
     "semantic_dedup",          # SemDeDup: k-means-bucketed cosine near-dup removal
+    "semantic_dedup_hier",     # round-10 two-level assignment (N·2√k folds, not N·k)
     "ann_recall",              # recall@5 of the LSH path vs brute force
     "corpus_diff",             # snapshot delta via fingerprint full-outer join
     "zorder_skipping",         # measured files-hit: zorder vs natural layout

@@ -163,6 +163,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     k: int = 8,
     rounds: int = 2,
+    coarse: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over an ``array<float>`` column,
     expressed entirely as DataFrame ops — no UDF, no driver-side
@@ -197,6 +198,27 @@ def kmeans_assign(
     k-free).  Numbers are bit-identical: the same exact int64 terms
     are summed either way, and min(struct) ties break on the lower
     centroid id exactly like the old (d2, cid) window order.
+
+    ``coarse`` (round-10) switches the assignment to an IVF-style
+    TWO-LEVEL quantizer — the fix for the N·k = N^1.5 assignment cost
+    that flat Lloyd pays at SemDeDup's k≈√N.  Per round, the first
+    ``coarse`` fine centroids (by cid) act as the coarse codebook:
+    every fine centroid and every vector first picks its nearest
+    coarse cell (k·coarse + N·coarse folds), then each vector scores
+    only the fine centroids of ITS cell (N·k/coarse folds on average).
+    With coarse≈√k total work is N·2√k — N^1.25 at k=√N — and the
+    fine-candidate join stays a broadcast (k rows).  This is a
+    DIFFERENT (approximate) clustering from flat Lloyd — a vector's
+    true nearest fine centroid may sit in another cell — which is
+    exactly the SemDeDup trade (clustering is a blocking structure,
+    not the answer); it remains fully deterministic and the SQL twin
+    replays it bit-for-bit (same int64 terms, same lower-id
+    tie-breaks at both levels).  A vector can never land in a fine-less
+    cell: fine centroid g has d2=0 to coarse g, so cell(g)≠g requires
+    an identical lower-id coarse twin g', and the shared tie-break
+    then sends every vector that would pick g to g' as well.
+    ``coarse=None`` (default) and ``coarse>=k`` keep the flat
+    single-level assignment bit-identical to previous rounds.
     """
     from .dedup import _spread, portable_base_hash
     from pyspark.sql import Window
@@ -246,11 +268,67 @@ def kmeans_assign(
             lambda acc, e: acc + e,
         )
 
+    hier = coarse is not None and 1 < coarse < k
+    if hier:
+        from ..cache import tracked_persist
+
     assign = None
     for _ in range(rounds):
-        pairs = quant.withColumn("_one", _one(F.col("vid"))).join(
-            F.broadcast(cents_arr), "_one"
-        )
+        if hier:
+            # the centroid-array table is referenced three times per
+            # round (coarse codebook, fine→cell, fine candidates); with
+            # unrolled lineage each reference would otherwise re-run the
+            # whole upstream round (measured: 50 parquet scans vs 8 at
+            # rounds=2 before this persist).  k rows × dim — trivially
+            # cached; harnesses drop it via release_persisted()
+            cents_arr = tracked_persist(cents_arr)
+            # coarse codebook: the first `coarse` fine centroids
+            gq_tbl = (
+                cents_arr.filter(F.col("cid") < coarse)
+                .select(F.col("cid").alias("gid"), F.col("cq").alias("gq"))
+                .withColumn("_one", _one(F.col("gid")))
+            )
+            # fine centroid → coarse cell (k × coarse rows, tiny)
+            cell = (
+                cents_arr.withColumn("_one", _one(F.col("cid")))
+                .join(F.broadcast(gq_tbl), "_one")
+                .select(
+                    "cid",
+                    F.struct(
+                        _d2(F.col("cq"), F.col("gq")).alias("d2"),
+                        F.col("gid"),
+                    ).alias("_dg"),
+                )
+                .groupBy("cid")
+                .agg(F.min("_dg").alias("_m"))
+                .select("cid", F.col("_m.gid").alias("gid"))
+            )
+            # vector → coarse cell: N × coarse folds; xq rides the
+            # groupBy key (constant per vid) so no second N-row join
+            # is needed to recover it for the fine stage
+            vcell = (
+                quant.withColumn("_one", _one(F.col("vid")))
+                .join(F.broadcast(gq_tbl), "_one")
+                .select(
+                    "vid",
+                    "xq",
+                    F.struct(
+                        _d2(F.col("xq"), F.col("gq")).alias("d2"),
+                        F.col("gid"),
+                    ).alias("_dg"),
+                )
+                .groupBy("vid", "xq")
+                .agg(F.min("_dg").alias("_m"))
+                .select("vid", "xq", F.col("_m.gid").alias("gid"))
+            )
+            # fine candidates restricted to the vector's cell:
+            # N × (k/coarse avg) folds through a broadcast equi-join
+            fine = cents_arr.join(cell, "cid").select("cid", "cq", "gid")
+            pairs = vcell.join(F.broadcast(fine), "gid")
+        else:
+            pairs = quant.withColumn("_one", _one(F.col("vid"))).join(
+                F.broadcast(cents_arr), "_one"
+            )
         assign = (
             pairs.select(
                 "vid",
@@ -298,50 +376,102 @@ def kmeans_assign_sql(
     vec_col: str = "embedding",
     k: int = 8,
     rounds: int = 2,
+    coarse: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`kmeans_assign` — same quantization, init,
-    unrolled rounds, and tie-breaks."""
+    unrolled rounds, and tie-breaks; with ``coarse`` set, the same
+    two-level assignment (coarse cell by lowest (d2, gid), then fine
+    centroids of that cell only)."""
     from .dedup import portable_base_hash_sql
 
     fold = portable_base_hash_sql(
         f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)"
     )
+    hier = coarse is not None and 1 < coarse < k
     parts = [
         f"""
-    longf AS (
+    longf AS MATERIALIZED (
       SELECT {id_col} AS vid,
              generate_subscripts({vec_col}, 1) - 1 AS dim,
              CAST(floor(CAST(unnest({vec_col}) AS DOUBLE)
                         * {float(KM_SCALE)!r} + 0.5) AS BIGINT) AS x
       FROM {table}
     ),
-    seeds AS (
+    seeds AS MATERIALIZED (
       SELECT vid, rn - 1 AS cid FROM (
         SELECT {id_col} AS vid,
                row_number() OVER (ORDER BY ({fold}), {id_col}) AS rn
         FROM {table}
       ) WHERE rn <= {k}
     ),
-    cents0 AS (
+    cents0 AS MATERIALIZED (
       SELECT s.cid, l.dim, l.x AS c FROM seeds s JOIN longf l USING (vid)
     )"""
     ]
     prev = "cents0"
     for r in range(1, rounds + 1):
-        parts.append(f"""
-    dists{r} AS (
-      SELECT l.vid, c.cid, sum((l.x - c.c) * (l.x - c.c)) AS d2
-      FROM longf l JOIN {prev} c USING (dim)
+        if hier:
+            parts.append(f"""
+    fcd{r} AS MATERIALIZED (
+      SELECT f.cid, g.cid AS gid, sum((f.c - g.c) * (f.c - g.c)) AS d2
+      FROM {prev} f JOIN {prev} g ON g.dim = f.dim AND g.cid < {coarse}
       GROUP BY 1, 2
     ),
-    assign{r} AS (
+    cell{r} AS MATERIALIZED (
+      SELECT cid, gid FROM (
+        SELECT cid, gid,
+               row_number() OVER (PARTITION BY cid ORDER BY d2, gid) AS rn
+        FROM fcd{r}
+      ) WHERE rn = 1
+    ),
+    vcd{r} AS MATERIALIZED (
+      SELECT l.vid, g.cid AS gid, sum((l.x - g.c) * (l.x - g.c)) AS d2
+      FROM longf l JOIN {prev} g ON g.dim = l.dim AND g.cid < {coarse}
+      GROUP BY 1, 2
+    ),
+    vg{r} AS MATERIALIZED (
+      SELECT vid, gid FROM (
+        SELECT vid, gid,
+               row_number() OVER (PARTITION BY vid ORDER BY d2, gid) AS rn
+        FROM vcd{r}
+      ) WHERE rn = 1
+    ),
+    dists{r} AS MATERIALIZED (
+      SELECT l.vid, c.cid, sum((l.x - c.c) * (l.x - c.c)) AS d2
+      FROM longf l
+      JOIN vg{r} v USING (vid)
+      JOIN cell{r} m ON m.gid = v.gid
+      JOIN {prev} c ON c.cid = m.cid AND c.dim = l.dim
+      GROUP BY 1, 2
+    ),
+    assign{r} AS MATERIALIZED (
       SELECT vid, cid FROM (
         SELECT vid, cid,
                row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
         FROM dists{r}
       ) WHERE rn = 1
     ),
-    cents{r} AS (
+    cents{r} AS MATERIALIZED (
+      SELECT a.cid, l.dim,
+             CAST(floor(sum(l.x) / count(*) + 0.5) AS BIGINT) AS c
+      FROM longf l JOIN assign{r} a USING (vid)
+      GROUP BY 1, 2
+    )""")
+        else:
+            parts.append(f"""
+    dists{r} AS MATERIALIZED (
+      SELECT l.vid, c.cid, sum((l.x - c.c) * (l.x - c.c)) AS d2
+      FROM longf l JOIN {prev} c USING (dim)
+      GROUP BY 1, 2
+    ),
+    assign{r} AS MATERIALIZED (
+      SELECT vid, cid FROM (
+        SELECT vid, cid,
+               row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+        FROM dists{r}
+      ) WHERE rn = 1
+    ),
+    cents{r} AS MATERIALIZED (
       SELECT a.cid, l.dim,
              CAST(floor(sum(l.x) / count(*) + 0.5) AS BIGINT) AS c
       FROM longf l JOIN assign{r} a USING (vid)

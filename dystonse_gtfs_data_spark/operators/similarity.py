@@ -944,6 +944,7 @@ def semantic_dedup(
     rounds: int = 2,
     threshold: float = 0.4,
     collapse_identical: bool = False,
+    coarse: int | None | str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
     removal with the pair space bounded by k-means clustering instead of
@@ -972,6 +973,29 @@ def semantic_dedup(
     N²/k) overtakes the assignment's N·k distance work.  The catalog
     entry pins k=8 so its static SQL twin stays reproducible.
 
+    ``coarse`` bounds the ASSIGNMENT stage, which at k=√N is otherwise
+    N·k = N^1.5 distance folds — the one stage whose asymptotics used
+    to bend wrong two decades past sf10.  ``"auto"`` (default) turns
+    the two-level quantizer on exactly when the √N valve chose k
+    (coarse = max(2, round(√k)) → N·2√k = N^1.25 total folds, see
+    :func:`..operators.clustering.kmeans_assign`), and keeps explicit-k
+    calls (the catalog's pinned k=8, every pre-round-10 caller) on the
+    flat bit-identical path.  Pass an int to force a cell count, or
+    ``None`` to force flat assignment at any k.  Measured (round-10
+    embeddings ladder, local[32]): isolated assignment at sf10
+    (N=200k, k=447, coarse=21) 97.4 s flat → 18.4 s hierarchical
+    (5.3×), decade ratio sf1→sf10 18× flat vs 1.6× hier; full
+    semantic_dedup at sf10 118.4 s → 72.9 s (the remainder is the
+    pair join, identical shape in both).  At sf1 (N=20k, k=141) the
+    two are at parity (~12 s whole-op) — the crossover sits near
+    N≈50k, below which hier's extra exchanges cost what its fold
+    savings earn.  The dedup quality trade (a vector's true nearest
+    fine centroid may sit in another cell) is the standard IVF
+    approximation and only moves cluster BOUNDARIES — SemDeDup's
+    clustering is a blocking structure, not the answer; at sf10 the
+    hier run kept 22,286 of 200k vs flat's 18,282 (different, equally
+    valid blocking).
+
     ``collapse_identical=True`` is the MASS-DUPLICATION valve, and
     unlike the LSH star caps it is OUTPUT-EXACT: AQE can split a hot
     cluster's shuffle partitions, but not the Σ m_c² pair count itself
@@ -995,17 +1019,24 @@ def semantic_dedup(
     from ..cache import tracked_persist
     from .clustering import kmeans_assign
 
+    if coarse == "auto":
+        # two-level assignment exactly when the √N valve scales k with
+        # the corpus; explicit-k callers stay on the flat path their
+        # oracles replay
+        coarse = "sqrt_k" if k is None else None
     if k is None:
         k = max(8, round(embeddings.count() ** 0.5))
+    if coarse == "sqrt_k":
+        coarse = max(2, round(k ** 0.5))
     # the assignment feeds three consumers (both pair sides + the output
     # join); persist the narrow (id, cluster) table so the unrolled
     # k-means plan runs once — at any scale this is 16 bytes/row, the
     # standard SemDeDup materialization.  Harnesses drop it via
     # cache.release_persisted().
     assign = tracked_persist(
-        kmeans_assign(embeddings, id_col, vec_col, k=k, rounds=rounds).select(
-            F.col(id_col).alias("vid"), "cluster"
-        )
+        kmeans_assign(
+            embeddings, id_col, vec_col, k=k, rounds=rounds, coarse=coarse
+        ).select(F.col(id_col).alias("vid"), "cluster")
     )
     # norms computed ONCE per member (map-side), not per pair — the pair
     # join then pays only the dot fold, a 3× cut of the per-pair work
@@ -1112,13 +1143,17 @@ def semantic_dedup_sql(
     k: int = 8,
     rounds: int = 2,
     threshold: float = 0.4,
+    coarse: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`semantic_dedup`: the k-means twin as a
-    nested CTE (identical assignments by construction), then the same
-    intra-cluster lower-id cosine rule."""
+    nested CTE (identical assignments by construction, two-level when
+    ``coarse`` is set), then the same intra-cluster lower-id cosine
+    rule."""
     from .clustering import kmeans_assign_sql
 
-    km = kmeans_assign_sql(table, id_col, vec_col, k=k, rounds=rounds)
+    km = kmeans_assign_sql(
+        table, id_col, vec_col, k=k, rounds=rounds, coarse=coarse
+    )
     return f"""
     WITH assign AS ({km}),
     dups AS (

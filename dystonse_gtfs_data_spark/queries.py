@@ -5784,6 +5784,43 @@ _finalize_semantic_dedup_collapsed_oracle()
 
 
 @register(
+    "semantic_dedup_hier",
+    None,  # replaced below (built from the similarity module's SQL twin)
+)
+def q_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # pinned (k=16, coarse=4) so the static SQL twin replays the exact
+    # two-level assignment; production uses k=None (k=√N, coarse=√k
+    # auto), same code path with scale-derived constants
+    return semantic_dedup(
+        emb, k=16, rounds=2, threshold=0.4, coarse=4
+    )
+
+
+def _finalize_semantic_dedup_hier_oracle() -> None:
+    from .operators.similarity import semantic_dedup_sql
+
+    spec = REGISTRY["semantic_dedup_hier"]
+    REGISTRY["semantic_dedup_hier"] = QuerySpec(
+        fn=spec.fn,
+        oracle=semantic_dedup_sql(
+            "embeddings", k=16, rounds=2, threshold=0.4, coarse=4
+        ),
+        covers="PRODUCTION scale setting of SemDeDup's ASSIGNMENT stage "
+        "(round-10): the IVF-style two-level quantizer — coarse cell by "
+        "lowest (d2, gid), then fine centroids of that cell only — that "
+        "replaces the flat N·k (N^1.5 at k=√N) assignment with N·2√k "
+        "folds; deterministic fixed-point int64 math at both levels, "
+        "hash-checked against the extended nested-CTE k-means twin",
+    )
+
+
+_finalize_semantic_dedup_hier_oracle()
+
+
+@register(
     "heavy_hitters",
     None,  # replaced below (built from the sketch module's SQL twin)
 )

@@ -172,18 +172,87 @@ class TestKmeans:
         from dystonse_gtfs_data_spark.operators.similarity import semantic_dedup
 
         # 100 vectors in 10 duplicate-blobs; k=None must resolve to
-        # max(8, round(sqrt(100))) = 10 and give the same keep decisions
-        # as the explicit k
+        # max(8, round(sqrt(100))) = 10 with the two-level assignment on
+        # (coarse = round(sqrt(10)) = 3, round-10 default for the valve)
+        # and give the same keep decisions as the explicit parameters
         rows = [
             (i, [1.0 if j == i % 10 else 0.001 * (i % 3) for j in range(10)])
             for i in range(100)
         ]
         df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
         auto = semantic_dedup(df, k=None, rounds=2, threshold=0.95).toPandas()
-        explicit = semantic_dedup(df, k=10, rounds=2, threshold=0.95).toPandas()
+        explicit = semantic_dedup(
+            df, k=10, rounds=2, threshold=0.95, coarse=3
+        ).toPandas()
         key = lambda p: p.sort_values("vec_id")[["vec_id", "keep"]].reset_index(drop=True)
         assert key(auto).equals(key(explicit))
         assert not auto.keep.all() and auto.keep.any()
+
+    def test_kmeans_hier_coarse_degenerate_values_equal_flat(self, spark):
+        # coarse=1 (one cell holds every fine centroid) and coarse>=k
+        # must reproduce the flat assignment bit-for-bit — the guard
+        # that the two-level rewrite cannot drift the base semantics
+        from dystonse_gtfs_data_spark.operators.clustering import kmeans_assign
+        from dystonse_gtfs_data_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        key = lambda df: (
+            df.toPandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        flat = key(kmeans_assign(emb, k=8, rounds=2, coarse=None))
+        assert key(kmeans_assign(emb, k=8, rounds=2, coarse=1)).equals(flat)
+        assert key(kmeans_assign(emb, k=8, rounds=2, coarse=8)).equals(flat)
+
+    def test_kmeans_hier_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        from dystonse_gtfs_data_spark.operators.clustering import (
+            kmeans_assign,
+            kmeans_assign_sql,
+        )
+
+        rows = [
+            (i, [float(((i * 13 + j * 7) % 19) - 9) for j in range(8)])
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r["vec_id"]: (r["cluster"], r["cluster_size"])
+            for r in kmeans_assign(df, k=12, rounds=2, coarse=3).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ",".join(
+                f"({i}, {list(map(float, v))}::FLOAT[])" for i, v in rows
+            )
+            + ") x(vec_id, embedding)"
+        )
+        want = {
+            int(r[0]): (int(r[1]), int(r[2]))
+            for r in con.execute(
+                kmeans_assign_sql("t", k=12, rounds=2, coarse=3)
+            ).fetchall()
+        }
+        assert got == want
+        # the two-level assignment must actually use >1 coarse cell on
+        # spread-out data (not a degenerate single-cell fallback)
+        assert len({c for c, _ in got.values()}) > 1
+
+    def test_kmeans_hier_assignment_joins_stay_broadcast(self, spark):
+        from dystonse_gtfs_data_spark.operators.clustering import kmeans_assign
+        from dystonse_gtfs_data_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        plan = (
+            kmeans_assign(emb, k=8, rounds=1, coarse=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
 
     def test_semantic_dedup_all_unique_when_orthogonal(self, spark):
         from dystonse_gtfs_data_spark.operators.similarity import semantic_dedup

@@ -932,9 +932,12 @@ def test_semantic_dedup_collapse_composes_with_sqrtn_valve(spark):
     rows += [(100 + i, [float(x) for x in rng.normal(size=8)]) for i in range(70)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     k_auto = max(8, round(df.count() ** 0.5))  # the valve's own formula
+    coarse_auto = max(2, round(k_auto ** 0.5))  # round-10: valve is two-level
     base = {
         (r["vec_id"], r["cluster"], r["keep"])
-        for r in semantic_dedup(df, k=k_auto, rounds=2, threshold=0.9).collect()
+        for r in semantic_dedup(
+            df, k=k_auto, rounds=2, threshold=0.9, coarse=coarse_auto
+        ).collect()
     }
     fast = {
         (r["vec_id"], r["cluster"], r["keep"])
