@@ -6436,7 +6436,9 @@ _SND_HITS_SQL = f"""
     "checked against the exact batch twin (id-ordered replay makes "
     "'first seen' == 'min id')",
 )
-def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stream_near_dup(
+    spark: SparkSession, sf_dir: str, n_buckets: int | None | str = "auto"
+) -> DataFrame:
     import os as _os
     import tempfile as _tf
     import uuid as _uuid
@@ -6478,7 +6480,8 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rowwise_minhash_bands(
             src.repartition(spark.sparkContext.defaultParallelism),
             num_hashes=16,
-        )
+        ),
+        n_buckets=n_buckets,
     )
     sink = f"streamneardup_{_uuid.uuid4().hex[:8]}"
     with catalog_stream_state(spark, 8):
@@ -6533,7 +6536,9 @@ _SND_TTL_OFFSET = 1_000_000
     "(parquet sink), the corpus re-presented under shifted ids after "
     "the TTL lapsed, hash-checked against the per-epoch batch twin",
 )
-def q_stream_near_dup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stream_near_dup_ttl(
+    spark: SparkSession, sf_dir: str, n_buckets: int | None | str = "auto"
+) -> DataFrame:
     import os as _os
     import tempfile as _tf
     import time as _time
@@ -6571,7 +6576,7 @@ def q_stream_near_dup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         with catalog_stream_state(spark, 8):
             q = (
-                streaming_near_dup(sig, ttl_ms=ttl_ms)
+                streaming_near_dup(sig, ttl_ms=ttl_ms, n_buckets=n_buckets)
                 .writeStream.format("parquet")
                 .outputMode("append")
                 .option("path", out_dir)
@@ -7170,86 +7175,81 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The driver's per-round CORRECTNESS gate checks a ~50-entry prefix of this
-# catalog.  After round 8 the cross-round union is 138/138 green with
-# freshness r8:50 / r7:40 / r6:48.  Round 9's order: the three NEW
-# production-valve entries first (no driver row exists at all —
-# collapse_identical ON with its own oracle twin, closing the "valves are
-# pytest-only" gap), then the three r6-vintage streaming entries whose
-# RocksDB state-store default postdates their last driver row, then the
-# r6-vintage ANN family (their modules gained the collapse valves, and the
-# round-9 train_centroids hash-order sampling changes the IVF codebook),
-# then the untouched r6 remainder alphabetically; departure_board_cached
-# rides last of the r6 block (its base entry is r8-green).  A short
-# post-change tail refreshes r7/r8-green entries whose modules round 9
-# touches (ivf codebook → ivfpq_recall; clustering/similarity edits).
+# catalog.  After round 9 the cross-round union is 141/141 green with
+# freshness r9:50 / r8:47 / r7:40 / r6:4.  Round 10's order (verdict
+# task #1 — staleness rotation): the one NEW entry first
+# (semantic_dedup_hier, no driver row yet), then the 4 r6-vintage
+# entries (the oldest evidence anywhere), then the full 40-entry
+# r7-vintage cohort alphabetically, then a post-change tail of
+# r8/r9-green entries whose modules round 10 touches.  Post-r10 the
+# oldest evidence anywhere should be r8.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # NEW round-9 valved entries (no driver row yet)
-    "ngram_jaccard_dedup_collapsed",
-    "lsh_topk_collapsed",
+    # NEW round-10 entry (no driver row yet): the two-level k-means
+    # assignment that replaces SemDeDup's N^1.5 stage
+    "semantic_dedup_hier",
+    # r6-vintage cohort — the oldest evidence anywhere (verdict task #1)
+    "winnow_fingerprints",
+    "video_frame_stats",
+    "transfer_probability_matrix",
+    "departure_board_cached",
+    # r7-vintage cohort (40)
+    "ann_recall",
+    "bloom_semi_prune",
+    "bpe_merges",
+    "chunk_documents",
+    "corpus_diff",
+    "curation_funnel_fused",
+    "curriculum_deciles",
+    "curve_svg_render",
+    "dataset_mixture",
+    "dedup_eval",
+    "gap_fill_records",
+    "grouping_sets_report",
+    "gtfs_schedule_scan",
+    "heat_strip_pixels",
+    "heat_strip_render",
+    "heavy_hitters",
+    "hll_distinct",
+    "hll_merge",
+    "journey_chain",
+    "minhash_near_dups_xxhash",
+    "pack_sequences",
+    "pii_redaction",
+    "quantile_sketch",
+    "rank_correlation",
+    "realtime_basis",
+    "repetition_signals",
+    "robust_outliers",
+    "simhash_near_dups_xxhash",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "skipped_updates",
+    "statistics_tree_roundtrip",
+    "stratified_sample",
+    "tfidf_terms",
+    "url_domains",
+    "visual_schedule",
+    "weighted_sample",
+    "winnow_passage_overlap",
+    "zorder_layout",
+    "zorder_skipping",
+    # post-change refresh: entries whose modules round 10 touches
+    # (clustering.py two-level assignment; similarity.py semantic_dedup
+    # auto-coarse + shared trainer sample; dedup.py prefilter removal
+    # through _verified_repeat_starts; streaming/aggregations.py
+    # n_buckets derivation + stable basis sorts; specific_curves.py
+    # lazy-construction parameter)
+    "semantic_dedup",
     "semantic_dedup_collapsed",
-    # round-9 post-change evidence: the two Python stateful operators
-    # switched to bucketed state keying this round (11x at sf10 /
-    # 5.8x at 30k vehicles, output-identical) — these entries' r8 rows
-    # predate the new defaults
+    "kmeans_clusters",
+    "dedup_clusters",
+    "exact_substring_maximal",
+    "exact_substring_keep_one",
+    "exact_substring_dedup",
     "stream_near_dup",
     "stream_near_dup_ttl",
     "basis_stream",
-    # r6-vintage streaming entries on the (post-r6) RocksDB default
-    "windowed_counts_stream",
-    "session_window_stream",
-    "stream_stream_join",
-    "sessionize",
-    # r6-vintage ANN/clustering family (collapse valves + codebook change)
-    "lsh_topk",
-    "ivf_topk",
-    "ivfpq_topk",
-    "cosine_topk",
-    "embedding_near_dups",
-    "kmeans_clusters",
-    # r6-vintage remainder
-    "asof_join",
-    "audio_rms",
-    "autocomplete",
-    "average_curves_groups",
-    "bigram_lm_score",
-    "bpe_tokenize",
-    "clean_corpus",
-    "curve_codec_roundtrip",
-    "decontaminate",
-    "delay_rounding",
-    "duration_parse",
-    "exact_substring_keep_one",
-    "exact_substring_maximal",
-    "extended_stops",
-    "fallback_lookup",
-    "fingerprint_dedup",
-    "forward_fill",
-    "image_phash_dedup",
-    "image_stats",
-    "inactive_customers",
-    "interval_counts",
-    "lang_id",
-    "latest_wins_dedup",
-    "make_curve_ecdf",
-    "minhash_near_dups",
-    "ngram_jaccard_dedup",
-    "percent_encoding",
-    "quality_scores",
-    "reservoir_per_key",
-    "running_totals",
-    "simhash_near_dups",
-    "simplify_curves",
-    "time_slots",
-    "token_counts",
-    "transfer_probability_matrix",
-    "video_frame_stats",
-    "winnow_fingerprints",
-    "departure_board_cached",
-    # post-change refresh (r7/r8-green, modules round 9 touches)
-    "ivfpq_recall",
-    "semantic_dedup",
-    "dedup_clusters",
-    "edit_distance_dedup",
+    "gtfs_statistics",
 )
 
 

@@ -18,6 +18,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+#: Sizing anchor for bucketed stateful operators when the caller gives
+#: no expected key count: 2^20 (~1 M) distinct state keys — the sf10
+#: signature-index scale the round-9 bucketing work was profiled at.
+#: ``state_buckets(DEFAULT_EXPECTED_KEYS)`` = 1024, so defaults are
+#: unchanged from round 9; the constant is now DERIVED, not magic.
+DEFAULT_EXPECTED_KEYS = 1 << 20
+
+
+def state_buckets(expected_keys: int) -> int:
+    """The √keys bucket-sizing rule for bucketed stateful operators,
+    rounded up to a power of two and clamped to [64, 2^20].
+
+    Rationale (measured in the round-9 sf10/sf1 state telemetry,
+    BENCH_sf1_state.json): per-BUCKET pandas invocation overhead is
+    ~0.6 ms/key/micro-batch under per-key keying, so buckets must not
+    scale with keys; but a touched bucket rewrites its whole packed
+    row, so per-bucket population (keys/buckets) bounds write
+    amplification.  buckets = √keys balances the two — invocations and
+    value sizes both grow as √keys, and the measured sf1→sf10 decade
+    ratio stayed 2.6× under it.  The power-of-two rounding keeps
+    ``pmod(xxhash64(...), buckets)`` distributions comparable across
+    nearby corpus sizes; the floor (64) keeps small streams off the
+    degenerate few-giant-buckets shape and the cap (2^20 buckets)
+    bounds the state-store key count at the scale where RocksDB keying
+    itself becomes the cost."""
+    import math
+
+    keys = max(1, int(expected_keys))
+    b = 1 << max(6, (math.isqrt(keys) - 1).bit_length() if keys > 1 else 6)
+    return min(b, 1 << 20)
+
+
+def _resolve_buckets(n_buckets, expected_keys) -> int | None:
+    """Shared ``n_buckets="auto"`` resolution for the bucketed stateful
+    operators: explicit int/None pass through (None = per-key keying,
+    the A/B leg); "auto" derives from ``expected_keys`` via
+    :func:`state_buckets`, anchored at :data:`DEFAULT_EXPECTED_KEYS`
+    when the caller has no estimate."""
+    if n_buckets == "auto":
+        return state_buckets(
+            DEFAULT_EXPECTED_KEYS if expected_keys is None else expected_keys
+        )
+    return n_buckets
+
 
 def windowed_event_counts(
     events: DataFrame,
@@ -233,19 +277,24 @@ def _make_basis_bucket_fn(ttl_ms: int | None):
 def stateful_basis_stream(
     updates: DataFrame,
     ttl_ms: int | None = None,
-    n_buckets: int | None = 1024,
+    n_buckets: int | None | str = "auto",
+    expected_vehicles: int | None = None,
 ) -> DataFrame:
     """updates: streaming RT_UPDATES-shaped frame (trip_id, start_date,
     start_time parsed to seconds upstream).  Output: one row per basis
     *change* per vehicle.  ``ttl_ms`` bounds the state store: vehicles
     idle past it are evicted (and a later reappearance starts fresh).
 
-    ``n_buckets`` (default 1024) keys the state by a hash bucket of the
-    vehicle key with the bucket's bases packed into one state row —
+    ``n_buckets="auto"`` keys the state by a hash bucket of the vehicle
+    key with the bucket's bases packed into one state row —
     output-identical to per-vehicle keying (``n_buckets=None``, kept
     for A/B) but the per-key pandas invocation cost stops scaling with
     the fleet (measured 0.6 ms/vehicle/batch of pure overhead at 30 k
-    synthetic vehicles; see _make_basis_bucket_fn)."""
+    synthetic vehicles; see _make_basis_bucket_fn).  The bucket count
+    derives from ``expected_vehicles`` by the √keys rule
+    (:func:`state_buckets`; 1024 at the default anchor) — pass the
+    fleet size for a right-sized store, or an explicit int to pin."""
+    n_buckets = _resolve_buckets(n_buckets, expected_vehicles)
     keyed = updates.select(
         "trip_id",
         F.col("start_date").alias("trip_start_date"),
@@ -417,7 +466,8 @@ def _make_near_dup_fn(ttl_ms: int | None):
 def streaming_near_dup(
     bands: DataFrame,
     ttl_ms: int | None = None,
-    n_buckets: int | None = 1024,
+    n_buckets: int | None | str = "auto",
+    expected_signatures: int | None = None,
 ) -> DataFrame:
     """Streaming minhash near-dup detection (the incremental form of the
     batch minhash+LSH pipeline): ``bands`` is the stateless per-row
@@ -426,17 +476,27 @@ def streaming_near_dup(
     — one entry per distinct (band_id, band_sig) seen inside the dedup
     horizon, O(distinct signatures), not O(documents × bands).
 
-    ``n_buckets`` (default 1024) keys the state by a hash BUCKET of the
+    ``n_buckets="auto"`` keys the state by a hash BUCKET of the
     signature, with each bucket's index packed into one state row as
     parallel arrays.  Output-identical to per-signature keying
     (``n_buckets=None``, kept for A/B), but the Python stateful
     operator's per-key invocation cost stops scaling with the corpus: a
     round-9 sf10 profile showed per-signature keying paying for ~2 M
     pandas state calls per micro-batch while the dedup math itself was
-    trivial.  Trade: a touched bucket rewrites its whole row (~2 k
-    entries at sf10/1024 buckets), so raise ``n_buckets`` with corpus
-    size to keep value sizes and write amplification bounded —
-    buckets ≈ √(expected signatures) is a reasonable production rule.
+    trivial.  Trade: a touched bucket rewrites its whole row, so the
+    bucket count must rise with the corpus to keep value sizes and
+    write amplification bounded — "auto" applies the √keys rule
+    (:func:`state_buckets`) to ``expected_signatures`` (docs ×
+    bands-per-doc inside the dedup horizon; 1024 at the default
+    anchor).  Pass the estimate for a right-sized store, or an
+    explicit int to pin (round-10 width sweep, BENCH_sf1_state.json:
+    at sf1 under RocksDB, 1024 vs 4096 buckets run 6.2–6.4 vs
+    7.9–9.1 s (near-dup) and overlap entirely on the TTL variant,
+    with state bytes within 15% — while per-signature keying measured
+    131–145 s on the same TTL workload in round 7.  The rule's
+    CONSTANT matters far less than not being per-key; its job is to
+    keep both invocation count and per-bucket value size at √keys as
+    the corpus grows two more decades).
 
     ``ttl_ms`` bounds the index for unbounded feeds: a doc
     re-presenting a signature older than the TTL is treated as a new
@@ -446,6 +506,7 @@ def streaming_near_dup(
     entries are uniformly expired, so wholesale removal preserves the
     per-signature semantics (reference analog: the T4 retention
     semantics, src/importer/mod.rs:174-198)."""
+    n_buckets = _resolve_buckets(n_buckets, expected_signatures)
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if ttl_ms

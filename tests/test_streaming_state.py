@@ -692,3 +692,28 @@ def test_bucketed_basis_matches_per_vehicle_keying(spark, tmp_path):
     # every vehicle emitted its first basis; the 5 advancing vehicles
     # emitted a second row; the stale vehicle (t3) did not
     assert len(bucketed) == 11
+
+
+def test_state_buckets_sqrt_rule_and_auto_resolution():
+    # round-10: the bucket count is DERIVED (sqrt-keys rule, pow2,
+    # clamped), not a magic 1024 — and "auto" with no estimate lands on
+    # the documented anchor that reproduces the round-9 default
+    from dystonse_gtfs_data_spark.streaming.aggregations import (
+        DEFAULT_EXPECTED_KEYS,
+        _resolve_buckets,
+        state_buckets,
+    )
+
+    assert state_buckets(DEFAULT_EXPECTED_KEYS) == 1024
+    assert state_buckets(1) == 64            # floor
+    assert state_buckets(4096) == 64         # sqrt=64 → exactly the floor
+    assert state_buckets(1_000_000) == 1024  # sqrt=1000 → next pow2
+    assert state_buckets(4_000_000) == 2048
+    assert state_buckets(10**14) == 1 << 20  # cap
+    # pow2 monotonicity: more keys never means fewer buckets
+    vals = [state_buckets(10**e) for e in range(2, 13)]
+    assert vals == sorted(vals)
+    assert _resolve_buckets("auto", None) == 1024
+    assert _resolve_buckets("auto", 4_000_000) == 2048
+    assert _resolve_buckets(512, 4_000_000) == 512   # explicit pin wins
+    assert _resolve_buckets(None, 4_000_000) is None  # per-key A/B leg

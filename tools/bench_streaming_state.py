@@ -154,6 +154,38 @@ def main() -> None:
                     flush=True,
                 )
             out[name][provider] = {"wall_s": walls, "state": states}
+    # round-10: bucket-WIDTH sweep (verdict task #4) — quantify the
+    # √keys rule's value-size trade by running the two near-dup entries
+    # at two explicit widths under the RocksDB provider (the bounded-
+    # memory production setting).  Fewer/fatter vs more/slimmer rows:
+    # the artifact records wall time AND state bytes per width.
+    widths: dict[str, dict[str, dict]] = {}
+    for n_buckets in (1024, 4096):
+        for name in ("stream_near_dup", "stream_near_dup_ttl"):
+            fn = getattr(Q, f"q_{name}")
+            walls, states = [], []
+            for _ in range(reps):
+                mark = len(listener.batches)
+                t0 = time.time()
+                with rocksdb_state(spark):
+                    fn(spark, sf_dir, n_buckets=n_buckets).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                walls.append(round(time.time() - t0, 3))
+                release_persisted()
+                batches = listener.drain(mark)
+                states.append({"summary": _summarize(batches)})
+                print(
+                    f"# width={n_buckets} {name} {walls[-1]}s "
+                    f"state={states[-1]['summary']}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            widths.setdefault(name, {})[str(n_buckets)] = {
+                "wall_s": walls,
+                "state": states,
+            }
+    out["bucket_width_sweep_rocksdb"] = widths
     print(
         json.dumps(
             {
