@@ -92,10 +92,23 @@ def variant_section_curves(enriched: DataFrame, routes: DataFrame) -> DataFrame:
         "route_type int, route_section string, time_slot_id int, event_type int, "
         "curve array<struct<x: float, y: float>>, sample_size int"
     )
-    return stacked.groupBy(
-        "route_type", "route_section", "time_slot_id", "event_type",
-        "route_id", "route_variant",
-    ).applyInPandas(build, schema)
+    # batched grouped-map dispatch (see stop_pair_curve_sets): one
+    # Python invocation per Arrow batch over the variant-keyed groups
+    # (the ×R-scaling group space); the per-group ECDF is
+    # order-insensitive (make_curve np.sorts internally).  The rollup
+    # levels below keep plain applyInPandas — their group counts are
+    # grid-bounded, not corpus-scaling.
+    from .grouped_map import map_grouped_in_pandas
+
+    return map_grouped_in_pandas(
+        stacked,
+        (
+            "route_type", "route_section", "time_slot_id", "event_type",
+            "route_id", "route_variant",
+        ),
+        build,
+        schema,
+    )
 
 
 _MEMBER_SORT_COLS = [

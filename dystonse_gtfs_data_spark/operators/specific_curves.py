@@ -187,8 +187,16 @@ def general_delay_curves(enriched: DataFrame) -> DataFrame:
             )
         )
     stacked = per_event[0].unionByName(per_event[1])
-    return stacked.groupBy("route_id", "route_variant", "stop_index", "event_type").applyInPandas(
-        _ecdf_udf, _GENERAL_SCHEMA
+    # batched grouped-map dispatch (see stop_pair_curve_sets): the
+    # per-group math is a plain sorted ECDF, order-insensitive
+    # (make_curve np.sorts internally), so no order_cols needed
+    from .grouped_map import map_grouped_in_pandas
+
+    return map_grouped_in_pandas(
+        stacked,
+        ("route_id", "route_variant", "stop_index", "event_type"),
+        _ecdf_udf,
+        _GENERAL_SCHEMA,
     )
 
 
@@ -286,7 +294,9 @@ def _curve_set_partitions(enriched: DataFrame) -> int:
 
 
 def stop_pair_curve_sets(
-    enriched: DataFrame, num_partitions: int | None = None
+    enriched: DataFrame,
+    num_partitions: int | None = None,
+    per_group_dispatch: bool = False,
 ) -> DataFrame:
     """A7/J4: the stop-pair self-join + curve-set build.
 
@@ -305,6 +315,18 @@ def stop_pair_curve_sets(
     constructing plans without executing them (or who already know the
     group count) can pass an explicit ``num_partitions`` to keep
     construction lazy.
+
+    Dispatch (round-10): the curve build runs through
+    :func:`..operators.grouped_map.map_grouped_in_pandas` — one Python
+    invocation per Arrow batch instead of one per group, the batch
+    analog of the round-9 streaming bucket-keying fix.  Measured
+    (round-10 same-session A/B, output-identical including curve
+    floats): R=1000 109.9 s per-group → 68.4–80.6 s batched (~1.5×);
+    W=100@R=100 (5.79 M curves) 429.8 s → 327.7 s (1.3×) — the
+    per-group Arrow dispatch was ~30-40% of the stage, the rest is the
+    pair self-join and the numpy curve math itself.
+    ``per_group_dispatch=True`` keeps the applyInPandas form as the
+    A/B leg (parity pytest-pinned).
     """
     starts = enriched.filter(F.col("delay_departure").isNotNull()).select(
         "route_id",
@@ -376,10 +398,24 @@ def stop_pair_curve_sets(
         if num_partitions is not None
         else _curve_set_partitions(enriched)
     )
-    return (
-        all_pairs.repartition(n_parts, *keys)
-        .groupBy(*keys)
-        .applyInPandas(_curve_set_udf, _CURVE_SET_SCHEMA)
+    if per_group_dispatch:
+        return (
+            all_pairs.repartition(n_parts, *keys)
+            .groupBy(*keys)
+            .applyInPandas(_curve_set_udf, _CURVE_SET_SCHEMA)
+        )
+    from .grouped_map import map_grouped_in_pandas
+
+    # (d_start, d_end) in the partition sort: build_curve_set's pair
+    # order is then deterministic at the input (the UDF's own stable
+    # sort becomes a no-op pass over sorted data)
+    return map_grouped_in_pandas(
+        all_pairs,
+        keys,
+        _curve_set_udf,
+        _CURVE_SET_SCHEMA,
+        num_partitions=n_parts,
+        order_cols=("d_start", "d_end"),
     )
 
 

@@ -487,3 +487,80 @@ def test_curve_set_partition_estimate_scales_with_groups(spark):
     est = 300 * 60 * 59 * 5
     expected = max(floor, -(-est // _CURVE_SET_GROUPS_PER_TASK))
     assert _curve_set_partitions(wide) == expected
+
+
+def test_batched_curve_dispatch_matches_per_group(spark):
+    # round-10: stop_pair_curve_sets runs through map_grouped_in_pandas
+    # (one Python invocation per Arrow batch); the applyInPandas leg is
+    # kept for A/B and the two must be bit-identical, curve floats
+    # included
+    from dystonse_gtfs_data_spark.operators.specific_curves import (
+        enrich_records,
+        project_missing_delays,
+        stop_indexed,
+        stop_pair_curve_sets,
+    )
+    from dystonse_gtfs_data_spark.sources.demo import scale_fixture
+
+    sched, recs = scale_fixture(spark, 2, jitter=False)
+    sti = stop_indexed(sched["stop_times"])
+    enriched = enrich_records(project_missing_delays(recs, sti), sti)
+
+    def canon(df):
+        return sorted(
+            (
+                r["route_id"], r["route_variant"], r["start_stop_index"],
+                r["end_stop_index"], r["time_slot_id"], r["event_type"],
+                r["focus_delay"],
+                tuple((p["x"], p["y"]) for p in r["curve"]),
+                r["sample_size"],
+            )
+            for r in df.collect()
+        )
+
+    batched = canon(stop_pair_curve_sets(enriched))
+    per_group = canon(stop_pair_curve_sets(enriched, per_group_dispatch=True))
+    assert batched == per_group
+    assert batched  # non-trivial fixture
+
+
+def test_grouped_map_carries_groups_across_arrow_batches(spark):
+    # the carry-buffer path: force 1-row Arrow batches so EVERY
+    # multi-row group spans batch boundaries, and pin against the
+    # applyInPandas semantics (one fn call per whole group)
+    import pandas as pd
+
+    from dystonse_gtfs_data_spark.operators.grouped_map import (
+        map_grouped_in_pandas,
+    )
+
+    rows = [(i % 5, i, float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k int, i long, v double")
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": [int(pdf["k"].iloc[0])],
+             "n": [len(pdf)],
+             "s": [float(pdf["v"].sum())]}
+        )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        got = {
+            (r["k"], r["n"], r["s"])
+            for r in map_grouped_in_pandas(
+                df, ("k",), per_group, "k int, n long, s double",
+                num_partitions=3,
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    want = {
+        (r["k"], r["n"], r["s"])
+        for r in df.groupBy("k").applyInPandas(
+            per_group, "k int, n long, s double"
+        ).collect()
+    }
+    assert got == want
+    assert got == {(k, 8, float(sum(range(k, 40, 5)))) for k in range(5)}
