@@ -73,7 +73,15 @@ def master_variants(trips: DataFrame, stop_times: DataFrame) -> DataFrame:
         pdf = pdf.assign(master_variant=out_master, reversed=out_rev)
         return pdf[["route_id", "route_variant", "master_variant", "reversed"]]
 
-    return patterns.groupBy("route_id").applyInPandas(
+    # batched grouped-map dispatch (operators/grouped_map): group count
+    # = ROUTES, which scales with the feed corpus — per-group Arrow
+    # dispatch would tax exactly like the curve builders'.  The assign
+    # fn fully re-sorts its group internally, so no order_cols needed.
+    from .grouped_map import map_grouped_in_pandas
+
+    return map_grouped_in_pandas(
+        patterns,
+        ("route_id",),
         assign,
         "route_id string, route_variant long, master_variant long, reversed boolean",
     )
