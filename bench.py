@@ -57,7 +57,8 @@ BENCH_QUERIES = [
     "image_stats",          # multimodal blob decode via mapInPandas
     "audio_rms",
     "ngram_jaccard_dedup",  # exact Jaccard via shingle inverted index
-    "winnow_fingerprints",  # MOSS rolling-hash fingerprints (JVM HOFs)
+    "winnow_fingerprints",     # MOSS winnowing fingerprints (JVM HOFs)
+    "winnow_passage_overlap_xxhash",  # production xxhash64 winnowing (round-10)
     "windowed_counts_stream",  # true Structured Streaming execution
     "video_frame_stats",    # frame-sampled video decode via mapInPandas
     "duration_parse",       # C6 duration grammar, JVM HOFs

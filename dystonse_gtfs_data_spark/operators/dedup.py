@@ -465,6 +465,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     kgram: int = 8,
     window: int = 16,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD 2003, the MOSS algorithm — public): hash every character
@@ -478,6 +479,18 @@ def winnow_fingerprints(
     slice → array_min): no shuffle at all until the caller aggregates,
     and the hash is reproducible in any SQL engine for verification.
 
+    ``base_hash``: "md5" (default — the portable fold every SQL engine
+    can replay literally) or "xxhash64" (the PRODUCTION family, same
+    convention as the minhash/simhash operators; oracled by the
+    pure-Python replica in sources/demo_oracle_pipeline.py).  Honest
+    sizing note (round-10 sf10 interleaved A/B): the digest swap buys
+    only ~1.15× on the fingerprint stage (65-66 s → 55-60 s) — unlike
+    the minhash path, the per-position cost here is dominated by the
+    character k-gram SUBSTRING extraction and window array machinery,
+    not the hash itself.  The family exists for hash-policy
+    consistency (every hash-driven operator offers the same production
+    family), not as a big perf lever.
+
     Output: one (id, fp) row per distinct fingerprint per document.
     """
     t = F.lower(F.trim(F.col(text_col)))
@@ -486,14 +499,19 @@ def winnow_fingerprints(
         F.sequence(F.lit(1), F.greatest(n - kgram + 1, F.lit(1))),
         lambda i: F.substring(t, i, kgram),
     )
+    hash_fn = (
+        portable_base_hash
+        if base_hash == "md5"
+        else (lambda g: F.xxhash64(g))
+    )
     # Materialize the hash array in its OWN projection: the window stage
     # references it (m - window + 1) times via slice(), and Spark does no
     # common-subexpression elimination across HOF lambdas — inlined, each
-    # slice would recompute EVERY md5 (O(m²·w) digests per row; observed
-    # as a single-core hang at 500 docs).  A separate select makes it an
+    # slice would recompute EVERY digest (O(m²·w) per row; observed as a
+    # single-core hang at 500 docs).  A separate select makes it an
     # attribute reference, hashed once per row.
     hashed = _spread(docs).select(
-        F.col(id_col), F.transform(kgrams, portable_base_hash).alias("_h")
+        F.col(id_col), F.transform(kgrams, hash_fn).alias("_h")
     )
     h = F.col("_h")
     m = F.size(h)
@@ -516,6 +534,7 @@ def winnow_passage_overlap(
     window: int = 16,
     min_shared: int = 2,
     max_fp_df: int | None = None,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """Passage-level duplicate detection: document pairs sharing >=
     ``min_shared`` winnowing fingerprints (i.e. pairs containing a common
@@ -535,7 +554,7 @@ def winnow_passage_overlap(
     Output: (id_a < id_b, shared_fps, resemblance) where resemblance is
     |A∩B| / |A∪B| over (capped) fingerprint sets, rounded to 6 digits.
     """
-    fps = winnow_fingerprints(docs, text_col, id_col, kgram, window)
+    fps = winnow_fingerprints(docs, text_col, id_col, kgram, window, base_hash)
     if max_fp_df is not None:
         # window-based cap on the fp-partitioned shuffle: one Exchange(fp)
         # that every consumer below shares via ReuseExchange, instead of a

@@ -5160,6 +5160,39 @@ def q_winnow_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "winnow_passage_overlap_xxhash",
+    # differential oracle: single-node replica over the pure-Python
+    # xxHash64 (functions/xxh.py), keyed by the documents fingerprint —
+    # the same production-hash-family convention as minhash/simhash
+    f"""
+    SELECT id_a, id_b, shared_fps, resemblance
+    FROM {_dt("expected_winnow_xxhash")}
+    WHERE corpus_fp = {_DOCS_FP_SQL}
+    ORDER BY id_a, id_b
+    """,
+    covers="Passage-level duplicate detection, production xxhash64 hash "
+    "family (hash-policy consistency with minhash/simhash; measured "
+    "~1.15× at sf10 — the k-gram substring machinery, not the digest, "
+    "dominates this stage) — hash-checked against an independent "
+    "pure-Python xxHash64 winnowing replica",
+)
+def q_winnow_passage_overlap_xxhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.dedup import winnow_passage_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_passage_overlap(
+        d,
+        kgram=_WINNOW_K,
+        window=_WINNOW_W,
+        min_shared=_PASSAGE_MIN_SHARED,
+        max_fp_df=_PASSAGE_MAX_FP_DF,
+        base_hash="xxhash64",
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Dataset-assembly family: decontamination, sampling, mixture, packing,
 # count-based LM scoring (beyond-reference; training-set construction)
@@ -7184,9 +7217,11 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r8/r9-green entries whose modules round 10 touches.  Post-r10 the
 # oldest evidence anywhere should be r8.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # NEW round-10 entry (no driver row yet): the two-level k-means
-    # assignment that replaces SemDeDup's N^1.5 stage
+    # NEW round-10 entries (no driver row yet): the two-level k-means
+    # assignment that replaces SemDeDup's N^1.5 stage, and the
+    # production-hash winnowing family
     "semantic_dedup_hier",
+    "winnow_passage_overlap_xxhash",
     # r6-vintage cohort — the oldest evidence anywhere (verdict task #1)
     "winnow_fingerprints",
     "video_frame_stats",

@@ -1432,6 +1432,105 @@ def expected_simhash_xxhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     )
 
 
+def expected_winnow_xxhash(
+    sf_dir: str,
+    kgram: int = 8,
+    window: int = 16,
+    min_shared: int = 2,
+    max_fp_df: int = 20,
+) -> pd.DataFrame:
+    """Independent single-node replica of
+    winnow_passage_overlap(base_hash='xxhash64'): signed xxHash64 per
+    character k-gram of lower(trim(text)), per-window minima
+    (winnowing, SIGMOD 2003), distinct per doc, fp-df cap, shared-fp
+    pair scoring with resemblance = |A∩B| / |A∪B|.  Mirrors the Spark
+    plan exactly, including the short-text branch (a single
+    substring(t, 1, kgram) — possibly shorter than kgram — when
+    len < kgram) and HALF_UP rounding of resemblance to 6 digits."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ..functions.xxh import xxhash64
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    fp = 0
+    fps_by_doc: dict[int, frozenset] = {}
+    hcache: dict[str, int] = {}
+
+    def h_of(g: str) -> int:
+        v = hcache.get(g)
+        if v is None:
+            v = xxhash64(g.encode("utf-8"))
+            hcache[g] = v
+        return v
+
+    for did, text in zip(t["doc_id"], t["text"]):
+        text = str(text)
+        fp += (int(did) + 1) * len(text)
+        norm = text.strip().lower()
+        m = len(norm)
+        if m - kgram + 1 >= 1:
+            grams = [norm[i : i + kgram] for i in range(m - kgram + 1)]
+        else:
+            grams = [norm[:kgram]]  # substring(t, 1, kgram) on short text
+        hs = [h_of(g) for g in grams]
+        if len(hs) <= window:
+            mins = {min(hs)}
+        else:
+            mins = {
+                min(hs[j : j + window]) for j in range(len(hs) - window + 1)
+            }
+        fps_by_doc[int(did)] = frozenset(mins)
+
+    # inverted index + df cap (boilerplate fingerprints drop), sizes
+    # AFTER the cap — identical to the Spark operator's semantics
+    index: dict[int, list[int]] = {}
+    for did, mins in fps_by_doc.items():
+        for h in mins:
+            index.setdefault(h, []).append(did)
+    shared: dict[tuple[int, int], int] = {}
+    sizes: dict[int, int] = dict.fromkeys(fps_by_doc, 0)
+    for h, members in index.items():
+        if len(members) > max_fp_df:
+            continue
+        for did in members:
+            sizes[did] += 1
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                key = (members[i], members[j])
+                shared[key] = shared.get(key, 0) + 1
+
+    out = []
+    for (id_a, id_b), ni in sorted(shared.items()):
+        if ni < min_shared:
+            continue
+        res = ni / (sizes[id_a] + sizes[id_b] - ni)
+        out.append(
+            {
+                "corpus_fp": fp,
+                "id_a": id_a,
+                "id_b": id_b,
+                "shared_fps": ni,
+                # Spark F.round = HALF_UP on the double
+                "resemblance": math.floor(res * 1e6 + 0.5) / 1e6,
+            }
+        )
+    return pd.DataFrame(
+        out,
+        columns=["corpus_fp", "id_a", "id_b", "shared_fps", "resemblance"],
+    ).astype(
+        {
+            "corpus_fp": "int64",
+            "id_a": "int64",
+            "id_b": "int64",
+            "shared_fps": "int64",
+            "resemblance": "float64",
+        }
+    )
+
+
 def expected_heat_strip_render(sf_dir: str) -> pd.DataFrame:
     """Differential oracle for the PNG packaging tail
     (q_heat_strip_render): pixel rows come from the INDEPENDENT DuckDB

@@ -972,3 +972,45 @@ def test_semantic_dedup_collapse_keeps_null_embeddings(spark):
     }
     assert base == fast
     assert len(fast) == len(base)
+
+
+def test_winnow_xxhash_family_matches_pure_python(spark):
+    # round-10 production hash family: engine fingerprints under
+    # base_hash='xxhash64' must equal a pure-Python winnow over the
+    # validated xxh twin — the same guarantee the replica oracle
+    # (sources/demo_oracle_pipeline.expected_winnow_xxhash) builds on
+    from dystonse_gtfs_data_spark.functions.xxh import xxhash64
+    from dystonse_gtfs_data_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 5, 3
+
+    def py_winnow_xx(text: str) -> set[int]:
+        t = text.strip().lower()
+        grams = (
+            [t[i : i + k] for i in range(len(t) - k + 1)]
+            if len(t) - k + 1 >= 1
+            else [t[:k]]
+        )
+        hs = [xxhash64(g.encode("utf-8")) for g in grams]
+        if len(hs) <= w:
+            return {min(hs)}
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "  Mixed CASE with   spaces  ",
+        "short",
+        "ab",  # below kgram: the single substring(t, 1, k) branch
+        "répétition unicode çà et là",  # multi-byte utf-8 kgrams
+        "aaaaaaaaaaaaaaaaaaaa",  # constant text: one distinct fingerprint
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprints(
+        docs, kgram=k, window=w, base_hash="xxhash64"
+    ).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in enumerate(texts):
+        assert got[i] == py_winnow_xx(t), (i, t)
