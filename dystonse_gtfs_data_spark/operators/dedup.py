@@ -499,11 +499,16 @@ def winnow_fingerprints(
         F.sequence(F.lit(1), F.greatest(n - kgram + 1, F.lit(1))),
         lambda i: F.substring(t, i, kgram),
     )
-    hash_fn = (
-        portable_base_hash
-        if base_hash == "md5"
-        else (lambda g: F.xxhash64(g))
-    )
+    if base_hash == "md5":
+        hash_fn = portable_base_hash
+    elif base_hash == "xxhash64":
+        hash_fn = lambda g: F.xxhash64(g)  # noqa: E731
+    else:
+        # same contract as _base_hash_col: a typo must fail loudly, not
+        # silently run a different hash family under oracle check
+        raise ValueError(
+            f"unknown base_hash {base_hash!r} (use 'xxhash64' or 'md5')"
+        )
     # Materialize the hash array in its OWN projection: the window stage
     # references it (m - window + 1) times via slice(), and Spark does no
     # common-subexpression elimination across HOF lambdas — inlined, each

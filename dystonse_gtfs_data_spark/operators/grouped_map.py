@@ -34,6 +34,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def _norm_name(name) -> tuple:
+    return name if isinstance(name, tuple) else (name,)
+
+
+def _same_key(a: tuple | None, b: tuple | None) -> bool:
+    if a is None or b is None:
+        return False
+    return all(
+        (x == y) or (pd.isna(x) and pd.isna(y)) for x, y in zip(a, b)
+    )
+
+
 def _make_runner(
     keys: Sequence[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
@@ -41,28 +53,64 @@ def _make_runner(
     key_list = list(keys)
 
     def _runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        buf: pd.DataFrame | None = None
+        # Carry for the group spanning a batch boundary, kept as a LIST
+        # of raw frames and concatenated exactly once at the group's
+        # end: re-concat + re-groupby of a growing buffer per batch
+        # would be O(B²) copying for a single group spanning B batches
+        # (a dominant route or curve-set key), where plain applyInPandas
+        # is one pass.
+        carry: list[pd.DataFrame] = []
+        carry_key: tuple | None = None
+
+        def _flush() -> pd.DataFrame | None:
+            nonlocal carry, carry_key
+            if not carry:
+                return None
+            g = (
+                carry[0]
+                if len(carry) == 1
+                else pd.concat(carry, ignore_index=True)
+            )
+            carry, carry_key = [], None
+            return fn(g.reset_index(drop=True))
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            if buf is not None:
-                pdf = pd.concat([buf, pdf], ignore_index=True)
-                buf = None
             # sort=False → groups in order of appearance; the input is
             # key-sorted, so groups are contiguous and the LAST group
             # may continue in the next batch — hold it back
-            groups = list(
-                pdf.groupby(key_list, sort=False, dropna=False)
-            )
-            for _, gpdf in groups[:-1]:
+            # list(iter(...)) not list(...): pandas 2.2's GroupBy.__len__
+            # raises "Categorical categories cannot be null" on NaN keys
+            # with dropna=False; iterating sidesteps the len() prealloc
+            groups = list(iter(pdf.groupby(key_list, sort=False, dropna=False)))
+            first_key = _norm_name(groups[0][0])
+            if carry and not _same_key(carry_key, first_key):
+                out = _flush()
+                if out is not None and len(out):
+                    yield out
+            if len(groups) == 1:
+                # whole batch is one group: append raw, defer the concat
+                carry.append(groups[0][1])
+                carry_key = first_key
+                continue
+            start = 0
+            if carry:
+                # ≥2 groups in this batch → the continued group ends here
+                carry.append(groups[0][1])
+                out = _flush()
+                if out is not None and len(out):
+                    yield out
+                start = 1
+            for _, gpdf in groups[start:-1]:
                 out = fn(gpdf.reset_index(drop=True))
                 if len(out):
                     yield out
-            buf = groups[-1][1].reset_index(drop=True)
-        if buf is not None and len(buf):
-            out = fn(buf)
-            if len(out):
-                yield out
+            carry = [groups[-1][1]]
+            carry_key = _norm_name(groups[-1][0])
+        out = _flush()
+        if out is not None and len(out):
+            yield out
 
     return _runner
 

@@ -3759,7 +3759,11 @@ def q_realtime_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT *, row_number() OVER (
         PARTITION BY trip_id, start_date, trip_start_time
-        ORDER BY tor_us DESC, stop_sequence DESC) AS rn
+        -- departure_delay DESC mirrors the engine's stable-mergesort
+        -- iloc[-1] pick (aggregations.py sorts by time, seq, delay
+        -- ascending and takes the last row): rows tied on (time, seq)
+        -- must resolve to the same delay in twin and engine
+        ORDER BY tor_us DESC, stop_sequence DESC, departure_delay DESC) AS rn
       FROM u
     )
     SELECT trip_id,

@@ -1468,7 +1468,11 @@ def expected_winnow_xxhash(
     for did, text in zip(t["doc_id"], t["text"]):
         text = str(text)
         fp += (int(did) + 1) * len(text)
-        norm = text.strip().lower()
+        # strip(' ') not strip(): Spark's F.trim removes only ASCII
+        # spaces — Python's bare strip() also eats tabs/newlines, which
+        # changes character k-gram content on docs with non-space edge
+        # whitespace and would diverge replica from engine
+        norm = text.strip(" ").lower()
         m = len(norm)
         if m - kgram + 1 >= 1:
             grams = [norm[i : i + kgram] for i in range(m - kgram + 1)]

@@ -290,6 +290,64 @@ def test_winnowing_guarantee_and_prune(spark):
     assert len(by_doc[0]) < n0 / 2
 
 
+def test_winnow_xxhash_replica_parity_edge_whitespace(spark, tmp_path):
+    """The pure-Python xxhash replica oracle (expected_winnow_xxhash)
+    must match the Spark operator on documents with NON-SPACE edge
+    whitespace: F.trim strips only ASCII spaces, so a trailing newline
+    or tab is k-gram content — a replica using bare str.strip() would
+    silently drop it and diverge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dystonse_gtfs_data_spark.operators.dedup import winnow_passage_overlap
+    from dystonse_gtfs_data_spark.sources.demo_oracle_pipeline import (
+        expected_winnow_xxhash,
+    )
+
+    shared = "an identical plagiarized passage threaded through essays"
+    rows = [
+        (0, "  first document opens thus " + shared + " and ends\n"),
+        (1, "\tsecond begins otherwise " + shared + " closing\t\n"),
+        (2, "third text shares nothing with the others whatsoever\n"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    k, w, ms, cap = 8, 4, 2, 20
+    exp = expected_winnow_xxhash(
+        str(tmp_path), kgram=k, window=w, min_shared=ms, max_fp_df=cap
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["shared_fps"], r["resemblance"])
+        for r in winnow_passage_overlap(
+            docs, kgram=k, window=w, min_shared=ms, max_fp_df=cap,
+            base_hash="xxhash64",
+        ).collect()
+    }
+    want = {
+        (int(r.id_a), int(r.id_b)): (int(r.shared_fps), float(r.resemblance))
+        for r in exp.itertuples()
+    }
+    assert got == want and (0, 1) in got
+
+
+def test_winnow_fingerprints_rejects_unknown_hash_family(spark):
+    import pytest as _pytest
+
+    from dystonse_gtfs_data_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame([(0, "abcdef")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="base_hash"):
+        winnow_fingerprints(docs, base_hash="xxh64")
+
+
 def test_winnow_matches_reference_implementation_on_random_text(spark):
     """Property: the Spark HOF pipeline equals an independent pure-Python
     winnowing implementation on random ASCII corpora (hypothesis drives
@@ -304,7 +362,9 @@ def test_winnow_matches_reference_implementation_on_random_text(spark):
     k, w = 5, 3
 
     def py_winnow(text: str) -> set[int]:
-        t = text.strip().lower()
+        # strip(' ') mirrors F.trim (ASCII spaces only) — bare strip()
+        # would also eat the tabs/newlines the alphabet now includes
+        t = text.strip(" ").lower()
         grams = (
             [t[i : i + k] for i in range(max(len(t) - k + 1, 1))]
             if len(t) > k
@@ -319,7 +379,10 @@ def test_winnow_matches_reference_implementation_on_random_text(spark):
 
     texts = st.lists(
         st.text(
-            alphabet="abcdefghij Z0123456789", min_size=1, max_size=60
+            # \t and \n in the alphabet exercise the trim-vs-strip edge:
+            # F.trim strips only ASCII spaces, so edge tabs/newlines are
+            # k-gram CONTENT and replica/engine must agree on them
+            alphabet="abcdefghij Z0123456789\t\n", min_size=1, max_size=60
         ).filter(lambda s: s.strip()),
         min_size=1,
         max_size=8,

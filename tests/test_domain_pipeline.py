@@ -524,6 +524,41 @@ def test_batched_curve_dispatch_matches_per_group(spark):
     assert batched  # non-trivial fixture
 
 
+def test_grouped_map_runner_concats_spanning_group_once():
+    """A group spanning B batches must reach fn in ONE call built from a
+    deferred list concat — not B re-concats of a growing buffer (the
+    O(B²) hot-group cliff).  Also pins boundary-exact group changes and
+    NaN keys (dropna=False)."""
+    import math
+
+    import pandas as pd
+
+    from dystonse_gtfs_data_spark.operators.grouped_map import _make_runner
+
+    calls = []
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        calls.append((pdf["k"].iloc[0], len(pdf)))
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], "n": [len(pdf)]})
+
+    # batches: group 1 spans 3 batches; group 2 ends exactly at a batch
+    # boundary; NaN group spans the last two batches
+    def b(ks):
+        return pd.DataFrame({"k": ks, "v": range(len(ks))})
+
+    batches = [
+        b([1.0, 1.0]), b([1.0]), b([1.0, 2.0]),
+        b([2.0]), b([3.0, float("nan")]), b([float("nan")]),
+    ]
+    out = pd.concat(list(_make_runner(["k"], fn)(iter(batches))))
+    got = {
+        ("nan" if (isinstance(k, float) and math.isnan(k)) else k): n
+        for k, n in zip(out["k"], out["n"])
+    }
+    assert got == {1.0: 4, 2.0: 2, 3.0: 1, "nan": 2}
+    assert len(calls) == 4  # exactly one fn call per group
+
+
 def test_grouped_map_carries_groups_across_arrow_batches(spark):
     # the carry-buffer path: force 1-row Arrow batches so EVERY
     # multi-row group spans batch boundaries, and pin against the
