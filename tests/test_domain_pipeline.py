@@ -524,6 +524,33 @@ def test_batched_curve_dispatch_matches_per_group(spark):
     assert batched  # non-trivial fixture
 
 
+def test_curve_set_partition_estimate_cached_per_plan(spark):
+    """Repeat construction over the same enriched subtree must not
+    re-run the eager group-count job: the second _curve_set_partitions
+    call returns straight from the (application, semanticHash) cache.
+    Proven by poisoning the cached value and observing it come back."""
+    from dystonse_gtfs_data_spark.operators import specific_curves as sc
+    from dystonse_gtfs_data_spark.sources.demo import scale_fixture
+
+    sched, recs = scale_fixture(spark, 1, jitter=False)
+    sti = sc.stop_indexed(sched["stop_times"])
+    enriched = sc.enrich_records(
+        sc.project_missing_delays(recs, sti), sti
+    )
+    sc._PARTITION_ESTIMATE_CACHE.clear()
+    first = sc._curve_set_partitions(enriched)
+    assert len(sc._PARTITION_ESTIMATE_CACHE) == 1
+    (key,) = sc._PARTITION_ESTIMATE_CACHE
+    sc._PARTITION_ESTIMATE_CACHE[key] = first + 7  # sentinel
+    assert sc._curve_set_partitions(enriched) == first + 7  # cache hit
+    # a structurally different subtree misses (different semanticHash)
+    other = enriched.filter("stop_index >= 0")
+    assert sc._curve_set_partitions(other) != first + 7 or len(
+        sc._PARTITION_ESTIMATE_CACHE
+    ) == 2
+    sc._PARTITION_ESTIMATE_CACHE.clear()
+
+
 def test_grouped_map_runner_concats_spanning_group_once():
     """A group spanning B batches must reach fn in ONE call built from a
     deferred list concat — not B re-concats of a growing buffer (the
