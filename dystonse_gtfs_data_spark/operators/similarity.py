@@ -1170,3 +1170,237 @@ def semantic_dedup_sql(
            (d.vid IS NULL) AS keep
     FROM assign a LEFT JOIN dups d ON d.vid = a.{id_col}
     """
+
+
+def semantic_dedup_windowed(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = 8,
+    rounds: int = 2,
+    threshold: float = 0.4,
+    window: int = 16,
+    coarse: int | None | str = "auto",
+) -> DataFrame:
+    """SemDeDup with the intra-cluster pair join VALVED to a
+    centroid-distance neighbor window — the scale form of
+    :func:`semantic_dedup` for corpora where even k ≈ √N leaves
+    Σ_c m_c² ≈ N^1.5 candidate pairs (the last wrong-bending stage of
+    the exact operator at 100 TB).
+
+    Members of each cluster are ranked by EXACT int64 squared distance
+    to the recomputed cluster centroid (same 2^20 fixed-point
+    quantization as :func:`..operators.clustering.kmeans_assign`, so
+    the rank is engine-independent; ties break on id), and only pairs
+    within ``window`` ranks of each other are cosine-tested.  Rationale
+    (the SemDeDup observation that makes this a good window, not a
+    random sample): near-duplicate vectors have near-identical
+    distances to ANY fixed point — |d(a,c) − d(b,c)| ≤ d(a,b) by the
+    triangle inequality — so semantic duplicates sit at adjacent ranks
+    in the centroid-distance order.  Misses happen only when > window−1
+    OTHER members interleave between two duplicates' ranks.
+
+    Scale shape: candidates are Σ_c m_c·window ≈ N·window — LINEAR in
+    the corpus for fixed window, vs the exact operator's Σ_c m_c²
+    (N^1.5 at the k=√N valve).  The pairing is a block equi-join
+    (rank-block b = ⌊(r−1)/window⌋; the lower-rank side explodes to
+    {b, b+1}, candidates meet on (cluster, block) and filter to rank
+    distance ≤ window), so no window-function state and no range join;
+    a hot cluster splits across blocks like any equi-key under AQE.
+
+    Recall story (measured per round in tests/BENCH artifacts): this is
+    an APPROXIMATION — recall vs exact SemDeDup < 1 by design.  Keep
+    the exact operator for corpora that fit it; switch to this entry
+    when the pair join dominates.  ``window ≥ max cluster size`` makes
+    it EXACT (every intra-cluster pair ranks within the window), which
+    is the oracle-synchronized equivalence the parity test pins.
+
+    Output: (id, cluster, keep) — same schema and survivorship rule as
+    :func:`semantic_dedup` (a row is a duplicate iff some LOWER-id
+    member within its rank window reaches ``threshold`` cosine).
+    """
+    from ..cache import tracked_persist
+    from .clustering import KM_SCALE, kmeans_assign
+
+    if coarse == "auto":
+        coarse = "sqrt_k" if k is None else None
+    if k is None:
+        k = max(8, round(embeddings.count() ** 0.5))
+    if coarse == "sqrt_k":
+        coarse = max(2, round(k ** 0.5))
+    assign = tracked_persist(
+        kmeans_assign(
+            embeddings, id_col, vec_col, k=k, rounds=rounds, coarse=coarse
+        ).select(F.col(id_col).alias("vid"), "cluster")
+    )
+    quant = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col),
+            lambda e: F.floor(
+                e.cast("double") * F.lit(float(KM_SCALE)) + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("xq"),
+    )
+    qa = quant.join(assign, "vid")
+    # ranking centroid: recomputed from the FINAL assignment's members
+    # (floor(mean+0.5) over quantized components — the same integer
+    # formula as the k-means update, so the SQL twin recomputes the
+    # identical centroid from the identical assignments without the
+    # engine exposing k-means internals)
+    cents = (
+        qa.select("cluster", F.posexplode("xq").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(
+            F.floor(F.sum("x") / F.count("*") + F.lit(0.5))
+            .cast("bigint")
+            .alias("c")
+        )
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cq")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("xq"), F.col("cq"), lambda x, c: (x - c) * (x - c)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc + e,
+    )
+    # asc_nulls_last: a NULL/empty vector folds to NULL d2 in Spark but
+    # has no long-form rows in the twin — both must rank LAST (DuckDB's
+    # ASC default) so null-vec members never perturb real ranks
+    wr = Window.partitionBy("cluster").orderBy(
+        F.col("_d2").asc_nulls_last(), "vid"
+    )
+    ranked = (
+        qa.join(F.broadcast(cents), "cluster", "left")
+        .select("vid", "cluster", d2.alias("_d2"))
+        .withColumn("r", F.row_number().over(wr))
+        .select("vid", "cluster", "r")
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    members = ranked.join(vecs, "vid")
+    blk = F.floor((F.col("r") - F.lit(1)) / F.lit(window)).cast("bigint")
+    lo = members.select(
+        F.col("vid").alias("id_lo"),
+        "cluster",
+        F.col("r").alias("r_lo"),
+        F.col("vec").alias("vec_lo"),
+        F.col("nrm").alias("nrm_lo"),
+        # a pair with 1 <= r_hi - r_lo <= window has blk_hi in
+        # {blk_lo, blk_lo+1}: exploding the lower-rank side to both
+        # blocks meets each candidate pair EXACTLY once on (cluster,
+        # blk) — the two explode values can never both equal blk_hi
+        F.explode(F.array(blk, blk + F.lit(1))).alias("blk"),
+    )
+    hi = members.select(
+        F.col("vid").alias("id_hi"),
+        "cluster",
+        F.col("r").alias("r_hi"),
+        F.col("vec").alias("vec_hi"),
+        F.col("nrm").alias("nrm_hi"),
+        blk.alias("blk"),
+    )
+    dup_ids = (
+        lo.join(hi, ["cluster", "blk"])
+        .filter(
+            (F.col("r_hi") > F.col("r_lo"))
+            & (F.col("r_hi") <= F.col("r_lo") + F.lit(window))
+        )
+        .filter(
+            F.round(
+                _dot(F.col("vec_lo"), F.col("vec_hi"))
+                / (F.col("nrm_lo") * F.col("nrm_hi")),
+                4,
+            )
+            >= F.lit(threshold)
+        )
+        # survivorship is by ID, not rank: the higher-ID side of a
+        # qualifying pair is the duplicate, exactly the base rule
+        # restricted to window candidates
+        .select(F.greatest(F.col("id_lo"), F.col("id_hi")).alias("vid"))
+        .distinct()
+    )
+    return assign.join(
+        dup_ids.withColumn("_dup", F.lit(True)), "vid", "left"
+    ).select(
+        F.col("vid").alias(id_col),
+        "cluster",
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+    )
+
+
+def semantic_dedup_windowed_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    rounds: int = 2,
+    threshold: float = 0.4,
+    window: int = 16,
+    coarse: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup_windowed`: the k-means twin
+    CTE, the same post-assignment integer centroid recompute, the same
+    (d2 NULLS LAST, id) rank, a rank-range pair join (DuckDB's IEJoin
+    handles the range directly — no need for the engine's block trick
+    at oracle scale), and the same higher-id-is-dup survivorship."""
+    from .clustering import KM_SCALE, kmeans_assign_sql
+
+    km = kmeans_assign_sql(
+        table, id_col, vec_col, k=k, rounds=rounds, coarse=coarse
+    )
+    return f"""
+    WITH assign AS ({km}),
+    lf AS MATERIALIZED (
+      SELECT {id_col} AS vid,
+             generate_subscripts({vec_col}, 1) - 1 AS dim,
+             CAST(floor(CAST(unnest({vec_col}) AS DOUBLE)
+                        * {float(KM_SCALE)!r} + 0.5) AS BIGINT) AS x
+      FROM {table}
+    ),
+    cents AS MATERIALIZED (
+      SELECT a.cluster, l.dim,
+             CAST(floor(sum(l.x) / count(*) + 0.5) AS BIGINT) AS c
+      FROM lf l JOIN assign a ON a.{id_col} = l.vid
+      GROUP BY 1, 2
+    ),
+    dist AS MATERIALIZED (
+      SELECT l.vid, sum((l.x - c.c) * (l.x - c.c)) AS d2
+      FROM lf l
+      JOIN assign a ON a.{id_col} = l.vid
+      JOIN cents c ON c.cluster = a.cluster AND c.dim = l.dim
+      GROUP BY 1
+    ),
+    ranked AS MATERIALIZED (
+      SELECT a.{id_col} AS vid, a.cluster,
+             row_number() OVER (
+               PARTITION BY a.cluster
+               ORDER BY d.d2 ASC NULLS LAST, a.{id_col}) AS r
+      FROM assign a LEFT JOIN dist d ON d.vid = a.{id_col}
+    ),
+    dups AS (
+      SELECT DISTINCT
+             CASE WHEN lo.vid > hi.vid THEN lo.vid ELSE hi.vid END AS vid
+      FROM ranked lo
+      JOIN ranked hi ON hi.cluster = lo.cluster
+                    AND hi.r > lo.r AND hi.r <= lo.r + {window}
+      JOIN {table} ea ON ea.{id_col} = lo.vid
+      JOIN {table} eb ON eb.{id_col} = hi.vid
+      WHERE round(list_cosine_similarity(CAST(ea.{vec_col} AS DOUBLE[]),
+                                         CAST(eb.{vec_col} AS DOUBLE[])), 4)
+            >= {threshold!r}
+    )
+    SELECT a.{id_col}, a.cluster,
+           (d.vid IS NULL) AS keep
+    FROM assign a LEFT JOIN dups d ON d.vid = a.{id_col}
+    """

@@ -5858,6 +5858,44 @@ _finalize_semantic_dedup_hier_oracle()
 
 
 @register(
+    "semantic_dedup_windowed",
+    None,  # replaced below (built from the similarity module's SQL twin)
+)
+def q_semantic_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semantic_dedup_windowed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # pinned (k=8, window=16) so the static SQL twin replays the exact
+    # rank window; production uses k=None (√N valve) with the same
+    # window — candidates are then N·window, linear in the corpus
+    return semantic_dedup_windowed(
+        emb, k=8, rounds=2, threshold=0.4, window=16
+    )
+
+
+def _finalize_semantic_dedup_windowed_oracle() -> None:
+    from .operators.similarity import semantic_dedup_windowed_sql
+
+    spec = REGISTRY["semantic_dedup_windowed"]
+    REGISTRY["semantic_dedup_windowed"] = QuerySpec(
+        fn=spec.fn,
+        oracle=semantic_dedup_windowed_sql(
+            "embeddings", k=8, rounds=2, threshold=0.4, window=16
+        ),
+        covers="PRODUCTION scale setting of SemDeDup's PAIR stage "
+        "(round-11): the centroid-distance neighbor window that replaces "
+        "the intra-cluster all-pairs join (Σ m_c² ≈ N^1.5 at k=√N) with "
+        "Σ m_c·window ≈ N·window candidates via an exact-int64 rank and "
+        "a block equi-join; approximation with a measured recall story "
+        "(window ≥ max cluster size is provably exact — parity-pinned), "
+        "hash-checked against a rank-range nested-CTE twin",
+    )
+
+
+_finalize_semantic_dedup_windowed_oracle()
+
+
+@register(
     "heavy_hitters",
     None,  # replaced below (built from the sketch module's SQL twin)
 )

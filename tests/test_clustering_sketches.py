@@ -349,3 +349,94 @@ class TestKeepBestUnscored:
         assert out[2]["keep"] and not out[1]["keep"]  # scored member wins
         assert out[1]["score"] is None
         assert out[3]["keep"]  # sole (unscored) member still survives
+
+
+class TestSemanticDedupWindowed:
+    def test_wide_window_equals_exact(self, spark):
+        # window >= max cluster size covers every intra-cluster pair, so
+        # the valve must reproduce exact SemDeDup verbatim — the
+        # equivalence that anchors the approximation
+        from dystonse_gtfs_data_spark.operators.similarity import (
+            semantic_dedup,
+            semantic_dedup_windowed,
+        )
+        from dystonse_gtfs_data_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        key = lambda df: (
+            df.toPandas()
+            .sort_values("vec_id")[["vec_id", "cluster", "keep"]]
+            .reset_index(drop=True)
+        )
+        exact = key(semantic_dedup(emb, k=8, rounds=2, threshold=0.4))
+        wide = key(
+            semantic_dedup_windowed(
+                emb, k=8, rounds=2, threshold=0.4, window=1_000_000
+            )
+        )
+        assert exact.equals(wide)
+
+    def test_narrow_window_is_subset_no_false_dups(self, spark):
+        # a narrow window can only MISS duplicates, never invent them:
+        # every windowed dup must be an exact-run dup
+        from dystonse_gtfs_data_spark.operators.similarity import (
+            semantic_dedup,
+            semantic_dedup_windowed,
+        )
+        from dystonse_gtfs_data_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        exact_dups = {
+            r["vec_id"]
+            for r in semantic_dedup(emb, k=8, rounds=2, threshold=0.4)
+            .filter("NOT keep")
+            .collect()
+        }
+        win_dups = {
+            r["vec_id"]
+            for r in semantic_dedup_windowed(
+                emb, k=8, rounds=2, threshold=0.4, window=4
+            )
+            .filter("NOT keep")
+            .collect()
+        }
+        assert win_dups <= exact_dups
+        assert win_dups  # the narrow window still catches something
+
+    def test_planted_near_dups_rank_adjacent_full_recall(self, spark):
+        # the triangle-inequality rationale made concrete: plant 30
+        # duplicate PAIRS (jittered copies) among 200 background
+        # vectors; each pair's two members have near-identical distance
+        # to any centroid, so they rank adjacently and a SMALL window
+        # reaches full recall on the planted pairs
+        import random
+
+        from dystonse_gtfs_data_spark.operators.similarity import (
+            semantic_dedup,
+            semantic_dedup_windowed,
+        )
+
+        rng = random.Random(11)
+        rows = []
+        for i in range(200):  # background: well-spread random vectors
+            rows.append((i, [rng.uniform(-1, 1) for _ in range(16)]))
+        for p in range(30):  # planted: near-identical pairs
+            base = [rng.uniform(-1, 1) for _ in range(16)]
+            rows.append((1000 + 2 * p, base))
+            rows.append(
+                (1001 + 2 * p, [x + rng.uniform(-1e-4, 1e-4) for x in base])
+            )
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        exact = semantic_dedup(df, k=16, rounds=2, threshold=0.99)
+        exact_dups = {
+            r["vec_id"] for r in exact.filter("NOT keep").collect()
+        }
+        # at threshold .99 only the planted copies are dups
+        assert exact_dups == {1001 + 2 * p for p in range(30)}
+        win = semantic_dedup_windowed(
+            df, k=16, rounds=2, threshold=0.99, window=2
+        )
+        win_dups = {r["vec_id"] for r in win.filter("NOT keep").collect()}
+        # window=2 (vs cluster sizes ~16) already achieves FULL recall:
+        # near-identical vectors are rank-neighbors by construction
+        assert win_dups == exact_dups
