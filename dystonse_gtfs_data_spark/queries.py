@@ -5197,6 +5197,40 @@ def q_winnow_passage_overlap_xxhash(
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "winnow_passage_overlap_rolling",
+    # differential oracle: single-node Horner-loop replica of the
+    # rolling Karp-Rabin family, keyed by the documents fingerprint —
+    # deliberately a different algorithm shape than the engine's
+    # inverse-power vectorization (algebra bugs break parity)
+    f"""
+    SELECT id_a, id_b, shared_fps, resemblance
+    FROM {_dt("expected_winnow_rolling")}
+    WHERE corpus_fp = {_DOCS_FP_SQL}
+    ORDER BY id_a, id_b
+    """,
+    covers="Passage-level duplicate detection, THROUGHPUT hash family "
+    "(round-11): rolling Karp-Rabin fingerprints from the Arrow-batched "
+    "numpy kernel — no per-position substring materialization, the "
+    "stage cost the digest swap could not touch — hash-checked against "
+    "an independent pure-Python Horner-loop winnowing replica",
+)
+def q_winnow_passage_overlap_rolling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.dedup import winnow_passage_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_passage_overlap(
+        d,
+        kgram=_WINNOW_K,
+        window=_WINNOW_W,
+        min_shared=_PASSAGE_MIN_SHARED,
+        max_fp_df=_PASSAGE_MAX_FP_DF,
+        base_hash="rolling",
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Dataset-assembly family: decontamination, sampling, mixture, packing,
 # count-based LM scoring (beyond-reference; training-set construction)

@@ -296,16 +296,18 @@ def ensure_demo_oracle_dir() -> str:
     from .demo_oracle_pipeline import (
         expected_minhash_xxhash,
         expected_simhash_xxhash,
+        expected_winnow_rolling,
         expected_winnow_xxhash,
     )
 
-    mh_frames, sh_frames, wx_frames = [], [], []
+    mh_frames, sh_frames, wx_frames, wr_frames = [], [], [], []
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         d = os.path.join(TESTDATA_ROOT, sf)
         if os.path.exists(os.path.join(d, "documents.parquet")):
             mh_frames.append(expected_minhash_xxhash(d))
             sh_frames.append(expected_simhash_xxhash(d))
             wx_frames.append(expected_winnow_xxhash(d))
+            wr_frames.append(expected_winnow_rolling(d))
     _MHX_EMPTY = pd.DataFrame(
         {
             "corpus_fp": pd.Series(dtype="int64"),
@@ -351,6 +353,13 @@ def ensure_demo_oracle_dir() -> str:
             preserve_index=False,
         ),
         os.path.join(build_dir, "expected_winnow_xxhash.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat([_WX_EMPTY, *wr_frames], ignore_index=True),
+            preserve_index=False,
+        ),
+        os.path.join(build_dir, "expected_winnow_rolling.parquet"),
     )
     # PNG packaging tail expecteds: independent spec-based PNG writer
     # over the DuckDB pixel twin's rows, per SF events table

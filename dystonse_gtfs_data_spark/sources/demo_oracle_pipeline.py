@@ -1432,6 +1432,109 @@ def expected_simhash_xxhash(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     )
 
 
+def py_winnow_rolling(text: str, kgram: int = 8, window: int = 16) -> set:
+    """Pure-Python replica of the rolling Karp-Rabin winnowing family
+    (operators/dedup.py winnow_fingerprints_rolling): plain Horner loop
+    mod 2^64 — deliberately a DIFFERENT algorithm shape than the
+    engine's inverse-power vectorization, so an algebra bug in either
+    side surfaces as a parity break.  Returns signed-int64 fingerprints.
+    """
+    # the family's base, written out rather than imported from the
+    # engine: if the engine's KR_BASE ever drifted, parity must BREAK
+    KR_BASE = 1_000_003
+    mask = (1 << 64) - 1
+    norm = text.strip(" ").lower()
+    cps = [ord(c) for c in norm]
+    m = len(cps)
+    if m == 0:
+        hs = [0]
+    else:
+        k = min(kgram, m)
+        n_out = m - k + 1 if m >= kgram else 1
+        hs = []
+        for i in range(n_out):
+            h = 0
+            for j in range(k):
+                h = (h * KR_BASE + cps[i + j]) & mask
+            hs.append(h)
+    if len(hs) <= window:
+        mins = {min(hs)}
+    else:
+        mins = {
+            min(hs[j : j + window]) for j in range(len(hs) - window + 1)
+        }
+    return {v - (1 << 64) if v >= (1 << 63) else v for v in mins}
+
+
+def expected_winnow_rolling(
+    sf_dir: str,
+    kgram: int = 8,
+    window: int = 16,
+    min_shared: int = 2,
+    max_fp_df: int = 20,
+) -> pd.DataFrame:
+    """Independent single-node replica of
+    winnow_passage_overlap(base_hash='rolling'): the Horner-loop
+    rolling digests (py_winnow_rolling), fp-df cap, shared-fp pair
+    scoring with resemblance = |A∩B| / |A∪B| — the same pair stage as
+    expected_winnow_xxhash over the rolling fingerprint family."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    fp = 0
+    fps_by_doc: dict[int, frozenset] = {}
+    for did, text in zip(t["doc_id"], t["text"]):
+        text = str(text)
+        fp += (int(did) + 1) * len(text)
+        fps_by_doc[int(did)] = frozenset(
+            py_winnow_rolling(text, kgram, window)
+        )
+    index: dict[int, list[int]] = {}
+    for did, mins in fps_by_doc.items():
+        for h in mins:
+            index.setdefault(h, []).append(did)
+    shared: dict[tuple[int, int], int] = {}
+    sizes: dict[int, int] = dict.fromkeys(fps_by_doc, 0)
+    for h, members in index.items():
+        if len(members) > max_fp_df:
+            continue
+        for did in members:
+            sizes[did] += 1
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                key = (members[i], members[j])
+                shared[key] = shared.get(key, 0) + 1
+    out = []
+    for (id_a, id_b), ni in sorted(shared.items()):
+        if ni < min_shared:
+            continue
+        res = ni / (sizes[id_a] + sizes[id_b] - ni)
+        out.append(
+            {
+                "corpus_fp": fp,
+                "id_a": id_a,
+                "id_b": id_b,
+                "shared_fps": ni,
+                "resemblance": math.floor(res * 1e6 + 0.5) / 1e6,
+            }
+        )
+    return pd.DataFrame(
+        out,
+        columns=["corpus_fp", "id_a", "id_b", "shared_fps", "resemblance"],
+    ).astype(
+        {
+            "corpus_fp": "int64",
+            "id_a": "int64",
+            "id_b": "int64",
+            "shared_fps": "int64",
+            "resemblance": "float64",
+        }
+    )
+
+
 def expected_winnow_xxhash(
     sf_dir: str,
     kgram: int = 8,

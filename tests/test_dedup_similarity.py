@@ -1077,3 +1077,69 @@ def test_winnow_xxhash_family_matches_pure_python(spark):
         got.setdefault(r["doc_id"], set()).add(r["fp"])
     for i, t in enumerate(texts):
         assert got[i] == py_winnow_xx(t), (i, t)
+
+
+def test_winnow_rolling_matches_horner_replica_on_random_text(spark):
+    """Property: the vectorized inverse-power Karp-Rabin kernel equals
+    the independent Horner-loop replica on random corpora including
+    unicode and edge whitespace (different algorithm shapes — an
+    algebra slip in either surfaces here)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dystonse_gtfs_data_spark.operators.dedup import (
+        winnow_fingerprints_rolling,
+    )
+    from dystonse_gtfs_data_spark.sources.demo_oracle_pipeline import (
+        py_winnow_rolling,
+    )
+
+    k, w = 5, 3
+    texts = st.lists(
+        st.text(
+            alphabet="abcdefghij Z0123456789\t\nüλ中",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @given(texts)
+    @settings(max_examples=12, deadline=None)
+    def check(batch):
+        docs = spark.createDataFrame(
+            list(enumerate(batch)), "doc_id long, text string"
+        )
+        got = {}
+        for r in winnow_fingerprints_rolling(docs, kgram=k, window=w).collect():
+            got.setdefault(r["doc_id"], set()).add(r["fp"])
+        for i, t in enumerate(batch):
+            assert got.get(i, set()) == py_winnow_rolling(t, k, w), (i, t)
+
+    check()
+
+
+def test_winnow_rolling_guarantee_and_family_dispatch(spark):
+    """The winnowing guarantee is digest-agnostic: shared substrings of
+    length >= kgram + window - 1 share a rolling fingerprint too; and
+    base_hash='rolling' dispatches through winnow_fingerprints."""
+    from dystonse_gtfs_data_spark.operators.dedup import winnow_fingerprints
+
+    shared = "an identical plagiarized passage threaded through both essays"
+    docs = spark.createDataFrame(
+        [
+            (0, "first document opens differently " + shared + " and then ends"),
+            (1, "second one starts another way " + shared + " closing remarks"),
+            (2, "third text shares absolutely nothing with the others at all"),
+        ],
+        "doc_id long, text string",
+    )
+    k, w = 8, 4
+    by_doc = {}
+    for r in winnow_fingerprints(docs, kgram=k, window=w, base_hash="rolling").collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared passage must share a fingerprint"
+    assert not (by_doc[0] & by_doc[1] & by_doc[2])
+    n0 = len("first document opens differently " + shared + " and then ends") - k + 1
+    assert len(by_doc[0]) < n0 / 2  # winnowing density, not all hashes
