@@ -7283,77 +7283,25 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # public API used by __spark_entry__
 # ---------------------------------------------------------------------------
 
-# The driver's per-round CORRECTNESS gate checks a ~50-entry prefix of this
-# catalog.  After round 9 the cross-round union is 141/141 green with
-# freshness r9:50 / r8:47 / r7:40 / r6:4.  Round 10's order (verdict
-# task #1 — staleness rotation): the one NEW entry first
-# (semantic_dedup_hier, no driver row yet), then the 4 r6-vintage
-# entries (the oldest evidence anywhere), then the full 40-entry
-# r7-vintage cohort alphabetically, then a post-change tail of
-# r8/r9-green entries whose modules round 10 touches.  Post-r10 the
-# oldest evidence anywhere should be r8.
+# The driver's per-round CORRECTNESS gate checks a 50-entry prefix of
+# this catalog.  After round 10 the cross-round union is 143/143 green
+# with freshness r10:50 / r9:48 / r8:45.  Round 11's order (verdict
+# task #1): the 2 NEW r11 entries first (no driver row yet), then the 7
+# round-10-touched entries whose driver rows predate their module
+# changes (cut from r10's over-long prefix — the verdict's top item),
+# then the r11-touched refresh (winnow family: rolling-kernel dispatch
+# + replica normalization fix; ivf/pq family: the r10 codebook-sample
+# change the r10 tail omitted — ADVICE item; master_variants via the
+# grouped_map carry rewrite), then the r8-vintage cohort.  The prefix
+# is 57 entries again, so the LAST 7 r8 rows (static TPC-H-style SQL
+# with the least regression risk; pricing_summary is additionally
+# smoke-run by entry() every round) spill past the 50-sample window
+# and LEAD the r12 rotation.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # NEW round-10 entries (no driver row yet): the two-level k-means
-    # assignment that replaces SemDeDup's N^1.5 stage, and the
-    # production-hash winnowing family
-    "semantic_dedup_hier",
-    "winnow_passage_overlap_xxhash",
-    # r6-vintage cohort — the oldest evidence anywhere (verdict task #1)
-    "winnow_fingerprints",
-    "video_frame_stats",
-    "transfer_probability_matrix",
-    "departure_board_cached",
-    # r7-vintage cohort (40)
-    "ann_recall",
-    "bloom_semi_prune",
-    "bpe_merges",
-    "chunk_documents",
-    "corpus_diff",
-    "curation_funnel_fused",
-    "curriculum_deciles",
-    "curve_svg_render",
-    "dataset_mixture",
-    "dedup_eval",
-    "gap_fill_records",
-    "grouping_sets_report",
-    "gtfs_schedule_scan",
-    "heat_strip_pixels",
-    "heat_strip_render",
-    "heavy_hitters",
-    "hll_distinct",
-    "hll_merge",
-    "journey_chain",
-    "minhash_near_dups_xxhash",
-    "pack_sequences",
-    "pii_redaction",
-    "quantile_sketch",
-    "rank_correlation",
-    "realtime_basis",
-    "repetition_signals",
-    "robust_outliers",
-    "simhash_near_dups_xxhash",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "skipped_updates",
-    "statistics_tree_roundtrip",
-    "stratified_sample",
-    "tfidf_terms",
-    "url_domains",
-    "visual_schedule",
-    "weighted_sample",
-    "winnow_passage_overlap",
-    "zorder_layout",
-    "zorder_skipping",
-    # post-change refresh: entries whose modules round 10 touches
-    # (clustering.py two-level assignment; similarity.py semantic_dedup
-    # auto-coarse + shared trainer sample; dedup.py prefilter removal
-    # through _verified_repeat_starts; streaming/aggregations.py
-    # n_buckets derivation + stable basis sorts; specific_curves.py
-    # lazy-construction parameter)
-    "semantic_dedup",
-    "semantic_dedup_collapsed",
-    "kmeans_clusters",
-    "dedup_clusters",
+    # NEW round-11 entries (no driver row yet)
+    "semantic_dedup_windowed",
+    "winnow_passage_overlap_rolling",
+    # round-10-touched, cut from the r10 sample (verdict task #1 lead)
     "exact_substring_maximal",
     "exact_substring_keep_one",
     "exact_substring_dedup",
@@ -7361,6 +7309,57 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_near_dup_ttl",
     "basis_stream",
     "gtfs_statistics",
+    # round-11-touched refresh
+    "winnow_fingerprints",
+    "winnow_passage_overlap",
+    "winnow_passage_overlap_xxhash",
+    "ivf_topk",
+    "ivfpq_topk",
+    "ivfpq_recall",
+    "master_variants",
+    # r8-vintage cohort (34 of 41; the deferred 7 lead r12)
+    "banding_plan",
+    "best_of_cluster",
+    "boilerplate_lines",
+    "compact_small_files",
+    "curation_funnel",
+    "delay_quantiles",
+    "departure_board",
+    "domain_caps",
+    "dsir_selection",
+    "ecdf_per_type",
+    "edit_distance_dedup",
+    "exact_substring_ranked",
+    "gopher_rules",
+    "gtfs_predictions",
+    "gtfs_records",
+    "gtfs_statistics_scaled",
+    "gtfs_statistics_width",
+    "journey_transfers",
+    "jsonl_quarantine",
+    "jsonl_roundtrip",
+    "model_score",
+    "monitor_http",
+    "pair_count_matrix",
+    "paragraph_dedup",
+    "perplexity_buckets",
+    "scheduled_predictions",
+    "stored_curve_quantiles",
+    "stream_dedup",
+    "tar_shards_dist_write",
+    "tar_shards_roundtrip",
+    "trip_descriptors",
+    "trip_resolution",
+    "unimax_mixture",
+    "walk_time_bounds",
+    # --- 50-sample window ends here; deferred r8 rows (lead r12) ---
+    "display_formatting",
+    "nation_revenue",
+    "pivot_revenue",
+    "pricing_summary",
+    "rollup_revenue",
+    "route_sections",
+    "top_revenue_orders",
 )
 
 
