@@ -157,8 +157,36 @@ def run_stream_near_dup_persig(spark, sf_dir):
         agg.streaming_near_dup = orig
 
 
+def run_semantic_windowed_sqrtn(spark, sf_dir):
+    """Round-11 canonical: the neighbor-window pair valve at the same
+    k=None √N setting as run_semantic_sqrtn — the A/B pair for the
+    Σ m_c² → Σ m_c·w claim."""
+    from dystonse_gtfs_data_spark.operators.similarity import (
+        semantic_dedup_windowed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _noop(
+        semantic_dedup_windowed(
+            emb, k=None, rounds=2, threshold=0.4, window=16
+        )
+    )
+
+
+def run_winnow_rolling(spark, sf_dir):
+    """Round-11 canonical: the rolling Karp-Rabin fingerprint kernel at
+    the same kgram/window as the winnow_passage_overlap row's
+    fingerprint stage."""
+    from dystonse_gtfs_data_spark.operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    _noop(winnow_fingerprints(docs, base_hash="rolling"))
+
+
 SPECIALS = {
     "semantic_dedup_sqrtN": run_semantic_sqrtn,
+    "semantic_dedup_windowed_sqrtN": run_semantic_windowed_sqrtn,
+    "winnow_fingerprints_rolling": run_winnow_rolling,
     "stream_near_dup_rocksdb": run_stream_near_dup_rocksdb,
     "stream_near_dup_persig": run_stream_near_dup_persig,
     "stream_dedup_evicting": run_stream_dedup_evicting,
@@ -170,6 +198,8 @@ DEFAULT_NAMES = (
     "winnow_passage_overlap",
     "curation_funnel",
     "semantic_dedup_sqrtN",
+    "semantic_dedup_windowed_sqrtN",
+    "winnow_fingerprints_rolling",
     "stream_near_dup_rocksdb",
 )
 
