@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     # round-11 additions
     "semantic_dedup_windowed",  # neighbor-window pair valve (N·w candidates)
     "winnow_passage_overlap_rolling",  # Karp-Rabin Arrow kernel family
+    "soft_dedup_weights",      # SoftDedup m^-alpha reweighting (keep, don't drop)
 ]
 
 #: Entries with measured single-shot variance (r10 forensics: ivfpq_topk

@@ -1118,6 +1118,34 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "soft_dedup_weights",
+    None,  # replaced below (built from the dedup module's SQL twin)
+)
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import soft_dedup_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return soft_dedup_weights(d, alpha=0.5).orderBy("doc_id")
+
+
+def _finalize_soft_dedup_oracle() -> None:
+    from .operators.dedup import soft_dedup_weights_sql
+
+    spec = REGISTRY["soft_dedup_weights"]
+    REGISTRY["soft_dedup_weights"] = QuerySpec(
+        fn=spec.fn,
+        oracle=soft_dedup_weights_sql("documents", alpha=0.5),
+        covers="Soft deduplication (SoftDedup, ACL 2024): reweight "
+        "m^(-alpha) per duplicate-group member instead of removing — "
+        "keeps the commonness signal and composes with weighted_sample; "
+        "one map-side count + one equi-join, linear at any scale",
+    )
+
+
+_finalize_soft_dedup_oracle()
+
+
 # C6: the duration strings are synthesized deterministically from order
 # keys with IDENTICAL expressions on both engines, so the comparison
 # isolates the parser itself.
@@ -7293,14 +7321,15 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + replica normalization fix; ivf/pq family: the r10 codebook-sample
 # change the r10 tail omitted — ADVICE item; master_variants via the
 # grouped_map carry rewrite), then the r8-vintage cohort.  The prefix
-# is 57 entries again, so the LAST 7 r8 rows (static TPC-H-style SQL
-# with the least regression risk; pricing_summary is additionally
-# smoke-run by entry() every round) spill past the 50-sample window
-# and LEAD the r12 rotation.
+# is 58 entries (3 new r11 entries), so the LAST 8 r8 rows (static
+# SQL / bounded fixture rows with the least regression risk;
+# pricing_summary is additionally smoke-run by entry() every round)
+# spill past the 50-sample window and LEAD the r12 rotation.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # NEW round-11 entries (no driver row yet)
     "semantic_dedup_windowed",
     "winnow_passage_overlap_rolling",
+    "soft_dedup_weights",
     # round-10-touched, cut from the r10 sample (verdict task #1 lead)
     "exact_substring_maximal",
     "exact_substring_keep_one",
@@ -7351,8 +7380,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "trip_descriptors",
     "trip_resolution",
     "unimax_mixture",
-    "walk_time_bounds",
     # --- 50-sample window ends here; deferred r8 rows (lead r12) ---
+    "walk_time_bounds",
     "display_formatting",
     "nation_revenue",
     "pivot_revenue",

@@ -1143,3 +1143,34 @@ def test_winnow_rolling_guarantee_and_family_dispatch(spark):
     assert not (by_doc[0] & by_doc[1] & by_doc[2])
     n0 = len("first document opens differently " + shared + " and then ends") - k + 1
     assert len(by_doc[0]) < n0 / 2  # winnowing density, not all hashes
+
+
+def test_soft_dedup_weights_exact_groups_and_cluster_mode(spark):
+    """alpha semantics: a group of m copies carries weight m^(-alpha)
+    per member (alpha=1 sums to 1, alpha=0 leaves everything at 1);
+    cluster mode honors a provided near-dup clustering and keeps
+    unclustered docs at weight 1 via the left join."""
+    from dystonse_gtfs_data_spark.operators.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(0, "aaa"), (1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "ccc")],
+        "doc_id long, text string",
+    )
+    w1 = {r["doc_id"]: (r["dup_count"], r["weight"])
+          for r in soft_dedup_weights(docs, alpha=1.0).collect()}
+    assert w1[0] == (3, round(1 / 3, 6)) == w1[1] == w1[2]
+    assert w1[3] == (1, 1.0) and w1[4] == (1, 1.0)
+    w0 = {r["doc_id"]: r["weight"]
+          for r in soft_dedup_weights(docs, alpha=0.0).collect()}
+    assert all(v == 1.0 for v in w0.values())
+    # near-dup cluster mode: 0+3 clustered together despite different
+    # text; 4 missing from the table entirely -> singleton weight 1
+    clusters = spark.createDataFrame(
+        [(0, 7), (3, 7), (1, 9), (2, 9)], "doc_id long, cluster long"
+    )
+    wc = {r["doc_id"]: (r["dup_count"], r["weight"])
+          for r in soft_dedup_weights(docs, alpha=0.5, clusters=clusters).collect()}
+    assert wc[0] == (2, round(2 ** -0.5, 6)) == wc[3]
+    assert wc[1] == (2, round(2 ** -0.5, 6)) == wc[2]
+    assert wc[4] == (1, 1.0)
+    assert len(wc) == 5  # every input row present exactly once
