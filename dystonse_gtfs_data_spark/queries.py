@@ -5958,6 +5958,94 @@ _finalize_semantic_dedup_windowed_oracle()
 
 
 @register(
+    "semantic_windowed_recall",
+    None,  # replaced below (composes the two semantic-dedup SQL twins)
+)
+def q_semantic_windowed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semantic_dedup, semantic_dedup_windowed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = (
+        semantic_dedup(emb, k=8, rounds=2, threshold=0.4)
+        .filter(~F.col("keep"))
+        .select(F.col("vec_id").alias("e_vid"))
+    )
+    win = (
+        semantic_dedup_windowed(emb, k=8, rounds=2, threshold=0.4, window=16)
+        .filter(~F.col("keep"))
+        .select(F.col("vec_id").alias("w_vid"))
+    )
+    j = exact.join(win, exact["e_vid"] == win["w_vid"], "full_outer")
+    # groupBy a literal (not a global agg): zero input rows must yield
+    # ZERO output rows, matching the twin and the empty-input sweep
+    return (
+        j.groupBy(F.lit(1).alias("_one"))
+        .agg(
+            F.count("e_vid").alias("n_exact"),
+            F.count("w_vid").alias("n_windowed"),
+            F.count(
+                F.when(F.col("e_vid").isNotNull() & F.col("w_vid").isNotNull(), 1)
+            ).alias("n_hit"),
+        )
+        .select(
+            "n_exact",
+            "n_windowed",
+            "n_hit",
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(F.col("n_hit") / F.col("n_exact"), 6),
+            ).alias("recall"),
+            (F.col("n_windowed") - F.col("n_hit")).alias("false_dups"),
+        )
+    )
+
+
+def _finalize_semantic_windowed_recall_oracle() -> None:
+    from .operators.similarity import (
+        semantic_dedup_sql,
+        semantic_dedup_windowed_sql,
+    )
+
+    ex = semantic_dedup_sql("embeddings", k=8, rounds=2, threshold=0.4)
+    wn = semantic_dedup_windowed_sql(
+        "embeddings", k=8, rounds=2, threshold=0.4, window=16
+    )
+    spec = REGISTRY["semantic_windowed_recall"]
+    REGISTRY["semantic_windowed_recall"] = QuerySpec(
+        fn=spec.fn,
+        oracle=f"""
+    WITH exact_out AS ({ex}),
+    win_out AS ({wn}),
+    e AS (SELECT vec_id FROM exact_out WHERE NOT keep),
+    w AS (SELECT vec_id FROM win_out WHERE NOT keep),
+    j AS (
+      SELECT e.vec_id AS e_vid, w.vec_id AS w_vid
+      FROM e FULL OUTER JOIN w ON w.vec_id = e.vec_id
+    )
+    SELECT count(e_vid) AS n_exact,
+           count(w_vid) AS n_windowed,
+           count(CASE WHEN e_vid IS NOT NULL AND w_vid IS NOT NULL
+                 THEN 1 END) AS n_hit,
+           CASE WHEN count(e_vid) > 0 THEN
+             round(CAST(count(CASE WHEN e_vid IS NOT NULL AND w_vid IS
+                   NOT NULL THEN 1 END) AS DOUBLE) / count(e_vid), 6)
+           END AS recall,
+           count(w_vid) - count(CASE WHEN e_vid IS NOT NULL AND w_vid
+                 IS NOT NULL THEN 1 END) AS false_dups
+    FROM j GROUP BY (1 = 1)
+    """,
+        covers="Recall measurement for the windowed SemDeDup valve "
+        "hard-wired into the gate ('measure, don't guess'): exact vs "
+        "windowed dup sets full-outer joined; false_dups pins the "
+        "subset theorem (must be 0) every round, recall documents the "
+        "approximation at the pinned window on this corpus",
+    )
+
+
+_finalize_semantic_windowed_recall_oracle()
+
+
+@register(
     "heavy_hitters",
     None,  # replaced below (built from the sketch module's SQL twin)
 )
@@ -7321,7 +7409,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + replica normalization fix; ivf/pq family: the r10 codebook-sample
 # change the r10 tail omitted — ADVICE item; master_variants via the
 # grouped_map carry rewrite), then the r8-vintage cohort.  The prefix
-# is 58 entries (3 new r11 entries), so the LAST 8 r8 rows (static
+# is 59 entries (4 new r11 entries), so the LAST 9 r8 rows (static
 # SQL / bounded fixture rows with the least regression risk;
 # pricing_summary is additionally smoke-run by entry() every round)
 # spill past the 50-sample window and LEAD the r12 rotation.
@@ -7330,6 +7418,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "semantic_dedup_windowed",
     "winnow_passage_overlap_rolling",
     "soft_dedup_weights",
+    "semantic_windowed_recall",
     # round-10-touched, cut from the r10 sample (verdict task #1 lead)
     "exact_substring_maximal",
     "exact_substring_keep_one",
@@ -7379,8 +7468,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tar_shards_roundtrip",
     "trip_descriptors",
     "trip_resolution",
-    "unimax_mixture",
     # --- 50-sample window ends here; deferred r8 rows (lead r12) ---
+    "unimax_mixture",
     "walk_time_bounds",
     "display_formatting",
     "nation_revenue",
