@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     # measures the production xxhash family (round-6 verdict task #7).
     "cosine_topk",
     "embedding_near_dups",
+    "embedding_pca",
     # round-2 additions (sf-scaled paths added this round)
     "extended_stops",       # grid-cell geo equi-join (J8 scale path)
     "walk_time_bounds",     # same join + walk-curve UDF (C9/C10)
@@ -85,6 +86,7 @@ BENCH_QUERIES = [
     "heat_strip_render",       # C18 PNG packaging tail (stdlib-zlib encoder)
     "curve_svg_render",        # S11 SVG path assembly, JVM strings
     "quantile_sketch",         # KMV bottom-k per-group quantile estimates
+    "sketch_overlap",          # KMV/theta corpus-overlap estimates
     "zorder_layout",           # Z-order clustering key (lakehouse layout)
     "heavy_hitters",           # Count-Min term-frequency sketch
     "kmeans_clusters",         # relational Lloyd k-means over embeddings

@@ -418,3 +418,204 @@ def countmin_topk_sql(words: str, term_col: str, k: int = 20) -> str:
     FROM probes p JOIN sketch s USING (h, cell)
     GROUP BY 1, 2, 3
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / theta-style) corpus overlap
+# ---------------------------------------------------------------------------
+
+KMV_OVERLAP_K = 256  #: default sketch size (rel. std err ≈ 1/√k ≈ 6%)
+
+
+def kmv_sketch(df: DataFrame, value_col: str, k: int = KMV_OVERLAP_K) -> DataFrame:
+    """Bottom-k sketch of the DISTINCT values of ``value_col``: the k
+    smallest portable 60-bit hashes, one ``h`` column.
+
+    Scale shape: ``distinct()`` on the hash-only projection is a
+    map-side-combined hash aggregate (duplicates collapse before the
+    exchange, and the exchange carries 8-byte rows), then
+    ``orderBy(h).limit(k)`` plans as TakeOrdered — per-partition
+    bottom-k, k-row merge, never a full sort.  The sketch is the
+    standard mergeable summary: bottom-k of a union == bottom-k of the
+    concatenated sketches, so shard-level sketches combine without
+    touching the shards again (pytest-pinned)."""
+    h = portable_base_hash(F.col(value_col).cast("string"))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    k: int = KMV_OVERLAP_K,
+) -> DataFrame:
+    """Corpus-overlap estimation WITHOUT a corpus-by-corpus join: the
+    theta-sketch recipe over two bottom-k sketches.
+
+    The k smallest hashes of A ∪ B are a subset of sketch(A) ∪
+    sketch(B) (any union-bottom-k member is bottom-k in its own
+    corpus), so the union sketch — and the exact membership of each of
+    its values in A and in B — is computable from the two k-row
+    sketches alone.  Estimators (Beyer et al. 2007 / theta-sketch
+    folklore):
+
+      est(|X|)    = m_x              if m_x < k  (sketch IS the set)
+                  = (k-1)·D / θ_x    otherwise  (θ = k-th smallest, D = 2^60)
+      est(|A∩B|)  = (c / u) · est(|A∪B|)   with c = union-sketch values
+                                            in BOTH, u = union-sketch size
+
+    All inputs to the float expressions are exact int64 (hash values,
+    counts), each derived value is one short chain of IEEE ops, and the
+    output is floor-rounded at 1e-6 — bit-reproducible in any engine,
+    which is what the DuckDB twin (:func:`kmv_overlap_sql`) checks.
+
+    At 100 TB: each corpus is scanned once (map-combined distinct of a
+    hash projection), everything after is k-row arithmetic — the
+    corpus-vs-benchmark contamination dashboard shape, where an exact
+    distinct-join would shuffle both corpora end to end.
+
+    Output: one row — sketch sizes, θs, and the five estimates
+    (union, intersection, each corpus, Jaccard, containments).
+    """
+    sa = kmv_sketch(df_a, value_col, k).withColumn("in_a", F.lit(1))
+    sb = kmv_sketch(df_b, value_col, k).withColumn("in_b", F.lit(1))
+    merged = (
+        sa.join(sb, "h", "full")
+        .select(
+            "h",
+            F.coalesce(F.col("in_a"), F.lit(0)).alias("in_a"),
+            F.coalesce(F.col("in_b"), F.lit(0)).alias("in_b"),
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+    stats_a = sa.agg(
+        F.count("*").alias("m_a"), F.max("h").alias("theta_a")
+    )
+    stats_b = sb.agg(
+        F.count("*").alias("m_b"), F.max("h").alias("theta_b")
+    )
+    stats_u = merged.agg(
+        F.count("*").alias("u"),
+        F.max("h").alias("theta_u"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("c_inter"),
+    )
+    row = stats_u.crossJoin(stats_a).crossJoin(stats_b)  # 1x1x1 scalars
+
+    dom = float(1 << 60)
+    km1 = float(k - 1)
+
+    def est(m_col: str, theta_col: str):
+        return F.when(F.col(m_col) < k, F.col(m_col).cast("double")).otherwise(
+            F.lit(km1) * F.lit(dom) / F.col(theta_col).cast("double")
+        )
+
+    def r6(col):
+        # floor-based 6dp rounding: identical in Spark and DuckDB
+        # (round() half-mode conventions differ between engines)
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    est_u = est("u", "theta_u")
+    est_a = est("m_a", "theta_a")
+    est_b = est("m_b", "theta_b")
+    est_i = F.when(F.col("u") == 0, F.lit(0.0)).otherwise(
+        F.col("c_inter").cast("double") / F.col("u").cast("double") * est_u
+    )
+
+    def ratio(num, den):
+        # 0 when the denominator estimate is 0 (empty corpus) — same
+        # branch as the SQL twin
+        return F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(num / den)
+
+    return row.select(
+        F.lit(k).alias("k_used"),
+        F.col("m_a"),
+        F.col("m_b"),
+        F.col("u").alias("union_sketch_size"),
+        F.coalesce(F.col("c_inter"), F.lit(0)).alias("inter_in_sketch"),
+        r6(est_a).alias("est_a"),
+        r6(est_b).alias("est_b"),
+        r6(est_u).alias("est_union"),
+        r6(est_i).alias("est_intersection"),
+        r6(ratio(est_i, est_u)).alias("jaccard_est"),
+        r6(ratio(est_i, est_a)).alias("containment_a"),
+        r6(ratio(est_i, est_b)).alias("containment_b"),
+        # empty-input contract (test_empty_inputs sweep): both corpora
+        # empty → no report row, not a row of zeros
+    ).filter(F.col("m_a") + F.col("m_b") > 0)
+
+
+def kmv_overlap_sql(
+    select_a: str, select_b: str, value_col: str, k: int = KMV_OVERLAP_K
+) -> str:
+    """DuckDB twin of :func:`kmv_overlap` — same md5-fold hash, same
+    bottom-k, same estimator expressions in the same operation order.
+    ``select_a`` / ``select_b`` are FROM-able subqueries or tables."""
+    fold = portable_base_hash_sql(
+        f"substr(md5(CAST({value_col} AS VARCHAR)), 1, 15)"
+    )
+    dom = float(1 << 60)
+    km1 = float(k - 1)
+
+    def est(m: str, theta: str) -> str:
+        return (
+            f"CASE WHEN {m} < {k} THEN CAST({m} AS DOUBLE) "
+            f"ELSE {km1!r} * {dom!r} / CAST({theta} AS DOUBLE) END"
+        )
+
+    def r6(x: str) -> str:
+        return f"floor(({x}) * 1e6 + 0.5) / 1e6"
+
+    e_u = est("u", "theta_u")
+    e_a = est("m_a", "theta_a")
+    e_b = est("m_b", "theta_b")
+    e_i = (
+        f"CASE WHEN u = 0 THEN 0.0 "
+        f"ELSE CAST(c_inter AS DOUBLE) / CAST(u AS DOUBLE) * ({e_u}) END"
+    )
+
+    def ratio(num: str, den: str) -> str:
+        return f"CASE WHEN ({den}) = 0.0 THEN 0.0 ELSE ({num}) / ({den}) END"
+
+    return f"""
+    WITH sa AS (
+      SELECT DISTINCT ({fold}) AS h FROM ({select_a})
+      WHERE {value_col} IS NOT NULL ORDER BY h LIMIT {k}
+    ),
+    sb AS (
+      SELECT DISTINCT ({fold}) AS h FROM ({select_b})
+      WHERE {value_col} IS NOT NULL ORDER BY h LIMIT {k}
+    ),
+    merged AS (
+      SELECT coalesce(sa.h, sb.h) AS h,
+             CASE WHEN sa.h IS NULL THEN 0 ELSE 1 END AS in_a,
+             CASE WHEN sb.h IS NULL THEN 0 ELSE 1 END AS in_b
+      FROM sa FULL OUTER JOIN sb ON sa.h = sb.h
+      ORDER BY h LIMIT {k}
+    ),
+    stats AS (
+      SELECT (SELECT count(*) FROM merged) AS u,
+             (SELECT max(h) FROM merged) AS theta_u,
+             (SELECT sum(in_a * in_b) FROM merged) AS c_inter,
+             (SELECT count(*) FROM sa) AS m_a,
+             (SELECT max(h) FROM sa) AS theta_a,
+             (SELECT count(*) FROM sb) AS m_b,
+             (SELECT max(h) FROM sb) AS theta_b
+    )
+    SELECT {k} AS k_used, m_a, m_b,
+           u AS union_sketch_size,
+           CAST(coalesce(c_inter, 0) AS BIGINT) AS inter_in_sketch,
+           {r6(e_a)} AS est_a, {r6(e_b)} AS est_b,
+           {r6(e_u)} AS est_union, {r6(e_i)} AS est_intersection,
+           {r6(ratio(e_i, e_u))} AS jaccard_est,
+           {r6(ratio(e_i, e_a))} AS containment_a,
+           {r6(ratio(e_i, e_b))} AS containment_b
+    FROM stats
+    WHERE m_a + m_b > 0
+    """

@@ -1448,6 +1448,74 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allpairs_cosine(emb, threshold=0.4, block_size=512)
 
 
+@register(
+    "embedding_pca",
+    # differential oracle: single-node exact-moment replica
+    # (chunked-einsum Python-int accumulation vs the engine's
+    # per-Arrow-batch int64 matmul kernel) feeding the shared fit —
+    # integer arithmetic end to end, so ANY partitioning difference
+    # that changed a number would be a kernel bug, not float noise
+    f"""
+    SELECT vec_id, component, proj
+    FROM {_dt("expected_embedding_pca")}
+    WHERE corpus_fp = {_CORPUS_FP_SQL}
+    ORDER BY vec_id, component
+    """,
+    covers="distributed PCA/whitening fit (one-pass exact fixed-point "
+    "Gram via mapInPandas map-side combine — d^2 state per task, no "
+    "embedding ever shuffled) + centered top-k projection as a "
+    "broadcast map (exact int64 dot fold in codegen, one float "
+    "subtraction, one power-of-two scale)",
+)
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pca import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    try:
+        model = pca_fit(emb)
+    except ValueError:  # empty corpus: no fit, empty projection
+        return spark.createDataFrame(
+            [], "vec_id: long, component: int, proj: double"
+        )
+    return pca_project(emb, model, k=8).orderBy("vec_id", "component")
+
+
+@register(
+    "pca_spectrum",
+    f"""
+    SELECT component, eigenvalue, var_ratio, cum_ratio
+    FROM {_dt("expected_pca_spectrum")}
+    WHERE corpus_fp = {_CORPUS_FP_SQL}
+    ORDER BY component
+    """,
+    covers="PCA eigenvalue / explained-variance ladder from the same "
+    "one-pass exact-moment fit (energy-based dimension truncation "
+    "before ANN / SemDeDup)",
+)
+def q_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from .operators.pca import pca_fit, pca_spectrum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    try:
+        rows = pca_spectrum(pca_fit(emb), k=8)
+    except ValueError:  # empty corpus: empty spectrum
+        rows = []
+    schema = T.StructType(
+        [
+            T.StructField("component", T.IntegerType(), False),
+            T.StructField("eigenvalue", T.DoubleType(), False),
+            T.StructField("var_ratio", T.DoubleType(), False),
+            T.StructField("cum_ratio", T.DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(r["component"], r["eigenvalue"], r["var_ratio"], r["cum_ratio"]) for r in rows],
+        schema,
+    ).orderBy("component")
+
+
 # DuckDB twins for the minhash/simhash pipelines: both engines use the
 # SAME portable base hash (md5 hex fold, dedup.portable_base_hash) and
 # the SAME affine family constants, and the oracle replicates the FULL
@@ -5765,6 +5833,47 @@ _finalize_kmv_oracle()
 
 
 @register(
+    "sketch_overlap",
+    None,  # replaced below (built from the sketch module's SQL twin)
+)
+def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import kmv_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    # two overlapping snapshots of the corpus: the even-id half vs the
+    # div-by-3 third (true overlap = ids divisible by 6, modulo planted
+    # duplicate texts — the sketch sees distinct TEXTS, not ids)
+    a = docs.filter(F.col("doc_id") % 2 == 0).select("text")
+    b = docs.filter(F.col("doc_id") % 3 == 0).select("text")
+    return kmv_overlap(a, b, "text", k=256)
+
+
+def _finalize_sketch_overlap_oracle() -> None:
+    from .operators.sketches import kmv_overlap_sql
+
+    spec = REGISTRY["sketch_overlap"]
+    REGISTRY["sketch_overlap"] = QuerySpec(
+        fn=spec.fn,
+        oracle=kmv_overlap_sql(
+            "SELECT text FROM documents WHERE doc_id % 2 = 0",
+            "SELECT text FROM documents WHERE doc_id % 3 = 0",
+            "text",
+            k=256,
+        ),
+        covers="KMV/theta-sketch corpus overlap: union, intersection, "
+        "Jaccard and containment estimates between two corpora from two "
+        "bottom-k sketches — one map-combined hash-distinct scan per "
+        "corpus, k-row arithmetic after (the corpus-vs-benchmark "
+        "contamination dashboard at 100 TB, where an exact distinct "
+        "join would shuffle both corpora); identical md5-fold hash and "
+        "estimator expressions in the DuckDB twin",
+    )
+
+
+_finalize_sketch_overlap_oracle()
+
+
+@register(
     "kmeans_clusters",
     None,  # replaced below (built from the clustering module's SQL twin)
 )
@@ -7409,12 +7518,16 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + replica normalization fix; ivf/pq family: the r10 codebook-sample
 # change the r10 tail omitted — ADVICE item; master_variants via the
 # grouped_map carry rewrite), then the r8-vintage cohort.  The prefix
-# is 59 entries (4 new r11 entries), so the LAST 9 r8 rows (static
+# is 62 entries (7 new r11 entries), so tar_shards_roundtrip /
+# trip_descriptors / trip_resolution plus the LAST 9 r8 rows (static
 # SQL / bounded fixture rows with the least regression risk;
 # pricing_summary is additionally smoke-run by entry() every round)
 # spill past the 50-sample window and LEAD the r12 rotation.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # NEW round-11 entries (no driver row yet)
+    "embedding_pca",
+    "pca_spectrum",
+    "sketch_overlap",
     "semantic_dedup_windowed",
     "winnow_passage_overlap_rolling",
     "soft_dedup_weights",
@@ -7435,7 +7548,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ivfpq_topk",
     "ivfpq_recall",
     "master_variants",
-    # r8-vintage cohort (34 of 41; the deferred 7 lead r12)
+    # r8-vintage cohort (29 fit the 50-sample window; the deferred
+    # rows below the marker lead r12)
     "banding_plan",
     "best_of_cluster",
     "boilerplate_lines",
@@ -7465,10 +7579,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stored_curve_quantiles",
     "stream_dedup",
     "tar_shards_dist_write",
+    # --- 50-sample window ends here; deferred r8 rows (lead r12) ---
     "tar_shards_roundtrip",
     "trip_descriptors",
     "trip_resolution",
-    # --- 50-sample window ends here; deferred r8 rows (lead r12) ---
     "unimax_mixture",
     "walk_time_bounds",
     "display_formatting",

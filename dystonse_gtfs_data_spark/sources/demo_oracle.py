@@ -41,6 +41,11 @@ def _source_digest() -> str:
     xxh = os.path.join(os.path.dirname(base), "functions", "xxh.py")
     with open(xxh, "rb") as fh:
         h.update(fh.read())
+    # the PCA expecteds share fit_from_moments with the engine — a fit
+    # change must rebuild them
+    pca = os.path.join(os.path.dirname(base), "operators", "pca.py")
+    with open(pca, "rb") as fh:
+        h.update(fh.read())
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         for table in ("embeddings", "documents", "events"):
             p = os.path.join(TESTDATA_ROOT, sf, f"{table}.parquet")
@@ -360,6 +365,52 @@ def ensure_demo_oracle_dir() -> str:
             preserve_index=False,
         ),
         os.path.join(build_dir, "expected_winnow_rolling.parquet"),
+    )
+    # PCA expecteds: exact fixed-point moment replica (chunked-einsum
+    # Python-int accumulation — a different shape than the engine's
+    # per-Arrow-batch int64 matmul) feeding the shared fit, keyed by the
+    # embeddings corpus fingerprint
+    from .demo_oracle_pipeline import (
+        expected_embedding_pca,
+        expected_pca_spectrum,
+    )
+
+    pca_frames, spec_frames = [], []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = os.path.join(TESTDATA_ROOT, sf)
+        if os.path.exists(os.path.join(d, "embeddings.parquet")):
+            pca_frames.append(expected_embedding_pca(d))
+            spec_frames.append(expected_pca_spectrum(d))
+    _PCA_EMPTY = pd.DataFrame(
+        {
+            "corpus_fp": pd.Series(dtype="int64"),
+            "vec_id": pd.Series(dtype="int64"),
+            "component": pd.Series(dtype="int32"),
+            "proj": pd.Series(dtype="float64"),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat([_PCA_EMPTY, *pca_frames], ignore_index=True),
+            preserve_index=False,
+        ),
+        os.path.join(build_dir, "expected_embedding_pca.parquet"),
+    )
+    _SPEC_EMPTY = pd.DataFrame(
+        {
+            "corpus_fp": pd.Series(dtype="int64"),
+            "component": pd.Series(dtype="int32"),
+            "eigenvalue": pd.Series(dtype="float64"),
+            "var_ratio": pd.Series(dtype="float64"),
+            "cum_ratio": pd.Series(dtype="float64"),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat([_SPEC_EMPTY, *spec_frames], ignore_index=True),
+            preserve_index=False,
+        ),
+        os.path.join(build_dir, "expected_pca_spectrum.parquet"),
     )
     # PNG packaging tail expecteds: independent spec-based PNG writer
     # over the DuckDB pixel twin's rows, per SF events table

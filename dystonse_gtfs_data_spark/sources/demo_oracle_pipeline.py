@@ -1703,3 +1703,99 @@ def expected_heat_strip_render(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         out, columns=["corpus_fp", "event_type", "url_len", "url_prefix"]
     ).astype({"corpus_fp": "int64", "url_len": "int64"})
+
+
+def _pca_exact_moments(vecs) -> tuple[int, list[int], dict]:
+    """Exact fixed-point sufficient statistics for the PCA replica —
+    deliberately a DIFFERENT accumulation shape than the engine kernel
+    (operators/pca.second_moment_partials reduces per Arrow batch with
+    an int64 matmul; here 256-row numpy chunks feed an einsum whose
+    partials accumulate as arbitrary-precision Python ints).  Because
+    the arithmetic is all-integer, both shapes MUST produce identical
+    numbers — any drift is a kernel bug, not float noise."""
+    import numpy as np
+
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+    vq = np.floor(m * 4096.0 + 0.5).astype(np.int64)
+    d = vq.shape[1]
+    gram_tot = [[0] * d for _ in range(d)]
+    lin_tot = [0] * d
+    for s in range(0, len(vq), 256):
+        c = vq[s : s + 256]
+        g = np.einsum("ri,rj->ij", c, c)
+        ln = c.sum(axis=0, dtype=np.int64)
+        for i in range(d):
+            lin_tot[i] += int(ln[i])
+            gi, ti = g[i], gram_tot[i]
+            for j in range(i, d):
+                ti[j] += int(gi[j])
+    gram = {(i, j): gram_tot[i][j] for i in range(d) for j in range(i, d)}
+    return len(vq), lin_tot, gram
+
+
+def _pca_fit_replica(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ..operators.pca import fit_from_moments
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = [int(i) for i in t["vec_id"]]
+    vecs = [[float(x) for x in v] for v in t["embedding"]]
+    fp = corpus_fingerprint(ids, vecs)
+    n, sums, gram = _pca_exact_moments(vecs)
+    # fit_from_moments is SHARED with the engine (the _hyperplanes
+    # convention): the integers above are what differential testing
+    # covers; the documented covariance expression + numpy eigh on a
+    # d x d matrix is one deterministic code path for both sides.
+    return fp, ids, vecs, fit_from_moments(n, sums, gram)
+
+
+def expected_embedding_pca(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Single-node replica of operators/pca.pca_project over the fit:
+    the per-row projection is re-derived in pure Python (quantize,
+    int dot, one float subtraction, one exact power-of-two scale) —
+    mirroring the JVM expression op for op."""
+    import math
+
+    fp, ids, vecs, model = _pca_fit_replica(sf_dir)
+    out = []
+    for vid, v in zip(ids, vecs):
+        vq = [math.floor(x * 4096.0 + 0.5) for x in v]
+        for c in range(k):
+            pq_int = sum(
+                a * b for a, b in zip(vq, model.components_q[c])
+            )
+            proj = (float(pq_int) - model.offsets[c]) * 2.0 ** -30
+            out.append(
+                {
+                    "corpus_fp": fp,
+                    "vec_id": vid,
+                    "component": c,
+                    "proj": proj,
+                }
+            )
+    return pd.DataFrame(
+        out, columns=["corpus_fp", "vec_id", "component", "proj"]
+    ).astype(
+        {
+            "corpus_fp": "int64",
+            "vec_id": "int64",
+            "component": "int32",
+            "proj": "float64",
+        }
+    )
+
+
+def expected_pca_spectrum(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Replica of the spectrum rows (eigenvalue / explained-variance
+    ladder) from the same shared fit."""
+    from ..operators.pca import pca_spectrum
+
+    fp, _ids, _vecs, model = _pca_fit_replica(sf_dir)
+    rows = [{"corpus_fp": fp, **r} for r in pca_spectrum(model, k)]
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "corpus_fp", "component", "eigenvalue", "var_ratio", "cum_ratio"
+        ],
+    ).astype({"corpus_fp": "int64", "component": "int32"})

@@ -1,0 +1,146 @@
+"""Distributed PCA fit/projection (operators/pca.py).
+
+The operator's contract is EXACTNESS of the distributed moment pass:
+fixed-point integer sufficient statistics cannot depend on partitioning
+or batch boundaries, so the kernel must match a pure-Python
+accumulation bit for bit — that, plus standard eigensystem invariants
+(orthonormality, variance capture, sign convention), is what's pinned
+here.  The DuckDB-side differential (replica expected table) runs in
+the driver correctness gate (catalog entries embedding_pca /
+pca_spectrum)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dystonse_gtfs_data_spark.operators.pca import (
+    PROJ_INV_SCALE,
+    PcaModel,
+    fit_from_moments,
+    pca_fit,
+    pca_project,
+    pca_spectrum,
+    second_moment_partials,
+)
+
+
+def _rand_df(spark, n=257, d=7, seed=11, n_parts=5):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(scale=0.7, size=(n, d)).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return (
+        spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+        .repartition(n_parts),
+        vecs,
+    )
+
+
+def _py_moments(vecs):
+    vq = [[math.floor(float(x) * 4096.0 + 0.5) for x in v] for v in vecs]
+    d = len(vq[0])
+    sums = [sum(r[i] for r in vq) for i in range(d)]
+    gram = {
+        (i, j): sum(r[i] * r[j] for r in vq)
+        for i in range(d)
+        for j in range(i, d)
+    }
+    return len(vq), sums, gram
+
+
+def test_moment_pass_exact_vs_python_any_partitioning(spark):
+    df, vecs = _rand_df(spark)
+    n, sums, gram = _py_moments(vecs)
+    for parts in (1, 3, 8):
+        model = pca_fit(df.repartition(parts))
+        ref = fit_from_moments(n, sums, gram)
+        assert model == ref  # dataclass equality: exact ints AND floats
+
+
+def test_components_orthonormal_and_sorted(spark):
+    df, _ = _rand_df(spark, n=300, d=6, seed=3)
+    model = pca_fit(df)
+    comps = np.array(model.components_q, dtype=np.float64) / (1 << 18)
+    g = comps @ comps.T
+    assert np.allclose(g, np.eye(len(g)), atol=1e-4)  # quantized at 2^-18
+    assert list(model.eigvals) == sorted(model.eigvals, reverse=True)
+    # sign convention: the largest-|x| entry of each component positive
+    for row in comps:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+
+
+def test_projection_variance_matches_eigenvalues(spark):
+    df, vecs = _rand_df(spark, n=400, d=5, seed=8)
+    model = pca_fit(df)
+    proj = pca_project(df, model, k=5).toPandas()
+    for c in range(5):
+        vals = proj[proj.component == c].proj.to_numpy()
+        assert vals.mean() == pytest.approx(0.0, abs=1e-3)
+        # population variance of the centered projection ≈ eigenvalue
+        # (quantization error ~2^-13 per coordinate)
+        assert np.mean(vals**2) == pytest.approx(
+            model.eigvals[c], rel=5e-3, abs=1e-5
+        )
+
+
+def test_projection_matches_pure_python_expression(spark):
+    """The JVM projection (quantize → int64 fold → one subtraction →
+    power-of-two scale) must be bit-identical to the replica's Python
+    expression — same guarantee the driver oracle relies on."""
+    df, vecs = _rand_df(spark, n=64, d=6, seed=21)
+    model = pca_fit(df)
+    got = {
+        (int(r.vec_id), int(r.component)): r.proj
+        for r in pca_project(df, model, k=3).collect()
+    }
+    for i, v in enumerate(vecs):
+        vq = [math.floor(float(x) * 4096.0 + 0.5) for x in v]
+        for c in range(3):
+            pq = sum(a * b for a, b in zip(vq, model.components_q[c]))
+            want = (float(pq) - model.offsets[c]) * PROJ_INV_SCALE
+            assert got[(i, c)] == want  # exact, not approx
+
+
+def test_null_vectors_skipped(spark):
+    df, vecs = _rand_df(spark, n=50, d=4, seed=5)
+    with_null = df.unionByName(
+        spark.createDataFrame(
+            [(999, None)], "vec_id: long, embedding: array<float>"
+        )
+    )
+    assert pca_fit(with_null) == pca_fit(df)
+    proj = pca_project(with_null, pca_fit(df), k=2)
+    assert proj.filter(F.col("vec_id") == 999).count() == 0
+
+
+def test_spectrum_ratios(spark):
+    df, _ = _rand_df(spark, n=200, d=5, seed=13)
+    model = pca_fit(df)
+    rows = pca_spectrum(model)
+    assert [r["component"] for r in rows] == list(range(5))
+    assert rows[-1]["cum_ratio"] == pytest.approx(1.0, abs=1e-12)
+    assert all(r["var_ratio"] >= 0 for r in rows)
+
+
+def test_fit_raises_on_empty(spark):
+    empty = spark.createDataFrame([], "vec_id: long, embedding: array<float>")
+    with pytest.raises(ValueError):
+        pca_fit(empty)
+
+
+def test_moment_kernel_emits_bounded_rows(spark):
+    """The map-side combine contract: each kernel batch reduces to
+    d(d+1)/2 + d + 1 rows regardless of row count."""
+    df, _ = _rand_df(spark, n=500, d=4, seed=2, n_parts=2)
+    per_part = (
+        second_moment_partials(df)
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    cell_cap = 4 * 5 // 2 + 4 + 1
+    # one partial set per Arrow batch; partitions hold >=1 batch
+    assert all(r["count"] % cell_cap == 0 for r in per_part)
