@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "embedding_near_dups",
     "embedding_pca",
+    "jl_projection",
     # round-2 additions (sf-scaled paths added this round)
     "extended_stops",       # grid-cell geo equi-join (J8 scale path)
     "walk_time_bounds",     # same join + walk-curve UDF (C9/C10)

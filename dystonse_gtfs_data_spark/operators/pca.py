@@ -276,3 +276,131 @@ def pca_spectrum(model: PcaModel, k: int | None = None) -> list[dict]:
             }
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sparse Johnson-Lindenstrauss (Achlioptas) random projection
+# ---------------------------------------------------------------------------
+
+#: Achlioptas (2003) sparse JL distribution: r ∈ {+1, −1, 0} with
+#: probabilities {1/6, 1/6, 2/3}, scaled by √3 — preserves pairwise
+#: distances in expectation like a dense Gaussian projection at a
+#: third of the multiplies.  Signs derive from the portable md5 fold
+#: of "jl:{seed}:{j}:{i}" (mod 6: 0→+1, 1→−1, else 0), so ANY engine
+#: reproduces the matrix from the string alone — the SQL twin builds
+#: it with its own md5(), no literals shipped.
+
+
+def achlioptas_sign(seed: int, j: int, i: int) -> int:
+    """One projection-matrix cell — driver-side twin of the SQL
+    expression ``portable_base_hash_sql(md5('jl:s:j:i')) % 6``."""
+    import hashlib
+
+    h = int(
+        hashlib.md5(f"jl:{seed}:{j}:{i}".encode()).hexdigest()[:15], 16
+    )
+    m = h % 6
+    return 1 if m == 0 else (-1 if m == 1 else 0)
+
+
+def jl_project(
+    emb: DataFrame,
+    out_dim: int = 16,
+    seed: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Data-INDEPENDENT dimensionality reduction: project each
+    embedding onto ``out_dim`` sparse random axes.  Where
+    :func:`pca_fit` needs one aggregation pass over the corpus, JL
+    needs zero — the matrix is a pure function of the seed — so at
+    100 TB this is the map-only preprocessing for clustering/ANN when
+    even a moment pass is not worth scheduling (and the JL lemma gives
+    the distance-distortion bound PCA cannot).
+
+    Execution shape: identical to :func:`pca_project` — quantized
+    int64 embedding (the shared ``floor(x·2^12 + 0.5)`` convention),
+    ±1/0 sign arrays as literals, exact integer dot folds in
+    whole-stage codegen, one float multiply by √(3/out_dim)/2^12 at
+    the end.  No shuffle, no Python, no fit state.
+
+    Output: (id, component, proj) long form, like pca_project.
+    """
+    import math
+
+    signs = [
+        [achlioptas_sign(seed, j, i) for i in range(_dim_of(emb, vec_col))]
+        for j in range(out_dim)
+    ]
+    scale = math.sqrt(3.0 / out_dim) / _QV
+    quantized = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _quantize_expr(F.col(vec_col)).alias("_vq")
+    )
+    projs = []
+    for j in range(out_dim):
+        sj = F.array(*[F.lit(s) for s in signs[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col("_vq"), sj, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        projs.append(dot.cast("double") * F.lit(scale))
+    return quantized.select(F.col(id_col), F.posexplode(F.array(*projs))).select(
+        F.col(id_col),
+        F.col("pos").cast("int").alias("component"),
+        F.col("col").alias("proj"),
+    )
+
+
+def _dim_of(emb: DataFrame, vec_col: str) -> int:
+    """Embedding width from one row — a bounded-scalar lookup (the
+    projection matrix is seed×dims, not data)."""
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).filter(
+        F.col("d") > 0
+    ).first()
+    if row is None:
+        raise ValueError("jl_project: no non-null vectors")
+    return int(row["d"])
+
+
+def jl_project_sql(
+    table: str,
+    out_dim: int = 16,
+    seed: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Self-contained DuckDB twin of :func:`jl_project`: rebuilds the
+    sign matrix from md5() + the portable fold (no literals), the same
+    quantized integer dot, the same single float multiply."""
+    from .dedup import portable_base_hash_sql
+
+    fold = portable_base_hash_sql(
+        f"substr(md5('jl:{seed}:' || j || ':' || i), 1, 15)"
+    )
+    import math
+
+    scale = math.sqrt(3.0 / out_dim) / _QV
+    return f"""
+    WITH dims AS (
+      SELECT unnest(range(0, len(first(embedding)))) AS i
+      FROM {table} WHERE {vec_col} IS NOT NULL
+    ),
+    cells AS (
+      SELECT j, i,
+             CASE ({fold}) % 6 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS r
+      FROM (SELECT unnest(range(0, {out_dim})) AS j), dims
+    ),
+    vq AS (
+      SELECT {id_col},
+             i.i AS i,
+             CAST(floor(CAST({vec_col}[i.i + 1] AS DOUBLE) * 4096.0 + 0.5)
+                  AS BIGINT) AS v
+      FROM {table}, dims i
+      WHERE {vec_col} IS NOT NULL
+    )
+    SELECT {id_col}, CAST(j AS INTEGER) AS component,
+           CAST(CAST(sum(v * r) AS BIGINT) AS DOUBLE) * {scale!r} AS proj
+    FROM vq JOIN cells USING (i)
+    GROUP BY {id_col}, j
+    """

@@ -5848,6 +5848,46 @@ def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap(a, b, "text", k=256)
 
 
+@register(
+    "jl_projection",
+    None,  # replaced below (built from the pca module's SQL twin)
+)
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pca import jl_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    try:
+        return jl_project(emb, out_dim=16, seed=0).orderBy(
+            "vec_id", "component"
+        )
+    except ValueError:  # empty corpus: no width to project from
+        return spark.createDataFrame(
+            [], "vec_id: long, component: int, proj: double"
+        )
+
+
+def _finalize_jl_projection_oracle() -> None:
+    from .operators.pca import jl_project_sql
+
+    spec = REGISTRY["jl_projection"]
+    REGISTRY["jl_projection"] = QuerySpec(
+        fn=spec.fn,
+        oracle=jl_project_sql("embeddings", out_dim=16, seed=0)
+        + "\n    ORDER BY vec_id, component",
+        covers="Sparse Johnson-Lindenstrauss (Achlioptas) random "
+        "projection: data-INDEPENDENT dimensionality reduction — zero "
+        "fit passes (the sign matrix is a pure function of the seed "
+        "via the portable md5 fold), exact int64 dot folds in codegen, "
+        "no shuffle; the map-only preprocessing for clustering/ANN "
+        "when even PCA's one moment pass is not worth scheduling.  "
+        "Oracle is a fully self-contained SQL twin that REBUILDS the "
+        "matrix from md5() — no expected tables, no literals",
+    )
+
+
+_finalize_jl_projection_oracle()
+
+
 def _finalize_sketch_overlap_oracle() -> None:
     from .operators.sketches import kmv_overlap_sql
 
@@ -7518,7 +7558,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + replica normalization fix; ivf/pq family: the r10 codebook-sample
 # change the r10 tail omitted — ADVICE item; master_variants via the
 # grouped_map carry rewrite), then the r8-vintage cohort.  The prefix
-# is 62 entries (7 new r11 entries), so tar_shards_roundtrip /
+# is 63 entries (8 new r11 entries), so the tar_shards pair /
 # trip_descriptors / trip_resolution plus the LAST 9 r8 rows (static
 # SQL / bounded fixture rows with the least regression risk;
 # pricing_summary is additionally smoke-run by entry() every round)
@@ -7528,6 +7568,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_pca",
     "pca_spectrum",
     "sketch_overlap",
+    "jl_projection",
     "semantic_dedup_windowed",
     "winnow_passage_overlap_rolling",
     "soft_dedup_weights",
@@ -7548,7 +7589,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ivfpq_topk",
     "ivfpq_recall",
     "master_variants",
-    # r8-vintage cohort (29 fit the 50-sample window; the deferred
+    # r8-vintage cohort (28 fit the 50-sample window; the deferred
     # rows below the marker lead r12)
     "banding_plan",
     "best_of_cluster",
@@ -7578,8 +7619,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scheduled_predictions",
     "stored_curve_quantiles",
     "stream_dedup",
-    "tar_shards_dist_write",
     # --- 50-sample window ends here; deferred r8 rows (lead r12) ---
+    "tar_shards_dist_write",
     "tar_shards_roundtrip",
     "trip_descriptors",
     "trip_resolution",
