@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "pack_sequences",          # fixed-capacity training bins
     "bigram_lm_score",         # corpus-trained add-one bigram log-probs
     "dedup_clusters",          # connected components over near-dup pairs
+    "leakage_safe_splits",     # cluster-level train/val/test assignment
     "hll_distinct",            # portable HyperLogLog distinct sketch
     "heat_strip_pixels",       # C18 heat-strip color math, JVM expressions
     "heat_strip_render",       # C18 PNG packaging tail (stdlib-zlib encoder)

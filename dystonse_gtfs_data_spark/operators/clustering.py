@@ -528,3 +528,67 @@ def keep_best_per_cluster(
             (F.col("_rk") == 1).alias("keep"),
         )
     )
+
+
+def cluster_safe_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_buckets: int = 10,
+    val_buckets: int = 1,
+    test_buckets: int = 1,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by near-dup
+    CLUSTER, not by document.
+
+    Per-document hash splits are the classic eval-leakage bug — two
+    near-duplicates land on opposite sides of the train/test fence and
+    the benchmark silently measures memorization.  Here every document
+    inherits the split of its transitive near-dup component (singletons
+    are their own component), so by construction NO pair — scored or
+    merely transitively implied — can span splits.
+
+    Assignment is the portable md5 fold of ``"split:{seed}:" +
+    cluster`` mod ``n_buckets``: train gets the low buckets, val the
+    next ``val_buckets``, test the top ``test_buckets``.  Hash-of-
+    cluster (rather than modulo of the label) keeps the assignment
+    uncorrelated with doc-id order and stable when the corpus grows —
+    a new crawl only RE-splits components whose membership changed.
+
+    Scale shape: components via :func:`connected_components`
+    (O(log diameter) pointer-jumping rounds), then one left join of the
+    corpus against the (small) clustered-id table and a map-only hash —
+    no new shuffles beyond the CC itself.
+
+    Output: (id, cluster, bucket, split) — one row per document.
+    """
+    from .dedup import portable_base_hash
+
+    cc = connected_components(pairs)
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(cc, docs[id_col] == cc["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster"),
+        )
+    )
+    bucket = (
+        portable_base_hash(
+            F.concat(
+                F.lit(f"split:{seed}:"), F.col("cluster").cast("string")
+            )
+        )
+        % n_buckets
+    )
+    train_hi = n_buckets - val_buckets - test_buckets
+    return labeled.withColumn("bucket", bucket).select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.col("bucket"),
+        F.when(F.col("bucket") < train_hi, F.lit("train"))
+        .when(F.col("bucket") < train_hi + val_buckets, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -5639,6 +5639,45 @@ def q_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "leakage_safe_splits",
+    # same recursive-CTE components as dedup_clusters, then the split
+    # fold — a wrong cluster label OR a wrong bucket flips split
+    # strings and hash-mismatches
+    f"""
+    {_CC_CTE_SQL},
+    labeled AS (
+      SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+    ),
+    bkt AS (
+      SELECT doc_id, cluster,
+             ({portable_base_hash_sql(
+                 "substr(md5('split:0:' || CAST(cluster AS VARCHAR)), 1, 15)"
+             )}) % 10 AS bucket
+      FROM labeled
+    )
+    SELECT doc_id, cluster, bucket,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bkt ORDER BY doc_id
+    """,
+    covers="Leakage-safe train/val/test assignment: every document "
+    "inherits the split of its transitive near-dup CLUSTER (singletons "
+    "are their own cluster), so no near-duplicate pair — scored or "
+    "transitively implied — can span train/test; the classic "
+    "memorization-leak guard, assigned by the portable md5 fold of the "
+    "cluster label (stable under corpus growth)",
+)
+def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clustering import cluster_safe_splits
+
+    d = load_table(spark, sf_dir, "documents")  # minhash spreads internally
+    pairs = minhash_near_duplicates(d, threshold=0.5, base_hash="md5")
+    return cluster_safe_splits(d, pairs).orderBy("doc_id")
+
+
+@register(
     "domain_caps",
     # deterministic per-source cap: rank best-first (longest doc, then
     # id) and keep the first 10 per source — rank and membership both
@@ -7558,8 +7597,9 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + replica normalization fix; ivf/pq family: the r10 codebook-sample
 # change the r10 tail omitted — ADVICE item; master_variants via the
 # grouped_map carry rewrite), then the r8-vintage cohort.  The prefix
-# is 63 entries (8 new r11 entries), so the tar_shards pair /
-# trip_descriptors / trip_resolution plus the LAST 9 r8 rows (static
+# is 64 entries (9 new r11 entries), so stream_dedup, the
+# tar_shards pair, trip_descriptors / trip_resolution plus the LAST
+# 9 r8 rows (static
 # SQL / bounded fixture rows with the least regression risk;
 # pricing_summary is additionally smoke-run by entry() every round)
 # spill past the 50-sample window and LEAD the r12 rotation.
@@ -7569,6 +7609,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pca_spectrum",
     "sketch_overlap",
     "jl_projection",
+    "leakage_safe_splits",
     "semantic_dedup_windowed",
     "winnow_passage_overlap_rolling",
     "soft_dedup_weights",
@@ -7589,7 +7630,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ivfpq_topk",
     "ivfpq_recall",
     "master_variants",
-    # r8-vintage cohort (28 fit the 50-sample window; the deferred
+    # r8-vintage cohort (27 fit the 50-sample window; the deferred
     # rows below the marker lead r12)
     "banding_plan",
     "best_of_cluster",
@@ -7618,8 +7659,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "perplexity_buckets",
     "scheduled_predictions",
     "stored_curve_quantiles",
-    "stream_dedup",
     # --- 50-sample window ends here; deferred r8 rows (lead r12) ---
+    "stream_dedup",
     "tar_shards_dist_write",
     "tar_shards_roundtrip",
     "trip_descriptors",

@@ -440,3 +440,57 @@ class TestSemanticDedupWindowed:
         # window=2 (vs cluster sizes ~16) already achieves FULL recall:
         # near-identical vectors are rank-neighbors by construction
         assert win_dups == exact_dups
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe splits
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_safe_splits_no_pair_spans_splits(spark):
+    from dystonse_gtfs_data_spark.operators.clustering import (
+        cluster_safe_splits,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(50)], "doc_id: long"
+    )
+    # chain 0~1~2, pair 10~11, plus transitive 20~21, 21~22, 22~23
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a: long, id_b: long",
+    )
+    out = cluster_safe_splits(docs, pairs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == 50
+    for a, b in [(0, 1), (1, 2), (0, 2), (10, 11), (20, 23)]:
+        assert by_id[a].split == by_id[b].split  # incl. transitive pairs
+        assert by_id[a].cluster == by_id[b].cluster
+    # singletons are their own cluster
+    assert by_id[30].cluster == 30
+    # roughly 8/1/1 over many singleton clusters: all three splits occur
+    assert {r.split for r in out} == {"train", "val", "test"}
+
+
+def test_cluster_safe_splits_stable_under_growth(spark):
+    """A new disjoint document must not move existing assignments —
+    the hash is of the cluster label, not of corpus position."""
+    from dystonse_gtfs_data_spark.operators.clustering import (
+        cluster_safe_splits,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id: long")
+    pairs = spark.createDataFrame([(3, 7)], "id_a: long, id_b: long")
+    before = {
+        r.doc_id: (r.cluster, r.bucket, r.split)
+        for r in cluster_safe_splits(docs, pairs).collect()
+    }
+    grown = docs.unionByName(
+        spark.createDataFrame([(1000,)], "doc_id: long")
+    )
+    after = {
+        r.doc_id: (r.cluster, r.bucket, r.split)
+        for r in cluster_safe_splits(grown, pairs).collect()
+    }
+    assert all(after[i] == before[i] for i in range(30))
+    assert 1000 in after
