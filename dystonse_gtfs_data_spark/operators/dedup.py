@@ -664,6 +664,154 @@ def _kr_gram_hashes(codepoints, kgram: int):
     return (s[i + k] - s[i]) * pw[i + k - 1]
 
 
+def _kr_span_hashes(codepoints, starts, ends):
+    """Karp-Rabin hashes of VARIABLE character spans [start, end) of a
+    codepoint array, mod 2^64 — the generalization of
+    :func:`_kr_gram_hashes` the token-gram kernel needs (token windows
+    have fixed TOKEN length but variable CHAR length):
+
+      H(a, b) = (S[b] − S[a]) · B^(b-1),   S as in _kr_gram_hashes
+
+    Empty spans hash to 0.  Equal character sequences hash equal by
+    construction — the only property the prefilter below relies on."""
+    import numpy as np
+
+    m = len(codepoints)
+    x = codepoints.astype(np.uint64, copy=False)
+    invpow = np.cumprod(
+        np.full(m, _KR_BASE_INV, dtype=np.uint64), dtype=np.uint64
+    )
+    invpow = np.concatenate(([np.uint64(1)], invpow[:-1]))
+    s = np.concatenate(
+        ([np.uint64(0)], np.cumsum(x * invpow, dtype=np.uint64))
+    )
+    pw = np.cumprod(np.full(m, KR_BASE, dtype=np.uint64), dtype=np.uint64)
+    pw = np.concatenate(([np.uint64(1)], pw[:-1]))
+    a = np.asarray(starts, dtype=np.int64)
+    b = np.asarray(ends, dtype=np.int64)
+    nonempty = b > a
+    out = np.zeros(len(a), dtype=np.uint64)
+    if nonempty.any():
+        an, bn = a[nonempty], b[nonempty]
+        out[nonempty] = (s[bn] - s[an]) * pw[bn - 1]
+    return out
+
+
+def _gram_hash_rows_rolling(
+    base: DataFrame, min_len: int, sep: str, id_col: str
+) -> DataFrame:
+    """(id, pos, gh) for every ``min_len``-token window — the ExactSubstr
+    gram-hash stage as an Arrow-batched rolling-hash kernel.
+
+    The JVM form pays one ``concat_ws`` materialization of ~min_len
+    tokens PLUS one xxhash64 per position — the round-9 measurement
+    attributed the bulk of the sf10 build to exactly this projection
+    (and round 10's Bloom-prefilter retirement showed recomputing it
+    even once more doubles the stage).  Here each document's tokens
+    join into ONE codepoint stream (utf-32 decode at C speed) and all
+    window hashes come from the exact inverse-power prefix trick —
+    no per-position substring ever exists, the winnow-rolling-kernel
+    precedent applied to token grams.
+
+    Result-preserving BY CONSTRUCTION: downstream, gh is only a
+    candidate prefilter (occurrence identity and keep-first policy are
+    decided on exact verified gram TEXT), and equal token windows have
+    equal joined text, hence equal rolling hash — so any hash family
+    yields the same verified positions, spans, and outputs (parity
+    pytest-pinned across families)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_field = base.schema[id_col]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("pos", T.IntegerType(), False),
+            T.StructField("gh", T.LongType(), False),
+        ]
+    )
+    sep_len = len(sep)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, poss, ghs = [], [], []
+            for did, toks in zip(pdf[id_col], pdf["_arr"]):
+                if toks is None:
+                    continue
+                toks = list(toks)
+                n = len(toks)
+                if n < min_len:
+                    continue
+                joined = sep.join(toks)
+                cps = np.frombuffer(
+                    joined.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.uint64)
+                lens = np.fromiter(
+                    (len(t) for t in toks), dtype=np.int64, count=n
+                )
+                starts = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(lens + sep_len, out=starts[1:])
+                p = np.arange(n - min_len + 1)
+                gh = _kr_span_hashes(
+                    cps, starts[p], starts[p + min_len] - sep_len
+                )
+                ids.append(np.full(len(p), did))
+                poss.append(p)
+                ghs.append(gh.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids),
+                        "pos": np.concatenate(poss).astype(np.int32),
+                        "gh": np.concatenate(ghs),
+                    }
+                )
+
+    return base.select(id_col, "_arr").mapInPandas(run, out_schema)
+
+
+def _gram_hash_rows(
+    base: DataFrame,
+    min_len: int,
+    sep: str,
+    id_col: str,
+    gram_stage: str,
+) -> DataFrame:
+    """Dispatch the ExactSubstr gram-hash stage: ``"rolling"`` (default;
+    the Arrow kernel above) or ``"jvm"`` (per-position concat_ws +
+    xxhash64 HOFs — the pre-round-11 path, kept for Arrow-less
+    environments and as the parity A/B leg)."""
+    if gram_stage == "rolling":
+        return _gram_hash_rows_rolling(base, min_len, sep, id_col)
+    if gram_stage != "jvm":
+        raise ValueError(
+            f"unknown gram_stage {gram_stage!r} (use 'rolling' or 'jvm')"
+        )
+
+    def _gram(i):
+        return F.struct(
+            i.alias("pos"),
+            F.xxhash64(
+                F.concat_ws(sep, F.slice(F.col("_arr"), i + 1, min_len))
+            ).alias("gh"),
+        )
+
+    return base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_arr") >= min_len,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_arr") - min_len), _gram
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
+        ).alias("_g"),
+    ).select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
+
+
 def winnow_fingerprints_rolling(
     docs: DataFrame,
     text_col: str = "text",
@@ -1408,6 +1556,7 @@ def exact_substring_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = " ",
+    gram_stage: str = "rolling",
 ) -> DataFrame:
     """ExactSubstr dedup (Lee et al. 2022, arXiv:2107.06499 §4.1,
     public method): remove every token span that repeats elsewhere in
@@ -1452,26 +1601,7 @@ def exact_substring_dedup(
     """
     arr = F.split(F.col(text_col), re.escape(sep))  # sep is LITERAL
     base = _spread(docs).select(F.col(id_col), arr.alias("_arr"))
-
-    def _gram(i):
-        return F.struct(
-            i.alias("pos"),
-            F.xxhash64(F.concat_ws(sep, F.slice(F.col("_arr"), i + 1, min_len))).alias(
-                "gh"
-            ),
-        )
-
-    occ = base.select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                F.size("_arr") >= min_len,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_arr") - min_len), _gram
-                ),
-            ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
-        ).alias("_g"),
-    ).select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
+    occ = _gram_hash_rows(base, min_len, sep, id_col, gram_stage)
 
     # stage 1: hash-level candidates.  groupBy+join rather than a
     # count-over-window: the gram frequency table is map-side combined
@@ -1672,6 +1802,7 @@ def _verified_repeat_starts(
     min_len: int,
     sep: str,
     id_col: str,
+    gram_stage: str = "rolling",
 ) -> DataFrame:
     """Positions whose ``min_len``-gram occurs ≥ 2 times corpus-wide —
     the shared stage 1-2 of the maximal-repeat operators: xxhash64 gram
@@ -1690,27 +1821,14 @@ def _verified_repeat_starts(
     gh exchange for both the occurs-twice aggregate and the candidate
     join (ReuseExchange, verified in the plan).  A Bloom prune only
     pays when the probe side is cheap to recompute or the filter
-    replaces an unreusable shuffle — neither holds here."""
+    replaces an unreusable shuffle — neither holds here.
 
-    def _gram(i):
-        return F.struct(
-            i.alias("pos"),
-            F.xxhash64(
-                F.concat_ws(sep, F.slice(F.col("_arr"), i + 1, min_len))
-            ).alias("gh"),
-        )
-
-    occ = base.select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                F.size("_arr") >= min_len,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_arr") - min_len), _gram
-                ),
-            ).otherwise(F.array().cast("array<struct<pos:int,gh:bigint>>"))
-        ).alias("_g"),
-    ).select(id_col, F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
+    Round 11 then replaced the default GRAM-HASH projection itself —
+    the cost the Bloom experiment identified — with the rolling
+    Karp-Rabin kernel (:func:`_gram_hash_rows_rolling`),
+    result-identical because gh is prefilter-only; ``gram_stage="jvm"``
+    keeps the HOF path (parity A/B leg, Arrow-less environments)."""
+    occ = _gram_hash_rows(base, min_len, sep, id_col, gram_stage)
     hot = (
         occ.groupBy("gh")
         .agg(F.count("*").alias("_c"))
@@ -1768,6 +1886,7 @@ def exact_substring_maximal_ranked(
     id_col: str = "doc_id",
     sep: str = " ",
     checkpoint_positions_threshold: int = 16_000_000,
+    gram_stage: str = "rolling",
 ) -> DataFrame:
     """UNCAPPED maximal corpus repeats ≥ ``min_len`` tokens — same
     output contract as :func:`exact_substring_maximal`, with suffix
@@ -1845,9 +1964,9 @@ def exact_substring_maximal_ranked(
 
     basep = tracked_persist(base)
     cand = tracked_persist(
-        _verified_repeat_starts(basep, min_len, sep, id_col).withColumn(
-            "_pk", _pos_key(id_col, "pos")
-        )
+        _verified_repeat_starts(
+            basep, min_len, sep, id_col, gram_stage
+        ).withColumn("_pk", _pos_key(id_col, "pos"))
     )
     # bounded 0/1-row probe: a corpus with no verified repeat start has
     # nothing to rank — skip the iterative suffix-rank build entirely
@@ -2246,6 +2365,7 @@ def exact_substring_maximal(
     id_col: str = "doc_id",
     sep: str = " ",
     cap: int = _MAXREP_CAP_DEFAULT,
+    gram_stage: str = "rolling",
 ) -> DataFrame:
     """MAXIMAL corpus repeats ≥ ``min_len`` tokens — the exact object a
     suffix-array ExactSubstr implementation enumerates (Lee et al.
@@ -2299,7 +2419,7 @@ def exact_substring_maximal(
     arr = F.split(F.col(text_col), re.escape(sep))  # sep is LITERAL
     base = _spread(docs).select(F.col(id_col), arr.alias("_arr"))
     verified = (
-        _verified_repeat_starts(base, min_len, sep, id_col)
+        _verified_repeat_starts(base, min_len, sep, id_col, gram_stage)
         .join(base, id_col)
         .select(
             F.col(id_col),
@@ -2396,6 +2516,7 @@ def exact_substring_keep_one(
     sep: str = " ",
     cap: int = _MAXREP_CAP_DEFAULT,
     ranked: bool = False,
+    gram_stage: str = "rolling",
 ) -> DataFrame:
     """ExactSubstr removal with the PAPER's keep policy (Lee et al.
     2022 §4.1: "except for one occurrence"): for every maximal corpus
@@ -2430,12 +2551,13 @@ def exact_substring_keep_one(
     base = docs.select(F.col(id_col), arr.alias("_arr"))
     if ranked:
         spans = exact_substring_maximal_ranked(
-            docs, min_len=min_len, text_col=text_col, id_col=id_col, sep=sep
+            docs, min_len=min_len, text_col=text_col, id_col=id_col,
+            sep=sep, gram_stage=gram_stage,
         )
     else:
         spans = exact_substring_maximal(
             docs, min_len=min_len, text_col=text_col, id_col=id_col,
-            sep=sep, cap=cap,
+            sep=sep, cap=cap, gram_stage=gram_stage,
         )
     keyed = spans.withColumn("_pk", _pos_key(id_col, "s"))
     first = keyed.groupBy("rep_text").agg(F.min("_pk").alias("_first"))

@@ -717,3 +717,97 @@ def test_verified_repeat_starts_matches_python_oracle(spark):
     expected = {(i, p) for i, p, g in positions if grams[g] > 1}
     assert got == expected
     assert got  # the boilerplate suffix repeats across 10 docs
+
+
+class TestGramStageParity:
+    """Round-11 rolling Karp-Rabin gram-hash kernel: the gh swap must be
+    output-IDENTICAL (gh is prefilter-only; identity and keep-first are
+    decided on verified gram text), across unicode, short docs, empty
+    tokens, and multi-char separators."""
+
+    CORPUS = [
+        (0, "a b c d e f g h i j a b c d e f g h i j x"),
+        (1, "z y a b c d e f g h i j a b c d e f g h i j"),
+        (2, "tiny"),
+        (3, ""),
+        (4, "ü ö ä ß € 試 験 ü ö ä ß € 試 験 one two three four"),
+        (5, "a  b   c d e f g h i j a  b   c d e f g h i j"),  # empty toks
+    ]
+
+    @pytest.mark.parametrize("min_len", [3, 5])
+    def test_verified_starts_identical(self, spark, min_len):
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            _spread,
+            _verified_repeat_starts,
+        )
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id: long, text: string")
+        base = _spread(docs).select(
+            F.col("doc_id"), F.split("text", " ").alias("_arr")
+        )
+        jvm = sorted(
+            (r.doc_id, r.pos)
+            for r in _verified_repeat_starts(
+                base, min_len, " ", "doc_id", gram_stage="jvm"
+            ).collect()
+        )
+        rolling = sorted(
+            (r.doc_id, r.pos)
+            for r in _verified_repeat_starts(
+                base, min_len, " ", "doc_id", gram_stage="rolling"
+            ).collect()
+        )
+        assert jvm == rolling
+        assert jvm  # the fixture does contain repeats
+
+    def test_full_operators_identical(self, spark):
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            exact_substring_dedup,
+            exact_substring_keep_one,
+            exact_substring_maximal,
+        )
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id: long, text: string")
+        for op in (
+            exact_substring_dedup,
+            exact_substring_maximal,
+            exact_substring_keep_one,
+        ):
+            a = sorted(
+                map(tuple, op(docs, min_len=5, gram_stage="jvm").collect())
+            )
+            b = sorted(
+                map(tuple, op(docs, min_len=5, gram_stage="rolling").collect())
+            )
+            assert a == b, op.__name__
+
+    def test_kernel_hash_equals_equal_windows(self, spark):
+        """Equal token windows must hash equal in the kernel (the only
+        property the prefilter needs): doc 0 and doc 1 share the
+        'a b … j' run — their window hashes at the aligned offsets
+        must coincide."""
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            _gram_hash_rows_rolling,
+        )
+
+        docs = spark.createDataFrame(
+            self.CORPUS[:2], "doc_id: long, text: string"
+        )
+        base = docs.select(
+            F.col("doc_id"), F.split("text", " ").alias("_arr")
+        )
+        rows = _gram_hash_rows_rolling(base, 5, " ", "doc_id").collect()
+        h = {(r.doc_id, r.pos): r.gh for r in rows}
+        # doc0 tokens: a..j a..j x ; doc1: z y a..j a..j — window of 5
+        # starting at doc0 pos 0 == doc1 pos 2
+        for off in range(8):
+            assert h[(0, off)] == h[(1, off + 2)]
+
+    def test_rejects_unknown_gram_stage(self, spark):
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            exact_substring_dedup,
+        )
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id: long, text: string")
+        with pytest.raises(ValueError):
+            exact_substring_dedup(docs, gram_stage="typo").collect()
