@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "image_stats",          # multimodal blob decode via mapInPandas
     "audio_rms",
     "ngram_jaccard_dedup",  # exact Jaccard via shingle inverted index
+    "ngram_jaccard_rolling",  # Karp-Rabin shingle-hash family (int64 index keys)
     "winnow_fingerprints",     # MOSS winnowing fingerprints (JVM HOFs)
     "winnow_passage_overlap_xxhash",  # production xxhash64 winnowing (round-10)
     "windowed_counts_stream",  # true Structured Streaming execution

@@ -165,6 +165,73 @@ def shingles(text_col: str = "text", k: int = 3):
     )
 
 
+def _shingle_hashes_rolling(
+    docs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Distinct k-word shingle HASHES per document from the rolling
+    Karp-Rabin kernel — the throughput family for the shingle inverted
+    index: the JVM form materializes one k-token string per position
+    and shuffles shingle TEXT; here each document tokenizes once
+    (Python normalization: ``strip(' ').lower()`` + ``\\s+`` split —
+    the winnow-rolling convention), joins into one codepoint stream,
+    and every shingle hash is an exact-span Karp-Rabin value
+    (:func:`_kr_span_hashes`), so the index join carries 8-byte int64
+    keys and no shingle string ever exists.
+
+    Shingle identity is the 64-bit hash (collisions conflate two
+    shingles with probability ~2^-64 per shared-index pair); the
+    oracle replica computes the SAME hashes (Horner loop,
+    demo_oracle_pipeline), so both engines agree bit-for-bit including
+    any collision.  Shorter-than-k docs hash the whole token string as
+    one shingle, matching :func:`shingles`.
+
+    Output: (id, s) — one row per DISTINCT shingle hash per document.
+    """
+    import re as _re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_field = docs.schema[id_col]
+    out_schema = T.StructType(
+        [id_field, T.StructField("s", T.LongType(), False)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = _re.split(r"\s+", str(text).strip(" ").lower())
+                n = len(toks)
+                joined = " ".join(toks)
+                cps = np.frombuffer(
+                    joined.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.uint64)
+                lens = np.fromiter(
+                    (len(t) for t in toks), dtype=np.int64, count=n
+                )
+                starts = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(lens + 1, out=starts[1:])  # sep = " "
+                kk = min(k, n)
+                p = np.arange(n - kk + 1)
+                gh = _kr_span_hashes(cps, starts[p], starts[p + kk] - 1)
+                u = np.unique(gh)
+                ids.append(np.full(len(u), did))
+                hs.append(u.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: np.concatenate(ids), "s": np.concatenate(hs)}
+                )
+
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
+        run, out_schema
+    )
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via hash-groupBy: one row per duplicated text with the
     canonical (minimum) id, member count.  Map-side partial aggregation
@@ -431,6 +498,7 @@ def ngram_jaccard_near_duplicates(
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
     collapse_identical: bool = False,
+    shingle_family: str = "text",
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard near-dup — no LSH recall loss.
 
@@ -491,14 +559,26 @@ def ngram_jaccard_near_duplicates(
             threshold=threshold,
             max_shingle_df=max_shingle_df,
             collapse_identical=False,
+            shingle_family=shingle_family,
         )
         return core.unionByName(stars)
-    ex = _explode_parallel(
-        _spread(docs),
-        [F.col(id_col)],
-        F.array_distinct(shingles(text_col, shingle_k)),
-        "s",
-    )
+    if shingle_family == "rolling":
+        # Karp-Rabin shingle hashes from the Arrow kernel: the index
+        # join carries int64, never shingle strings (tokenization is
+        # the kernel's Python normalization — see the kernel docstring)
+        ex = _shingle_hashes_rolling(docs, text_col, id_col, shingle_k)
+    elif shingle_family == "text":
+        ex = _explode_parallel(
+            _spread(docs),
+            [F.col(id_col)],
+            F.array_distinct(shingles(text_col, shingle_k)),
+            "s",
+        )
+    else:
+        raise ValueError(
+            f"unknown shingle_family {shingle_family!r} "
+            "(use 'text' or 'rolling')"
+        )
     # set sizes from the exploded (distinct-shingle) rows rather than a
     # separate size(sh) scan: a size()-based projection re-evaluates the
     # whole shingle expression inside a pushed-down join-key null filter

@@ -1749,6 +1749,31 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_near_duplicates(d, threshold=0.5).orderBy("id_a", "id_b")
 
 
+@register(
+    "ngram_jaccard_rolling",
+    # differential oracle: single-node Horner-loop replica of the
+    # rolling shingle-hash family, keyed by the documents fingerprint
+    f"""
+    SELECT id_a, id_b, jaccard
+    FROM {_dt("expected_ngram_jaccard_rolling")}
+    WHERE corpus_fp = {_DOCS_FP_SQL}
+    ORDER BY id_a, id_b
+    """,
+    covers="n-gram Jaccard near-dup, THROUGHPUT shingle family "
+    "(round-11): Karp-Rabin shingle hashes from the Arrow kernel — the "
+    "inverted-index join carries 8-byte int64 keys instead of shingle "
+    "STRINGS, and no per-position shingle text is ever materialized; "
+    "hash-checked against an independent pure-Python Horner-loop "
+    "replica (identity = 64-bit hash; both engines compute identical "
+    "hashes, collisions included)",
+)
+def q_ngram_jaccard_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")  # operator spreads internally
+    return ngram_jaccard_near_duplicates(
+        d, threshold=0.5, shingle_family="rolling"
+    ).orderBy("id_a", "id_b")
+
+
 # ---- production-valve twin: collapse_identical=True -----------------------
 # The sf tables contain no byte-identical texts (every doc_id has distinct
 # text), so the valved entry builds its duplicate groups explicitly: the
@@ -7597,7 +7622,8 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + replica normalization fix; ivf/pq family: the r10 codebook-sample
 # change the r10 tail omitted — ADVICE item; master_variants via the
 # grouped_map carry rewrite), then the r8-vintage cohort.  The prefix
-# is 64 entries (9 new r11 entries), so stream_dedup, the
+# is 65 entries (10 new r11 entries), so stored_curve_quantiles,
+# stream_dedup, the
 # tar_shards pair, trip_descriptors / trip_resolution plus the LAST
 # 9 r8 rows (static
 # SQL / bounded fixture rows with the least regression risk;
@@ -7610,6 +7636,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sketch_overlap",
     "jl_projection",
     "leakage_safe_splits",
+    "ngram_jaccard_rolling",
     "semantic_dedup_windowed",
     "winnow_passage_overlap_rolling",
     "soft_dedup_weights",
@@ -7630,7 +7657,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ivfpq_topk",
     "ivfpq_recall",
     "master_variants",
-    # r8-vintage cohort (27 fit the 50-sample window; the deferred
+    # r8-vintage cohort (26 fit the 50-sample window; the deferred
     # rows below the marker lead r12)
     "banding_plan",
     "best_of_cluster",
@@ -7658,8 +7685,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "paragraph_dedup",
     "perplexity_buckets",
     "scheduled_predictions",
-    "stored_curve_quantiles",
     # --- 50-sample window ends here; deferred r8 rows (lead r12) ---
+    "stored_curve_quantiles",
     "stream_dedup",
     "tar_shards_dist_write",
     "tar_shards_roundtrip",

@@ -300,12 +300,14 @@ def ensure_demo_oracle_dir() -> str:
     # oracle gap for the production hash path
     from .demo_oracle_pipeline import (
         expected_minhash_xxhash,
+        expected_ngram_jaccard_rolling,
         expected_simhash_xxhash,
         expected_winnow_rolling,
         expected_winnow_xxhash,
     )
 
     mh_frames, sh_frames, wx_frames, wr_frames = [], [], [], []
+    nj_frames = []
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         d = os.path.join(TESTDATA_ROOT, sf)
         if os.path.exists(os.path.join(d, "documents.parquet")):
@@ -313,6 +315,7 @@ def ensure_demo_oracle_dir() -> str:
             sh_frames.append(expected_simhash_xxhash(d))
             wx_frames.append(expected_winnow_xxhash(d))
             wr_frames.append(expected_winnow_rolling(d))
+            nj_frames.append(expected_ngram_jaccard_rolling(d))
     _MHX_EMPTY = pd.DataFrame(
         {
             "corpus_fp": pd.Series(dtype="int64"),
@@ -327,6 +330,14 @@ def ensure_demo_oracle_dir() -> str:
             preserve_index=False,
         ),
         os.path.join(build_dir, "expected_minhash_xxhash.parquet"),
+    )
+    # rolling-shingle Jaccard expected (same frame shape as minhash)
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat([_MHX_EMPTY, *nj_frames], ignore_index=True),
+            preserve_index=False,
+        ),
+        os.path.join(build_dir, "expected_ngram_jaccard_rolling.parquet"),
     )
     _SHX_EMPTY = pd.DataFrame(
         {

@@ -1799,3 +1799,66 @@ def expected_pca_spectrum(sf_dir: str, k: int = 8) -> pd.DataFrame:
             "corpus_fp", "component", "eigenvalue", "var_ratio", "cum_ratio"
         ],
     ).astype({"corpus_fp": "int64", "component": "int32"})
+
+
+def expected_ngram_jaccard_rolling(
+    sf_dir: str, shingle_k: int = 3, threshold: float = 0.5
+) -> pd.DataFrame:
+    """Independent single-node replica of
+    ngram_jaccard_near_duplicates(shingle_family='rolling'): Python
+    tokenization (strip(' ').lower + \\s+ split — the kernel's own
+    convention), per-shingle HORNER-loop Karp-Rabin hashes
+    (deliberately a different shape than the engine's span
+    vectorization, with its own copy of the base constant), distinct
+    hash sets, inverted-index pair counts, exact Jaccard division.
+    Keyed by the documents fingerprint like the other expecteds."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    KR_BASE = 1_000_003  # own copy: engine drift must BREAK parity
+    mask = (1 << 64) - 1
+
+    def horner(s: str) -> int:
+        h = 0
+        for c in s:
+            h = (h * KR_BASE + ord(c)) & mask
+        return h
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    fp = 0
+    sets: dict[int, frozenset] = {}
+    for did, text in zip(t["doc_id"], t["text"]):
+        text = str(text)
+        fp += (int(did) + 1) * len(text)
+        toks = re.split(r"\s+", text.strip(" ").lower())
+        n = len(toks)
+        if n < shingle_k:
+            sh = {horner(" ".join(toks))}
+        else:
+            sh = {
+                horner(" ".join(toks[i : i + shingle_k]))
+                for i in range(n - shingle_k + 1)
+            }
+        sets[int(did)] = frozenset(sh)
+    index: dict[int, list[int]] = {}
+    for did, sh in sets.items():
+        for h in sh:
+            index.setdefault(h, []).append(did)
+    inter: dict[tuple[int, int], int] = {}
+    for members in index.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                key = (members[i], members[j])
+                inter[key] = inter.get(key, 0) + 1
+    out = []
+    for (a, b), ni in sorted(inter.items()):
+        jac = ni / (len(sets[a]) + len(sets[b]) - ni)
+        if jac >= threshold:
+            out.append(
+                {"corpus_fp": fp, "id_a": a, "id_b": b, "jaccard": jac}
+            )
+    return pd.DataFrame(
+        out, columns=["corpus_fp", "id_a", "id_b", "jaccard"]
+    ).astype({"corpus_fp": "int64", "id_a": "int64", "id_b": "int64"})

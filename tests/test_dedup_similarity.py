@@ -1174,3 +1174,66 @@ def test_soft_dedup_weights_exact_groups_and_cluster_mode(spark):
     assert wc[1] == (2, round(2 ** -0.5, 6)) == wc[2]
     assert wc[4] == (1, 1.0)
     assert len(wc) == 5  # every input row present exactly once
+
+
+class TestRollingShingleFamily:
+    """Round-11 rolling Karp-Rabin shingle family for ngram Jaccard."""
+
+    CORPUS = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy cat today"),
+        (2, "a completely different document about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog today"),
+        (4, "short"),
+        (5, "short"),
+    ]
+
+    def test_matches_text_family_on_plain_corpus(self, spark):
+        """On plain-ASCII text (identical tokenization both paths and
+        no 64-bit collisions), the hash family must reproduce the text
+        family's pairs and jaccard values exactly."""
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            ngram_jaccard_near_duplicates,
+        )
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id: long, text: string")
+        text = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_near_duplicates(
+                docs, threshold=0.3, shingle_family="text"
+            ).collect()
+        )
+        rolling = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_near_duplicates(
+                docs, threshold=0.3, shingle_family="rolling"
+            ).collect()
+        )
+        assert text == rolling
+        assert (0, 3, 1.0) in rolling  # identical docs
+        assert (4, 5, 1.0) in rolling  # shorter-than-k whole-text shingle
+
+    def test_collapse_identical_composes(self, spark):
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            ngram_jaccard_near_duplicates,
+        )
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id: long, text: string")
+        out = ngram_jaccard_near_duplicates(
+            docs,
+            threshold=0.3,
+            shingle_family="rolling",
+            collapse_identical=True,
+        ).collect()
+        pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+        assert pairs[(0, 3)] == 1.0 and pairs[(4, 5)] == 1.0
+        assert (0, 1) in pairs  # near-dup still found via representatives
+
+    def test_rejects_unknown_family(self, spark):
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            ngram_jaccard_near_duplicates,
+        )
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id: long, text: string")
+        with pytest.raises(ValueError):
+            ngram_jaccard_near_duplicates(docs, shingle_family="typo")
