@@ -527,17 +527,34 @@ def test_paragraph_dedup_single_corpus_shuffle(spark, sf_dir):
 
 def test_exact_substring_dedup_no_gram_text_explode(spark, sf_dir):
     # the full-volume stage must shuffle (hash, pos) pairs, never gram
-    # text: the only Generate (explode) in the plan emits the 16-byte
-    # struct<pos,gh> built by the JVM HOF projection
+    # text.  Round 11: the gram stream comes from the Arrow-batched
+    # rolling-hash kernel (ArrowEvalPython — batched, NOT row-at-a-time
+    # BatchEvalPython), so there is no gram explode at all; gram TEXT
+    # (gtext) may only appear in the candidate-volume verify stage,
+    # never under a Generate
     df = Q.q_exact_substring_dedup(spark, sf_dir)
     plan = formatted_plan(df)
-    assert "pythonudf" not in plan.lower()
+    assert "MapInPandas" in plan  # the rolling gram kernel (Arrow-batched)
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     import re
 
     gens = re.findall(r"Generate [^\n]*", plan)
-    assert gens, "expected the gram explode"
     assert all("gtext" not in g for g in gens), gens
+    # and the JVM A/B leg keeps the original shape: gram explode of the
+    # 16-byte struct, zero Python
+    from dystonse_gtfs_data_spark.operators.dedup import exact_substring_dedup
+    from dystonse_gtfs_data_spark.sources.tables import load_table
+
+    jvm_plan = formatted_plan(
+        exact_substring_dedup(
+            load_table(spark, sf_dir, "documents"), gram_stage="jvm"
+        )
+    )
+    assert "pythonudf" not in jvm_plan.lower()
+    jvm_gens = re.findall(r"Generate [^\n]*", jvm_plan)
+    assert jvm_gens, "expected the gram explode on the jvm leg"
+    assert all("gtext" not in g for g in jvm_gens), jvm_gens
 
 
 def test_unimax_corpus_never_shuffles(spark, sf_dir):
