@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "ivf_topk",             # IVF ANN (sample-trained codebook)
     # round-3 additions
     "minhash_near_dups_xxhash",  # production hash family (md5 fold is oracle-only)
+    "minhash_near_dups_rolling", # Arrow span-hash signature kernel (scale path)
     "simhash_near_dups_xxhash",
     "image_stats",          # multimodal blob decode via mapInPandas
     "audio_rms",

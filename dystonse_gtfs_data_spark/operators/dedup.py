@@ -205,27 +205,96 @@ def _shingle_hashes_rolling(
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                toks = _re.split(r"\s+", str(text).strip(" ").lower())
-                n = len(toks)
-                joined = " ".join(toks)
-                cps = np.frombuffer(
-                    joined.encode("utf-32-le"), dtype="<u4"
-                ).astype(np.uint64)
-                lens = np.fromiter(
-                    (len(t) for t in toks), dtype=np.int64, count=n
-                )
-                starts = np.zeros(n + 1, dtype=np.int64)
-                np.cumsum(lens + 1, out=starts[1:])  # sep = " "
-                kk = min(k, n)
-                p = np.arange(n - kk + 1)
-                gh = _kr_span_hashes(cps, starts[p], starts[p + kk] - 1)
-                u = np.unique(gh)
+                u = np.unique(_rolling_shingle_u64(str(text), k))
                 ids.append(np.full(len(u), did))
                 hs.append(u.view(np.int64))
             if ids:
                 yield pd.DataFrame(
                     {id_col: np.concatenate(ids), "s": np.concatenate(hs)}
                 )
+
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
+        run, out_schema
+    )
+
+
+def _rolling_shingle_u64(text: str, k: int):
+    """All k-word shingle Karp-Rabin hashes of one document as uint64 —
+    the shared per-doc core of the rolling shingle kernels (Jaccard
+    index, minhash signatures).  Normalization: ``strip(' ').lower()``
+    + ``\\s+`` split (the winnow-rolling convention); shorter-than-k
+    docs hash the whole token string as one shingle."""
+    import re as _re
+
+    import numpy as np
+
+    toks = _re.split(r"\s+", text.strip(" ").lower())
+    n = len(toks)
+    joined = " ".join(toks)
+    cps = np.frombuffer(
+        joined.encode("utf-32-le"), dtype="<u4"
+    ).astype(np.uint64)
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens + 1, out=starts[1:])  # sep = " "
+    kk = min(k, n)
+    p = np.arange(n - kk + 1)
+    return _kr_span_hashes(cps, starts[p], starts[p + kk] - 1)
+
+
+def _minhash_signatures_rolling(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_k: int,
+) -> DataFrame:
+    """MinHash signatures with the rolling shingle family, computed
+    whole-document inside the Arrow kernel: distinct Karp-Rabin shingle
+    hashes (no shingle string ever materializes), base value
+    ``h mod P`` (P = 2^31−1, so every affine term fits int64 exactly —
+    no wrap emulation needed), then all ``num_hashes`` permutation
+    minima as ONE numpy (H × n_shingles) matrix reduction per document.
+    The groupBy the JVM path needs disappears entirely — each document
+    emits its finished signature row, so the only corpus-volume
+    exchange left in the pipeline is the banding self-join.
+
+    Same affine family constants as every other path
+    (:func:`_hash_family`); the oracle replica recomputes signatures
+    with pure-Python ints (demo_oracle_pipeline.expected_minhash_rolling).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_field = docs.schema[id_col]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField(
+                "signature", T.ArrayType(T.LongType(), False), False
+            ),
+        ]
+    )
+    fam = np.asarray(_hash_family(num_hashes), dtype=np.int64)
+    A, B = fam[:, 0][:, None], fam[:, 1][:, None]
+    P = np.int64(MERSENNE_P)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                u = np.unique(_rolling_shingle_u64(str(text), shingle_k))
+                hp = (u % np.uint64(MERSENNE_P)).astype(np.int64)
+                sig = ((hp[None, :] * A + B) % P).min(axis=1)
+                ids.append(did)
+                sigs.append(sig.tolist())
+            if ids:
+                yield pd.DataFrame({id_col: ids, "signature": sigs})
 
     return _spread(docs.select(id_col, text_col)).mapInPandas(
         run, out_schema
@@ -348,7 +417,14 @@ def minhash_signatures(
     portable md5 fold for cross-engine-verifiable runs), then computes
     all ``num_hashes`` permutation minima as independent agg expressions
     over a single groupBy — signature width never multiplies the shuffle.
+    ``base_hash="rolling"`` (round 11) computes whole signatures inside
+    the Arrow span-hash kernel instead — no shingle strings, no groupBy
+    (:func:`_minhash_signatures_rolling`).
     """
+    if base_hash == "rolling":
+        return _minhash_signatures_rolling(
+            docs, text_col, id_col, num_hashes, shingle_k
+        )
     fam = _hash_family(num_hashes)
     sh = _explode_parallel(
         _spread(docs), [F.col(id_col)], shingles(text_col, shingle_k), "shingle"

@@ -1678,6 +1678,32 @@ def q_minhash_near_dups_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_near_dups_rolling",
+    # differential oracle: single-node Horner-loop replica of the
+    # rolling signature kernel (own base-constant copy), keyed by the
+    # documents fingerprint
+    f"""
+    SELECT id_a, id_b, jaccard
+    FROM {_dt("expected_minhash_rolling")}
+    WHERE corpus_fp = {_DOCS_FP_SQL}
+    ORDER BY id_a, id_b
+    """,
+    covers="MinHash+LSH near-dup, THROUGHPUT base-hash family "
+    "(round-11): whole signatures computed inside the Arrow span-hash "
+    "kernel — no shingle strings, no signature groupBy; the only "
+    "corpus-volume exchange left is the banding self-join.  Verified "
+    "pairs still exact-Jaccard (family-independent JVM verify); "
+    "hash-checked against an independent pure-Python Horner-loop "
+    "pipeline replica",
+)
+def q_minhash_near_dups_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, threshold=0.5, base_hash="rolling").orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
     "simhash_near_dups_xxhash",
     f"""
     SELECT id_a, id_b, hamming
@@ -7622,7 +7648,8 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + replica normalization fix; ivf/pq family: the r10 codebook-sample
 # change the r10 tail omitted — ADVICE item; master_variants via the
 # grouped_map carry rewrite), then the r8-vintage cohort.  The prefix
-# is 65 entries (10 new r11 entries), so stored_curve_quantiles,
+# is 66 entries (11 new r11 entries), so scheduled_predictions,
+# stored_curve_quantiles,
 # stream_dedup, the
 # tar_shards pair, trip_descriptors / trip_resolution plus the LAST
 # 9 r8 rows (static
@@ -7637,6 +7664,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "jl_projection",
     "leakage_safe_splits",
     "ngram_jaccard_rolling",
+    "minhash_near_dups_rolling",
     "semantic_dedup_windowed",
     "winnow_passage_overlap_rolling",
     "soft_dedup_weights",
@@ -7657,7 +7685,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ivfpq_topk",
     "ivfpq_recall",
     "master_variants",
-    # r8-vintage cohort (26 fit the 50-sample window; the deferred
+    # r8-vintage cohort (25 fit the 50-sample window; the deferred
     # rows below the marker lead r12)
     "banding_plan",
     "best_of_cluster",
@@ -7684,8 +7712,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pair_count_matrix",
     "paragraph_dedup",
     "perplexity_buckets",
-    "scheduled_predictions",
     # --- 50-sample window ends here; deferred r8 rows (lead r12) ---
+    "scheduled_predictions",
     "stored_curve_quantiles",
     "stream_dedup",
     "tar_shards_dist_write",

@@ -299,6 +299,7 @@ def ensure_demo_oracle_dir() -> str:
     # (functions/xxh.py) keyed by the documents fingerprint — closes the
     # oracle gap for the production hash path
     from .demo_oracle_pipeline import (
+        expected_minhash_rolling,
         expected_minhash_xxhash,
         expected_ngram_jaccard_rolling,
         expected_simhash_xxhash,
@@ -307,7 +308,7 @@ def ensure_demo_oracle_dir() -> str:
     )
 
     mh_frames, sh_frames, wx_frames, wr_frames = [], [], [], []
-    nj_frames = []
+    nj_frames, mhr_frames = [], []
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         d = os.path.join(TESTDATA_ROOT, sf)
         if os.path.exists(os.path.join(d, "documents.parquet")):
@@ -316,6 +317,7 @@ def ensure_demo_oracle_dir() -> str:
             wx_frames.append(expected_winnow_xxhash(d))
             wr_frames.append(expected_winnow_rolling(d))
             nj_frames.append(expected_ngram_jaccard_rolling(d))
+            mhr_frames.append(expected_minhash_rolling(d))
     _MHX_EMPTY = pd.DataFrame(
         {
             "corpus_fp": pd.Series(dtype="int64"),
@@ -338,6 +340,14 @@ def ensure_demo_oracle_dir() -> str:
             preserve_index=False,
         ),
         os.path.join(build_dir, "expected_ngram_jaccard_rolling.parquet"),
+    )
+    # rolling-base minhash expected (same frame shape)
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat([_MHX_EMPTY, *mhr_frames], ignore_index=True),
+            preserve_index=False,
+        ),
+        os.path.join(build_dir, "expected_minhash_rolling.parquet"),
     )
     _SHX_EMPTY = pd.DataFrame(
         {

@@ -1862,3 +1862,89 @@ def expected_ngram_jaccard_rolling(
     return pd.DataFrame(
         out, columns=["corpus_fp", "id_a", "id_b", "jaccard"]
     ).astype({"corpus_fp": "int64", "id_a": "int64", "id_b": "int64"})
+
+
+def expected_minhash_rolling(
+    sf_dir: str,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> pd.DataFrame:
+    """Independent single-node replica of
+    minhash_near_duplicates(base_hash='rolling'): per-shingle
+    HORNER-loop Karp-Rabin hashes (own base-constant copy — engine
+    drift must break parity) over the KERNEL's normalization
+    (strip(' ').lower + \\s+ split), pure-Python affine minima,
+    banding, candidate join; the exact-Jaccard verify replicates the
+    engine's JVM ngram_jaccard_pairs over _doc_tokens_fp tokens (the
+    two stages tokenize independently, exactly like the engine)."""
+    import re
+
+    from ..operators.dedup import MERSENNE_P, _hash_family
+
+    KR_BASE = 1_000_003
+    mask = (1 << 64) - 1
+
+    def horner(s: str) -> int:
+        h = 0
+        for c in s:
+            h = (h * KR_BASE + ord(c)) & mask
+        return h
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()
+    fam = _hash_family(num_hashes)
+    rows = num_hashes // num_bands
+    fp = 0
+    sigs: dict[int, tuple] = {}
+    verify_sets: dict[int, frozenset] = {}
+    for did, text in zip(t["doc_id"], t["text"]):
+        did, text = int(did), str(text)
+        fp += (did + 1) * len(text)
+        # candidate stage: the kernel's own normalization
+        ktoks = re.split(r"\s+", text.strip(" ").lower())
+        if len(ktoks) < shingle_k:
+            hs = {horner(" ".join(ktoks)) % MERSENNE_P}
+        else:
+            hs = {
+                horner(" ".join(ktoks[i : i + shingle_k])) % MERSENNE_P
+                for i in range(len(ktoks) - shingle_k + 1)
+            }
+        sigs[did] = tuple(
+            min((h * a + b) % MERSENNE_P for h in hs) for a, b in fam
+        )
+        # verify stage: the JVM tokenization (ngram_jaccard_pairs twin)
+        vtoks = re.split(r"\s+", text.strip().lower())
+        if len(vtoks) < shingle_k:
+            vs = {" ".join(vtoks)}
+        else:
+            vs = {
+                " ".join(vtoks[i : i + shingle_k])
+                for i in range(len(vtoks) - shingle_k + 1)
+            }
+        verify_sets[did] = frozenset(vs)
+
+    buckets: dict[tuple, list[int]] = {}
+    for did, sig in sigs.items():
+        for b in range(num_bands):
+            key = (b, sig[b * rows : (b + 1) * rows])
+            buckets.setdefault(key, []).append(did)
+    cand = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cand.add((members[i], members[j]))
+    out = []
+    for id_a, id_b in sorted(cand):
+        sa, sb = verify_sets[id_a], verify_sets[id_b]
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= threshold:
+            out.append(
+                {"corpus_fp": fp, "id_a": id_a, "id_b": id_b, "jaccard": jac}
+            )
+    return pd.DataFrame(
+        out, columns=["corpus_fp", "id_a", "id_b", "jaccard"]
+    ).astype({"corpus_fp": "int64", "id_a": "int64", "id_b": "int64"})

@@ -1237,3 +1237,78 @@ class TestRollingShingleFamily:
         docs = spark.createDataFrame(self.CORPUS, "doc_id: long, text: string")
         with pytest.raises(ValueError):
             ngram_jaccard_near_duplicates(docs, shingle_family="typo")
+
+
+class TestRollingMinhashFamily:
+    """Round-11 rolling base-hash family: whole signatures from the
+    Arrow kernel."""
+
+    CORPUS = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again too"),
+        (2, "an entirely different body of text with no overlap at all"),
+        (3, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+
+    def test_signature_properties_and_pairs(self, spark):
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            minhash_near_duplicates,
+            minhash_signatures,
+        )
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id: long, text: string")
+        sigs = {
+            r.doc_id: tuple(r.signature)
+            for r in minhash_signatures(docs, base_hash="rolling").collect()
+        }
+        assert len(sigs) == 4 and all(len(s) == 64 for s in sigs.values())
+        assert sigs[0] == sigs[3]  # identical docs, identical signature
+        assert sigs[0] != sigs[2]
+        # doc1 = doc0 + one appended word: J = 10/11 ≈ 0.91 →
+        # E[agreement] ≈ 58/64, far above the unrelated pair's ~0
+        agree = sum(a == b for a, b in zip(sigs[0], sigs[1]))
+        agree_far = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+        assert agree > 44 > agree_far
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in minhash_near_duplicates(
+                docs, threshold=0.5, base_hash="rolling"
+            ).collect()
+        }
+        assert pairs[(0, 3)] == 1.0
+        assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5
+        assert not any(2 in p for p in pairs)
+
+    def test_matches_replica_signature_math(self, spark):
+        """Kernel signature == pure-Python Horner + affine minima (the
+        oracle's candidate-stage math), bit for bit."""
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            MERSENNE_P,
+            _hash_family,
+            minhash_signatures,
+        )
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id: long, text: string")
+        sigs = {
+            r.doc_id: list(r.signature)
+            for r in minhash_signatures(docs, base_hash="rolling").collect()
+        }
+        fam = _hash_family(64)
+        KR_BASE, mask = 1_000_003, (1 << 64) - 1
+        import re
+
+        for did, text in self.CORPUS:
+            toks = re.split(r"\s+", text.strip(" ").lower())
+            sh = (
+                {" ".join(toks)}
+                if len(toks) < 3
+                else {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            )
+            hs = set()
+            for s in sh:
+                h = 0
+                for c in s:
+                    h = (h * KR_BASE + ord(c)) & mask
+                hs.add(h % MERSENNE_P)
+            want = [min((h * a + b) % MERSENNE_P for h in hs) for a, b in fam]
+            assert sigs[did] == want
