@@ -179,10 +179,14 @@ def kmeans_assign(
 
     Init is KMV-style: the k vectors with the smallest portable hash of
     their id seed the centroids (a deterministic, engine-independent
-    analog of random init).  ``rounds`` Lloyd iterations are UNROLLED
-    into the plan — at 2-3 rounds this stays a static DAG (no iterative
-    lineage growth); for many rounds cut lineage per round like
-    :func:`connected_components`.
+    analog of random init).  ``rounds`` Lloyd iterations run as one
+    loop with the k-row centroid table eagerly CHECKPOINTED at each
+    round top (round 11): the unrolled lineage made every construction
+    re-analyze a geometrically nested plan (6.7-11.6 s of driver time
+    at rounds=2/coarse=4 before the cut) and made each hier reference
+    re-execute the upstream round; the cut costs one k-row
+    materialization per round — a pass the consuming action paid
+    anyway — and is value-identical (deterministic int64 terms).
 
     Scale shape per round (reworked round 6 after the sf10 rehearsal):
     the assignment is an id × k row space — each vector row meets the
@@ -269,19 +273,42 @@ def kmeans_assign(
         )
 
     hier = coarse is not None and 1 < coarse < k
-    if hier:
-        from ..cache import tracked_persist
+
+    def _cut_small(df: DataFrame) -> DataFrame:
+        # k rows × dim — an eager checkpoint SEVERS the unrolled-round
+        # lineage (LogicalRDD leaf), which a lazy persist cannot: the
+        # cache dedups execution but every downstream transformation
+        # still re-ANALYZES the full nested round plan.  Measured at
+        # sf0.1 (round 11): kmeans_assign(k=16, rounds=2, coarse=4)
+        # construction 6.7-11.6 s of pure driver analysis before the
+        # cut, and the hier round's 3 references re-ran 50 parquet
+        # scans before the round-10 persist — the cut fixes both for
+        # the cost of materializing one k-row table per round (a pass
+        # the consuming action paid anyway).  Reliable checkpoint when
+        # the caller configured a dir (cluster path), executor-local
+        # otherwise — the same branch as connected_components.
+        spark = df.sparkSession
+        if spark.sparkContext.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
 
     assign = None
     for _ in range(rounds):
         if hier:
-            # the centroid-array table is referenced three times per
-            # round (coarse codebook, fine→cell, fine candidates); with
-            # unrolled lineage each reference would otherwise re-run the
-            # whole upstream round (measured: 50 parquet scans vs 8 at
-            # rounds=2 before this persist).  k rows × dim — trivially
-            # cached; harnesses drop it via release_persisted()
-            cents_arr = tracked_persist(cents_arr)
+            # cut at round top: covers the seed pick before round 1 and
+            # the previous round's centroid update after — the LAST
+            # round's update (dead code below the returned `assign`)
+            # stays lazy and is never executed.  HIER ONLY: with 3
+            # references per round the uncut hier plan grew to 481
+            # Exchange / 159 parquet-scan nodes at rounds=2, now 84/12
+            # (measured sf0.1 A/B, min over noisy co-tenant sessions:
+            # 7.7 → 5.2 s); the flat path's
+            # single-reference nesting stays small (48 Exchange) and
+            # the same eager cut REGRESSED it (serialized corpus
+            # passes that one action otherwise shares: semantic_dedup
+            # 4.83 → 6.30 s, windowed 4.92 → 17.9 s) — measured, so
+            # flat stays fully lazy.
+            cents_arr = _cut_small(cents_arr)
             # coarse codebook: the first `coarse` fine centroids
             gq_tbl = (
                 cents_arr.filter(F.col("cid") < coarse)
