@@ -1769,14 +1769,30 @@ def exact_substring_dedup(
         F.col("_c") > 1
     )
     cand = occ.join(hot.select("gh"), "gh").drop("gh")
-    # stage 2: exact-text verification on candidates only (same shape)
-    withtext = cand.join(base, id_col).select(
-        F.col(id_col),
-        "pos",
-        F.concat_ws(
-            sep, F.slice(F.col("_arr"), F.col("pos") + 1, min_len)
-        ).alias("gtext"),
-    ).withColumn("_pk", _pos_key(id_col, "pos"))
+    # stage 2: exact-text verification on candidates only (same shape).
+    # withtext feeds BOTH the gtext stats aggregate and the dups join
+    # below; without a cache boundary each consumer re-runs the whole
+    # corpus-volume chain above it (scan → split → gram kernel ×2 →
+    # candidate join — zero ReusedExchange: the hot side broadcasts, so
+    # no exchange is shared).  The lazy persist is candidate-volume
+    # only ((id, pos, gtext): duplication mass × min_len tokens, spills
+    # via MEMORY_AND_DISK) and is released by the harness's
+    # release_persisted(); measured 10.7 → 5.9 s median at sf1
+    # (OPTIMIZATION_r11.md — persisting cand as well, or the keep-one
+    # analog, measured NEGATIVE and stays out).
+    from ..cache import tracked_persist
+
+    withtext = tracked_persist(
+        cand.join(base, id_col)
+        .select(
+            F.col(id_col),
+            "pos",
+            F.concat_ws(
+                sep, F.slice(F.col("_arr"), F.col("pos") + 1, min_len)
+            ).alias("gtext"),
+        )
+        .withColumn("_pk", _pos_key(id_col, "pos"))
+    )
     tstats = withtext.groupBy("gtext").agg(
         F.count("*").alias("_n"), F.min("_pk").alias("_first")
     )
@@ -3005,21 +3021,33 @@ def banding_plan(
         F.count(F.when(F.col("s") >= dup_threshold, 1)).alias("true_pairs"),
         F.count(F.when(F.col("s") < dup_threshold, 1)).alias("near_miss_pairs"),
     ]
+    # Column-algebra twin of banding_collision_sql: c = c*c applied
+    # bit_length-1 times IS the _pow_sq_expr repeated-squaring tree
+    # (same multiplies in the same order, so the micro-unit rounding
+    # stays bit-identical to the DuckDB twin) — but built as small
+    # shared Column trees instead of F.expr strings whose inlined
+    # polynomial doubles per squaring (the (64,1) string is 1.3 KB and
+    # the 14 CASE parses + agg analysis measured 9.3 s cold / 1.1 s
+    # warm on the driver; the Column form cut the cold agg build to
+    # ~0.3 s — guide §1/§7 driver-side construction cost)
+    def _pow_sq(c, k: int):
+        for _ in range(k):
+            c = c * c
+        return c
+
+    thr = F.lit(float(dup_threshold))
     for i, (b, r) in enumerate(combos):
-        pu = (
-            f"CAST(round(({banding_collision_sql(b, r)}) * 1000000.0) "
-            "AS BIGINT)"
-        )
+        sr = _pow_sq(F.col("s"), r.bit_length() - 1)
+        miss = _pow_sq(F.lit(1.0) - sr, b.bit_length() - 1)
+        pu = F.round((F.lit(1.0) - miss) * F.lit(1000000.0)).cast("long")
         aggs.append(
             F.coalesce(
-                F.sum(F.expr(f"CASE WHEN s >= {dup_threshold!r} THEN {pu} END")),
-                F.lit(0),
+                F.sum(F.when(F.col("s") >= thr, pu)), F.lit(0)
             ).alias(f"hit_units_{i}")
         )
         aggs.append(
             F.coalesce(
-                F.sum(F.expr(f"CASE WHEN s < {dup_threshold!r} THEN {pu} END")),
-                F.lit(0),
+                F.sum(F.when(F.col("s") < thr, pu)), F.lit(0)
             ).alias(f"fp_units_{i}")
         )
     agg = s.agg(*aggs)
