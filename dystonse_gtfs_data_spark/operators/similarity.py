@@ -156,7 +156,9 @@ def lsh_bucket(vec, planes: list[list[float]]):
     every corpus row computes tables × planes of them.)"""
     bits = []
     for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(v)) for v in p])
+        # one array literal per plane (not dim F.lit py4j calls — the
+        # round-11 literal-matrix lesson from pca.jl_project)
+        arr = F.lit([float(v) for v in p])
         bits.append(F.when(_dot(vec, arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
     return sum(bits[1:], bits[0])
 
@@ -381,11 +383,20 @@ def ivf_assign(
     cents = np.asarray(centroids, dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     norm = _norm(F.col(vec_col))
-    scored = []
-    for ci, c in enumerate(cents):
-        arr = F.array(*[F.lit(float(v)) for v in c])
-        scored.append(F.struct((_dot(F.col(vec_col), arr) / norm).alias("sim"), F.lit(ci).alias("cid")))
-    top = F.slice(F.reverse(F.array_sort(F.array(*scored))), 1, n_probe)
+    # the k×dim centroid matrix ships as ONE nested-list literal and a
+    # transform-with-index lambda builds the same (sim, cid) structs the
+    # per-centroid F.array(*lits) loop did (identical _dot fold order;
+    # the lambda index IS the old F.lit(ci)) — k·dim py4j round trips
+    # collapse to one (the round-11 literal-matrix lesson)
+    cents_lit = F.lit([[float(v) for v in c] for c in cents])
+    scored = F.transform(
+        cents_lit,
+        lambda row, i: F.struct(
+            (_dot(F.col(vec_col), row) / norm).alias("sim"),
+            i.alias("cid"),
+        ),
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
     return vectors.select(
         F.col(id_col), F.col(vec_col), *[F.col(c) for c in extra_cols],
         F.explode(top).alias("_c"),
@@ -770,9 +781,9 @@ def pq_encode(
     sd = len(codebooks[0][0])
     cols = []
     for m, book in enumerate(codebooks):
-        lit_book = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for c in book]
-        )
+        # one nested-list literal per subspace instead of ksub·sd F.lit
+        # py4j calls (round-11 literal-matrix lesson; values identical)
+        lit_book = F.lit([[float(v) for v in c] for c in book])
         sub = F.slice(F.col(vec_col), m * sd + 1, sd)
         cands = F.transform(
             lit_book,
@@ -893,9 +904,9 @@ def ivfpq_topk(
     n2 = F.lit(0.0)
     norm2 = [[fold_dot_py(c, c) for c in book] for book in codebooks]
     for m, book in enumerate(codebooks):
-        lit_book = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for c in book]
-        )
+        # nested-list literals (see pq_encode) — same ADC float chain,
+        # ~2·ksub·sd fewer py4j calls per subspace
+        lit_book = F.lit([[float(v) for v in c] for c in book])
         code = F.col(f"code_{m}")
         cvec = F.element_at(lit_book, code + 1)
         qsub = F.slice(F.col("q_vec"), m * sd + 1, sd)
@@ -905,7 +916,7 @@ def ivfpq_topk(
             lambda a, t: a + t,
         )
         n2 = n2 + F.element_at(
-            F.array(*[F.lit(float(v)) for v in norm2[m]]), code + 1
+            F.lit([float(v) for v in norm2[m]]), code + 1
         )
     if collapse_identical:
         scored = c_assigned.join(F.broadcast(q_assigned), "centroid_id").select(
