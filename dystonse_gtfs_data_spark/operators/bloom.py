@@ -107,19 +107,22 @@ def bloom_words_literal(spark, words: list[int]) -> Column:
     """The dense word list as ONE ArrayType(LongType) Literal.
 
     ``F.lit(list)`` lowers to ``array(lit, lit, …)`` — one child
-    expression PER ELEMENT — which is fine at the 2 k-word default
-    width but OOMs codegen/task-deserialization once a count-sized
-    filter reaches hundreds of thousands of words (found live: the
-    sf10 repeat prefilter at n=1.2 M keys → 306 k words → executor
-    heap death).  Packing the words into a byte buffer and calling the
-    JVM's public ``functions.lit(Array[Long])`` yields a single
-    compact Literal: one py4j transfer, one plan node, one task-binary
-    broadcast.  Falls back to ``F.lit`` for tiny filters or if the
+    expression PER ELEMENT — which OOMs codegen/task-deserialization
+    once a count-sized filter reaches hundreds of thousands of words
+    (found live: the sf10 repeat prefilter at n=1.2 M keys → 306 k
+    words → executor heap death), and even at the 2 k-word default
+    width costs one py4j round trip per element (measured 2-4 s of
+    driver chatter per construction — round-11 profiling found it the
+    single largest cost of the bloom_semi_prune entry).  Packing the
+    words into a byte buffer and calling the JVM's public
+    ``functions.lit(Array[Long])`` yields a single compact Literal:
+    one py4j transfer, one plan node, one task-binary broadcast — used
+    at EVERY width.  Constant folding collapses the old
+    ``array(lit, …)`` form to the same Literal, so executed plans are
+    identical (plan-pinned).  Falls back to ``F.lit`` only if the
     gateway shape ever changes."""
     import struct
 
-    if len(words) <= 4096:
-        return F.lit(words).cast("array<bigint>")
     try:
         sc = spark.sparkContext
         jvm = sc._jvm
