@@ -45,6 +45,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.lits import lit_doubles, lit_int_matrix
+
 #: Fixed-point scale for embedding values.  2^12 keeps the quantization
 #: error at 2^-13 per coordinate (far below any PCA use) while bounding
 #: |v_q| <= ~2^15 for unit-ish embeddings, so an int64 Gram partial is
@@ -242,8 +244,8 @@ def pca_project(
     # folds: same exact integer dots and float ops per row, but ~2k·d
     # py4j round trips collapse to 2 (measured 1.7→1.0 s driver build
     # for k=8, d=64; the 16-axis JL twin measured 6.2→1.5 s)
-    mat = F.lit([[int(x) for x in model.components_q[c]] for c in range(k)])
-    offs = F.lit([float(model.offsets[c]) for c in range(k)])
+    mat = lit_int_matrix([model.components_q[c] for c in range(k)])
+    offs = lit_doubles([model.offsets[c] for c in range(k)])
     projs = F.transform(
         mat,
         lambda row, i: (

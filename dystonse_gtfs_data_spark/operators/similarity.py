@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.lits import lit_double_matrix, lit_doubles
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -158,7 +160,7 @@ def lsh_bucket(vec, planes: list[list[float]]):
     for i, p in enumerate(planes):
         # one array literal per plane (not dim F.lit py4j calls — the
         # round-11 literal-matrix lesson from pca.jl_project)
-        arr = F.lit([float(v) for v in p])
+        arr = lit_doubles(p)
         bits.append(F.when(_dot(vec, arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
     return sum(bits[1:], bits[0])
 
@@ -388,7 +390,7 @@ def ivf_assign(
     # per-centroid F.array(*lits) loop did (identical _dot fold order;
     # the lambda index IS the old F.lit(ci)) — k·dim py4j round trips
     # collapse to one (the round-11 literal-matrix lesson)
-    cents_lit = F.lit([[float(v) for v in c] for c in cents])
+    cents_lit = lit_double_matrix(cents)
     scored = F.transform(
         cents_lit,
         lambda row, i: F.struct(
@@ -783,7 +785,7 @@ def pq_encode(
     for m, book in enumerate(codebooks):
         # one nested-list literal per subspace instead of ksub·sd F.lit
         # py4j calls (round-11 literal-matrix lesson; values identical)
-        lit_book = F.lit([[float(v) for v in c] for c in book])
+        lit_book = lit_double_matrix(book)
         sub = F.slice(F.col(vec_col), m * sd + 1, sd)
         cands = F.transform(
             lit_book,
@@ -906,7 +908,7 @@ def ivfpq_topk(
     for m, book in enumerate(codebooks):
         # nested-list literals (see pq_encode) — same ADC float chain,
         # ~2·ksub·sd fewer py4j calls per subspace
-        lit_book = F.lit([[float(v) for v in c] for c in book])
+        lit_book = lit_double_matrix(book)
         code = F.col(f"code_{m}")
         cvec = F.element_at(lit_book, code + 1)
         qsub = F.slice(F.col("q_vec"), m * sd + 1, sd)
@@ -916,7 +918,7 @@ def ivfpq_topk(
             lambda a, t: a + t,
         )
         n2 = n2 + F.element_at(
-            F.lit([float(v) for v in norm2[m]]), code + 1
+            lit_doubles(norm2[m]), code + 1
         )
     if collapse_identical:
         scored = c_assigned.join(F.broadcast(q_assigned), "centroid_id").select(
