@@ -43,6 +43,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..cache import tracked_persist
+from ..functions.lits import lit_doubles
 
 # ColorBrewer 9-class sequential palettes (public; © Cynthia Brewer,
 # Apache-licensed color specs — values, not code).  Reference usage:
@@ -183,7 +184,10 @@ def png_data_url(colors: list[tuple[int, int, int]]) -> str:
 def _grad_channel(palette: list[tuple[int, int, int]], ch: int, t: Column) -> Column:
     """JVM-side piecewise-linear palette eval for one channel: mirrors
     gradient_eval exactly (element_at is 1-based)."""
-    arr = F.array(*[F.lit(float(c[ch])) for c in palette])
+    # one F.expr parse, not 9 per-element F.lit round trips — the
+    # function is instantiated 12× per strip (3 channels × 2 palettes ×
+    # 2 crop branches), so the chatter multiplies (functions/lits.py)
+    arr = lit_doubles([float(c[ch]) for c in palette])
     t8 = F.least(F.greatest(t, F.lit(0.0)), F.lit(1.0)) * 8.0
     k = F.least(F.floor(t8).cast("int"), F.lit(7))
     frac = t8 - k
