@@ -2541,6 +2541,7 @@ def exact_substring_maximal(
     sep: str = " ",
     cap: int = _MAXREP_CAP_DEFAULT,
     gram_stage: str = "rolling",
+    _persist_spans: bool = False,
 ) -> DataFrame:
     """MAXIMAL corpus repeats ≥ ``min_len`` tokens — the exact object a
     suffix-array ExactSubstr implementation enumerates (Lee et al.
@@ -2663,9 +2664,24 @@ def exact_substring_maximal(
     # left-maximality: drop intervals contained in an earlier-starting one
     dwin = Window.partitionBy(id_col).orderBy("pos")
     prev_max = F.max("_e").over(dwin.rowsBetween(Window.unboundedPreceding, -1))
-    maximal = ext.withColumn("_pm", prev_max).filter(
-        F.col("_pm").isNull() | (F.col("_e") > F.col("_pm"))
+    # ``_persist_spans``: NARROW lazy persist (3 ints per maximal
+    # repeat) for callers that reference the span set more than once
+    # (keep_one's keep-first agg + join sides read it twice, and the
+    # lambda-bearing LCP chain above never canonicalizes equal in
+    # Spark 4.1, so no Exchange is reused across those references).
+    # Persisting the wide span TEXT instead measured NEGATIVE
+    # (OPTIMIZATION_r11.md keep_one note); intervals are the smallest
+    # sufficient cut, and rep_text re-derives per consumer with one
+    # candidate-volume join against the token arrays.  Default OFF:
+    # the single-reference standalone entry pays the cache
+    # materialization with nothing to reuse (measured +8% at sf0.1).
+    maximal = (
+        ext.withColumn("_pm", prev_max)
+        .filter(F.col("_pm").isNull() | (F.col("_e") > F.col("_pm")))
+        .select(id_col, "pos", "_e")
     )
+    if _persist_spans:
+        maximal = tracked_persist(maximal)
     return (
         maximal.join(base, id_col)
         .select(
@@ -2732,7 +2748,7 @@ def exact_substring_keep_one(
     else:
         spans = exact_substring_maximal(
             docs, min_len=min_len, text_col=text_col, id_col=id_col,
-            sep=sep, cap=cap, gram_stage=gram_stage,
+            sep=sep, cap=cap, gram_stage=gram_stage, _persist_spans=True,
         )
     keyed = spans.withColumn("_pk", _pos_key(id_col, "s"))
     first = keyed.groupBy("rep_text").agg(F.min("_pk").alias("_first"))

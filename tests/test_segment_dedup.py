@@ -630,6 +630,29 @@ class TestExactSubstringKeepOne:
 
 
 class TestSegmentDedupHardening:
+    def test_maximal_persist_spans_is_value_identical(self, spark):
+        # the narrow interval persist keep_one requests
+        # (_persist_spans=True) must be invisible in the span set —
+        # same rows, same rep_text — vs the default single-pass path
+        from dystonse_gtfs_data_spark.cache import release_persisted
+        from dystonse_gtfs_data_spark.operators.dedup import (
+            exact_substring_maximal,
+        )
+
+        rows = TestExactSubstringMaximal.CORPUS
+        docs = _docs(spark, rows)
+        plain = sorted(
+            tuple(r) for r in exact_substring_maximal(docs, min_len=3).collect()
+        )
+        persisted = sorted(
+            tuple(r)
+            for r in exact_substring_maximal(
+                docs, min_len=3, _persist_spans=True
+            ).collect()
+        )
+        release_persisted()
+        assert persisted == plain and len(plain) > 0
+
     def test_int32_ids_do_not_overflow_pos_key(self, spark):
         # IntegerType ids >= 2148 overflow int32 when multiplied by the
         # 1e6 position base unless the key arithmetic runs in long
