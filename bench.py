@@ -170,6 +170,14 @@ VOLATILE_QUERIES = {
     "semantic_dedup_hier",
     "semantic_dedup_windowed",
     "dedup_clusters",
+    # r11 resume-session forensics: the other two CC-family consumers
+    # share dedup_clusters' eager checkpoint loop and its single-shot
+    # variance (best_of_cluster 3.1-14.0 s, leakage_safe_splits
+    # 3.6-18.1 s across same-code runs while flat entries moved <2x) —
+    # median-of-3 like their sibling.  Timing methodology for all other
+    # entries is unchanged.
+    "best_of_cluster",
+    "leakage_safe_splits",
 }
 
 
