@@ -278,6 +278,14 @@ def main() -> None:
     )
     cal_mean = round((cal_start + cal_end) / 2, 3)
     total = round(sum(timings.values()), 3)
+    # Diagnostics go to STDERR, never the stdout line: the driver's tail
+    # capture truncated the (growing) single JSON line two rounds in a
+    # row (BENCH_r09/r10 `parsed: null`), nulling the round-over-round
+    # comparison.  The stdout line now carries only the contract keys +
+    # the two fixed-size calibration fields; `volatile_reps` (raw reps
+    # behind the medianed VOLATILE_QUERIES rows, unbounded as the set
+    # grows) moves to its own stderr JSON line, still captured by any
+    # harness that keeps stderr (round-12 verdict task #2).
     print(
         json.dumps(
             {
@@ -295,11 +303,13 @@ def main() -> None:
                     "mean": cal_mean,
                 },
                 "value_per_calibration": round(total / cal_mean, 2),
-                # raw reps behind the medianed VOLATILE_QUERIES rows —
-                # the variance column the round-10 forensics lacked
-                "volatile_reps": volatile_reps,
             }
         )
+    )
+    print(
+        json.dumps({"volatile_reps": volatile_reps}),
+        file=sys.stderr,
+        flush=True,
     )
 
 
