@@ -13,7 +13,7 @@ component, independent of iteration order or partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -55,7 +55,13 @@ def connected_components(
     0.3 s after.  The convergence probe rides a scalar aggregate:
     labels only ever DECREASE, so the label sum is strictly monotone
     and two equal consecutive sums mean a fixpoint — no old⋈new change
-    join.
+    join.  The probe is delivered by ``observe()`` ON the checkpoint
+    job itself (round 12): the eager cut already executes the full
+    round plan, so a CollectMetrics node piggybacks the sum onto that
+    job and the loop runs ONE action per round instead of a checkpoint
+    plus a separate scalar-agg collect — at demo scale the per-action
+    driver/AQE machinery dominates each round, and at cluster scale it
+    removes one scheduler round trip per iteration for free.
     """
     spark = pairs.sparkSession
 
@@ -73,16 +79,18 @@ def connected_components(
         .repartition("src")
         .dropDuplicates(["src", "dst"])
     )
+    # decimal(38,0): sum of ~n²/2 int64 node ids overflows (and silently
+    # wraps under non-ANSI Spark) past ~4e9 nodes; decimal128 keeps the
+    # monotone-sum convergence argument exact at any node count
+    _label_sum = F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
+    obs0 = Observation()
     labels = cut(
         edges.select(F.col("src").alias("id"))
         .dropDuplicates(["id"])
         .withColumn("cluster", F.col("id"))
+        .observe(obs0, _label_sum)
     )
-    # decimal(38,0): sum of ~n²/2 int64 node ids overflows (and silently
-    # wraps under non-ANSI Spark) past ~4e9 nodes; decimal128 keeps the
-    # monotone-sum convergence argument exact at any node count
-    _label_sum = F.sum(F.col("cluster").cast("decimal(38,0)"))
-    prev_sum = labels.agg(_label_sum).collect()[0][0]
+    prev_sum = obs0.get["s"]
     for _ in range(max_iter):
         contrib = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), "cluster"
@@ -105,16 +113,19 @@ def connected_components(
                 F.col("id").alias("_p_id"),
                 F.col("cluster").alias("_p_cluster"),
             )
+            obs = Observation()
             labels = cut(
                 neigh.join(
                     parent, neigh.cluster == F.col("_p_id"), "left"
-                ).select(
+                )
+                .select(
                     "id", F.coalesce("_p_cluster", "cluster").alias("cluster")
                 )
+                .observe(obs, _label_sum)
             )
         finally:
             neigh.unpersist()
-        new_sum = labels.agg(_label_sum).collect()[0][0]
+        new_sum = obs.get["s"]
         if new_sum == prev_sum:
             return labels
         prev_sum = new_sum

@@ -64,6 +64,16 @@ def test_max_iter_raises_loudly(spark):
         connected_components(p, max_iter=2)
 
 
+def test_empty_pairs_returns_empty_labels(spark):
+    # degenerate input for the observe-on-checkpoint convergence probe
+    # (round 12): sum over ZERO label rows is NULL on both sides of the
+    # fixpoint comparison — the loop must terminate (not hang waiting
+    # for metrics and not spin to max_iter) and return an empty frame
+    p = spark.createDataFrame([], "id_a long, id_b long")
+    rows = connected_components(p).collect()
+    assert rows == []
+
+
 def test_hll_estimate_accuracy(spark):
     # 256 registers → relative error ~1.04/sqrt(256) ≈ 6.5%; assert 3σ
     n = 5000
