@@ -5573,6 +5573,7 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bigram add-one log-probs (`doc_id`, `lp` DECIMAL(18,6)) —
     the Spark twin of ``_BIGRAM_SCORED_CTE``."""
+    from .cache import tracked_persist
     from .operators.dedup import _spread
     from .sources.tables import maybe_broadcast
 
@@ -5595,9 +5596,22 @@ def _bigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "bi.w1", "bi.w2")
     )
-    c2 = inst.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # lazy persist of the AGGREGATED count table, the keep-one pattern
+    # (round 12, guide §7.2): without a cache boundary the corpus-volume
+    # explode chain above executed 4x per action (main inst stream + the
+    # c2 join side + the c1 chain + the vocab distinct — the lambda-
+    # bearing Generate never canonicalizes in Spark 4.1, so no Exchange
+    # is ever reused).  Persisting c2 — vocabulary-sized (distinct
+    # bigrams), sublinear in corpus — and deriving vocab from it (the
+    # distinct-w2 set of c2 IS the distinct-w2 set of inst) cuts the
+    # explode to 2 executions.  Persisting the corpus-sized exploded
+    # inst instead measured NEGATIVE at sf1 (2.65 -> 3.0+ s): cheap
+    # recompute beats materializing the wide explode, the same r11
+    # ngram-shingle lesson.  A/B interleaved: sf0.1 1.57 -> 1.37 s
+    # median, sf1 3.37 -> 2.81 s (reps 1+).
+    c2 = tracked_persist(inst.groupBy("w1", "w2").agg(F.count("*").alias("c2")))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    vocab = inst.select(F.countDistinct("w2").alias("v"))
+    vocab = c2.select(F.countDistinct("w2").alias("v"))
     # size-guarded hints: the bigram vocab is corpus-sublinear but a
     # web-scale vocab is not broadcastable; fall through to shuffle joins
     scored = (
