@@ -2737,6 +2737,15 @@ def exact_substring_keep_one(
 
     Output: (id, clean_text, n_tokens, removed_tokens, n_spans) — one
     row per input document, untouched documents with n_spans = 0.
+
+    Cache note for library callers: the default path asks
+    :func:`exact_substring_maximal` to lazily persist its narrow
+    (id, pos, e) interval table (``_persist_spans=True`` — it is read
+    twice here).  The persist is registered with
+    :func:`..cache.tracked_persist`; long-lived drivers outside the
+    bench/oracle harness should call
+    :func:`..cache.release_persisted` after consuming the result, or
+    the cached block accumulates per invocation.
     """
     arr = F.split(F.col(text_col), re.escape(sep))
     base = docs.select(F.col(id_col), arr.alias("_arr"))

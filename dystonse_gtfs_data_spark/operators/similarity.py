@@ -1028,6 +1028,15 @@ def semantic_dedup(
     the zero-vector NaN case classifies exactly as the full run would.
     Default False keeps the single-pass shape the catalog oracle
     hashes.
+
+    100 TB steer: even with the √N k valve the intra-cluster pair join
+    is Σ m_c² ≈ N^1.5 — at web scale prefer
+    :func:`semantic_dedup_windowed`, which replaces the all-pairs join
+    with a sorted per-cluster neighbor WINDOW (O(N·w) candidates,
+    recall measured by the ``semantic_windowed_recall`` catalog entry);
+    combine with ``collapse_identical=True`` when mass duplication is
+    expected.  This entry keeps the exact all-pairs semantics the
+    oracle hashes.
     """
     from ..cache import tracked_persist
     from .clustering import kmeans_assign

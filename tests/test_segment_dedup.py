@@ -641,16 +641,21 @@ class TestSegmentDedupHardening:
 
         rows = TestExactSubstringMaximal.CORPUS
         docs = _docs(spark, rows)
-        plain = sorted(
-            tuple(r) for r in exact_substring_maximal(docs, min_len=3).collect()
-        )
-        persisted = sorted(
-            tuple(r)
-            for r in exact_substring_maximal(
-                docs, min_len=3, _persist_spans=True
-            ).collect()
-        )
-        release_persisted()
+        try:
+            plain = sorted(
+                tuple(r)
+                for r in exact_substring_maximal(docs, min_len=3).collect()
+            )
+            persisted = sorted(
+                tuple(r)
+                for r in exact_substring_maximal(
+                    docs, min_len=3, _persist_spans=True
+                ).collect()
+            )
+        finally:
+            # always reclaim the tracked persists — a raising collect()
+            # must not leak cached frames into the shared session
+            release_persisted()
         assert persisted == plain and len(plain) > 0
 
     def test_int32_ids_do_not_overflow_pos_key(self, spark):
