@@ -1232,7 +1232,20 @@ def simhash_near_duplicates(
     for identical texts (hamming 0 to the representative) transitive
     clusters are unchanged.  Default None = exact enumeration (the
     oracle-hashed catalog setting)."""
-    sig = simhash(docs, text_col, id_col, base_hash=base_hash)
+    from ..cache import tracked_persist
+
+    # lazy persist of the NARROW signature table (id + one int64/doc,
+    # round 12, guide §7.2): the chunk self-join below references sig on
+    # both sides, and the token explode + 64-agg chain above it never
+    # canonicalizes (lambda Generate) so no Exchange is reused — without
+    # the cache the whole signature stage executed twice per action.
+    # Interleaved A/B: sf1 2.23-2.49 -> 1.71-1.80 s (-25%), sf0.1
+    # non-negative; row parity exact.  The minhash analog (persisting
+    # the 64-long signatures ahead of the band self-join) measured a
+    # WASH at both SFs and stays out — its verify stage, not the
+    # signature chain, dominates.  Released by the harness's
+    # release_persisted(), recomputable from lineage on executor loss.
+    sig = tracked_persist(simhash(docs, text_col, id_col, base_hash=base_hash))
     chunks = sig.select(
         F.col(id_col),
         F.col("simhash"),
