@@ -648,19 +648,8 @@ def ngram_jaccard_near_duplicates(
     if shingle_family == "rolling":
         # Karp-Rabin shingle hashes from the Arrow kernel: the index
         # join carries int64, never shingle strings (tokenization is
-        # the kernel's Python normalization — see the kernel docstring).
-        # Lazily persisted (round 12): MapInPandas nodes do not
-        # canonicalize, so unlike the text family below the L/R join
-        # sides and the sizes agg each re-ran the kernel.  The frame is
-        # the NARROW (id, int64-hash) table; A/B −5-8% at sf0.1 AND sf1
-        # (every interleaved pair non-negative), parity exact.  The
-        # text family keeps its ReuseExchange instead — persisting its
-        # WIDE shingle strings is the measured-negative shape (r11).
-        from ..cache import tracked_persist
-
-        ex = tracked_persist(
-            _shingle_hashes_rolling(docs, text_col, id_col, shingle_k)
-        )
+        # the kernel's Python normalization — see the kernel docstring)
+        ex = _shingle_hashes_rolling(docs, text_col, id_col, shingle_k)
     elif shingle_family == "text":
         ex = _explode_parallel(
             _spread(docs),
