@@ -264,10 +264,15 @@ def main() -> None:
         fn = registry[name].fn
         reps = 3 if name in VOLATILE_QUERIES else 1
         runs = []
-        for _ in range(reps):
+        for rep in range(reps):
+            # label jobs per entry (guide §1.5) so the UI / event logs
+            # attribute every stage to its catalog entry; a driver-local
+            # property set, nothing in the timed region changes
+            spark.sparkContext.setJobDescription(f"bench:{name}#{rep}")
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t0, 3))
+            spark.sparkContext.setJobDescription(None)
             release_persisted()  # drop operator-tracked caches between queries
         timings[name] = round(statistics.median(runs), 3)
         if reps > 1:
